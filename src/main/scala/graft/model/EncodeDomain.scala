@@ -1,0 +1,182 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EncodeSrv's relational domain, re-expressed for Spark.
+  *
+  * The reference (ystv/EncodeSrv) stores two tables in PostgreSQL:
+  * `encode_formats` (the configuration dimension, schema.sql:29-52) and
+  * `encode_jobs` (the work queue, schema.sql:235-245), linked by
+  * `encode_jobs.format_id -> encode_formats.id` (schema.sql:327-328).
+  *
+  * Here the dimension table is a literal Dataset (it is ~6 rows of config in
+  * practice) and the fact table is derived *deterministically* from the
+  * driver's `orders` parquet so that the DuckDB oracle can reconstruct the
+  * exact same rows from the same inputs: every derivation below has a
+  * mirrored SQL rendering ([[formatsCte]] / [[jobsCte]]) used as a WITH-prefix
+  * by every oracle query. Keep both renderings in lock-step.
+  */
+case class EncodeFormat(
+    id: Int,
+    format_name: String,
+    container: String,
+    video_bitrate: Int,
+    video_bitrate_tolerance: Int,
+    video_codec: String,
+    video_resolution: String,
+    audio_bitrate: Int,
+    audio_samplerate: Int,
+    audio_codec: String,
+    vpre_string: Option[String],
+    aspect_ratio: String,
+    args_beginning: Option[String],
+    args_video: Option[String],
+    args_audio: Option[String],
+    args_end: Option[String],
+    apply_mp4box: Boolean,
+    file_extension: String,
+    preset_string: Option[String],
+    normalise_level: Option[Int],
+    ef_priority: Int,
+    pass: Option[Int])
+
+object EncodeDomain {
+
+  /** Literal format rows covering {1,2}-pass x mp4box on/off x normalise
+    * on/off x a frame-sequence (image2) format — the axes the reference's
+    * command compiler branches on (job.py:227, job.py:265, job.py:197,
+    * job.py:298). */
+  val formats: Seq[EncodeFormat] = Seq(
+    EncodeFormat(1, "mp4-hd", "mp4", 5000000, 500000, "libx264", "1920x1080",
+      192000, 48000, "aac", None, "16:9",
+      Some("-y"), Some("-vf scale=1920:1080"), None, Some("-movflags faststart"),
+      apply_mp4box = false, "mp4", Some("-preset slow"), None, 5, Some(2)),
+    EncodeFormat(2, "mp4-sd", "mp4", 1500000, 150000, "libx264", "640x360",
+      128000, 44100, "aac", Some("ipod640"), "16:9",
+      Some("-y"), None, Some("-af aresample=44100"), None,
+      apply_mp4box = true, "mp4", Some("-preset fast"), Some(-23), 4, Some(2)),
+    EncodeFormat(3, "webm", "webm", 2000000, 200000, "libvpx-vp9", "1280x720",
+      160000, 48000, "libopus", None, "16:9",
+      None, Some("-speed 1"), None, None,
+      apply_mp4box = false, "webm", None, None, 3, Some(1)),
+    EncodeFormat(4, "audio-only", "mp3", 0, 0, "", "",
+      320000, 44100, "libmp3lame", None, "",
+      Some("-y -vn"), None, None, None,
+      apply_mp4box = false, "mp3", Some(""), Some(-16), 6, Some(1)),
+    EncodeFormat(5, "thumbs", "image2", 500000, 50000, "mjpeg", "320x180",
+      0, 0, "", None, "4:3",
+      None, Some("-vf fps=1"), None, None,
+      apply_mp4box = false, "jpg", None, None, 2, Some(1)),
+    EncodeFormat(6, "prores", "mov", 45000000, 4500000, "prores_ks", "1920x1080",
+      0, 48000, "pcm_s16le", Some("hq"), "16:9",
+      Some("-y"), None, None, None,
+      apply_mp4box = true, "mov", Some("-preset veryslow"), Some(-24), 7, Some(2)))
+
+  /** The dimension table as a broadcast-sized DataFrame (dozens of rows in
+    * any real deployment — always the build side of J1, SURVEY.md 2.3). */
+  def formatsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    formats.toDF()
+  }
+
+  // ---- SQL rendering of the same literals, for the DuckDB oracle ----
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def sqlOptStr(s: Option[String]): String =
+    s.map(sqlStr).getOrElse("CAST(NULL AS VARCHAR)")
+  private def sqlOptInt(i: Option[Int]): String =
+    i.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
+
+  private val formatCols: Seq[String] = Seq(
+    "id", "format_name", "container", "video_bitrate",
+    "video_bitrate_tolerance", "video_codec", "video_resolution",
+    "audio_bitrate", "audio_samplerate", "audio_codec", "vpre_string",
+    "aspect_ratio", "args_beginning", "args_video", "args_audio", "args_end",
+    "apply_mp4box", "file_extension", "preset_string", "normalise_level",
+    "ef_priority", "pass")
+
+  val formatsCte: String = {
+    val rows = formats.map { f =>
+      Seq(
+        f.id.toString, sqlStr(f.format_name), sqlStr(f.container),
+        f.video_bitrate.toString, f.video_bitrate_tolerance.toString,
+        sqlStr(f.video_codec), sqlStr(f.video_resolution),
+        f.audio_bitrate.toString, f.audio_samplerate.toString,
+        sqlStr(f.audio_codec), sqlOptStr(f.vpre_string),
+        sqlStr(f.aspect_ratio), sqlOptStr(f.args_beginning),
+        sqlOptStr(f.args_video), sqlOptStr(f.args_audio),
+        sqlOptStr(f.args_end), f.apply_mp4box.toString.toUpperCase,
+        sqlStr(f.file_extension), sqlOptStr(f.preset_string),
+        sqlOptInt(f.normalise_level), f.ef_priority.toString,
+        sqlOptInt(f.pass)
+      ).mkString("(", ", ", ")")
+    }.mkString(", ")
+    val alias = formatCols.map(c => "\"" + c + "\"").mkString(", ")
+    s"encode_formats AS (SELECT * FROM (VALUES $rows) AS f($alias))"
+  }
+
+  /** The work queue, derived 1:1 from `orders` (one job per order). The
+    * modular arithmetic below seeds the exact situations the reference's
+    * predicates look for: leading-`//` paths (lstrip, __init__.py:110),
+    * `thumbs/` destinations (job.py:54), `%05d`-frame-sequence destinations
+    * (job.py:298), a dangling FK (join-miss), the status mix the crash-reset
+    * LIKE predicates scan (__init__.py:78), NULL video_id (job.py:311), and
+    * duplicate priorities (tie-break, SURVEY.md 2.5 W2). */
+  def jobsDF(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val id = col("o_orderkey")
+    o.select(
+      id.as("id"),
+      concat(
+        when(id % 7 === 0, lit("//vids/raw/")).otherwise(lit("/vids/raw/")),
+        id.cast("string"), lit(".mov")).as("source_file"),
+      when(id % 11 === 0,
+          concat(lit("/vids/out/thumbs/"), id.cast("string"), lit("/frame-%05d.jpg")))
+        .when(id % 13 === 0,
+          concat(lit("/vids/out/thumbs/"), id.cast("string"), lit(".png")))
+        .otherwise(concat(lit("/vids/out/"), id.cast("string"), lit(".mp4")))
+        .as("destination_file"),
+      when(id % 97 === 0, lit(99)).otherwise((id % 6).cast("int") + 1)
+        .as("format_id"),
+      when(id % 10 === 6, lit("encsrv01 - Waiting"))
+        .when(id % 10 === 7, lit("encsrv01 - Encoding Pass 2"))
+        .when(id % 10 === 8, lit("encsrv01 - Error"))
+        .when(id % 10 === 9, lit("Done"))
+        .otherwise(lit("Not Encoding")).as("status"),
+      when(id % 3 === 0, lit(null).cast("long")).otherwise(id).as("video_id"),
+      lit(null).cast("string").as("working_directory"),
+      (id % 50).cast("int").as("user_id"),
+      (lit(5) + id % 10).cast("decimal(10,2)").as("priority"))
+  }
+
+  val jobsCte: String =
+    """encode_jobs AS (
+      |  SELECT
+      |    o_orderkey AS id,
+      |    (CASE WHEN o_orderkey % 7 = 0 THEN '//vids/raw/' ELSE '/vids/raw/' END
+      |      || CAST(o_orderkey AS VARCHAR) || '.mov') AS source_file,
+      |    (CASE WHEN o_orderkey % 11 = 0
+      |            THEN '/vids/out/thumbs/' || CAST(o_orderkey AS VARCHAR) || '/frame-%05d.jpg'
+      |          WHEN o_orderkey % 13 = 0
+      |            THEN '/vids/out/thumbs/' || CAST(o_orderkey AS VARCHAR) || '.png'
+      |          ELSE '/vids/out/' || CAST(o_orderkey AS VARCHAR) || '.mp4'
+      |     END) AS destination_file,
+      |    (CASE WHEN o_orderkey % 97 = 0 THEN 99
+      |          ELSE CAST(o_orderkey % 6 AS INTEGER) + 1 END) AS format_id,
+      |    (CASE WHEN o_orderkey % 10 = 6 THEN 'encsrv01 - Waiting'
+      |          WHEN o_orderkey % 10 = 7 THEN 'encsrv01 - Encoding Pass 2'
+      |          WHEN o_orderkey % 10 = 8 THEN 'encsrv01 - Error'
+      |          WHEN o_orderkey % 10 = 9 THEN 'Done'
+      |          ELSE 'Not Encoding' END) AS status,
+      |    (CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT)
+      |          ELSE o_orderkey END) AS video_id,
+      |    CAST(NULL AS VARCHAR) AS working_directory,
+      |    CAST(o_orderkey % 50 AS INTEGER) AS user_id,
+      |    CAST(5 + o_orderkey % 10 AS DECIMAL(10,2)) AS priority
+      |  FROM orders)""".stripMargin
+
+  /** Wrap an oracle query body with the shared fixture CTEs. */
+  def oracle(body: String): String =
+    s"WITH $formatsCte,\n$jobsCte\n$body"
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.EncodeDomain
+
+/** The EncodeSrv query surface (SURVEY.md §2.1–2.4) as Spark-first
+  * declarative plans over the derived domain tables.
+  *
+  * Every query here has a DuckDB-oracle twin in [[oracleSql]]; column names
+  * and ordering semantics are kept identical on both sides (the driver's
+  * compare hashes values under name-sorted columns).
+  */
+object EncodeQueries {
+
+  /** S1+W1+W2 — the dequeue: projection + equality filter + priority-desc
+    * top-k with a deterministic id tie-break (reference: one SQL statement,
+    * __init__.py:92,103-105; the tie-break is our addition per SURVEY §2.5
+    * W2). Catalyst plans this as TakeOrderedAndProject: no full sort, no
+    * shuffle of the whole table — each partition keeps k rows, the driver
+    * merges. That property is what makes the dequeue viable at 100 TB. */
+  def s1Dequeue(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .select("id", "source_file", "destination_file", "format_id", "status",
+        "video_id", "priority")
+      .filter(col("status") === "Not Encoding")
+      .orderBy(col("priority").desc, col("id").asc)
+      .limit(10)
+
+  /** S2+J2 — format-name lookup for a dequeued job (job.py:84-86). Expressed
+    * as the join it really is, not an N+1 point lookup: broadcast the
+    * dimension. */
+  def s2FormatLookup(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+    val formats = EncodeDomain.formatsDF(spark)
+    jobs.filter(col("status") === "Not Encoding")
+      .join(broadcast(formats), jobs("format_id") === formats("id"))
+      .select(jobs("id").as("job_id"), formats("format_name"))
+      .orderBy(col("job_id"))
+  }
+
+  /** S4+A1/P3 — the waiting-jobs gauge (common.py:68-73): count with a
+    * disjunction-of-equalities predicate (isin). */
+  def s4CountWaiting(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .filter(col("status").isin("Not Encoding", "encsrv01 - Waiting"))
+      .agg(count(lit(1)).as("n_waiting"))
+
+  /** S9+P4 — crash-reset rewrite (__init__.py:78): every job claimed by this
+    * server and not in Error goes back to 'Not Encoding'. In-place UPDATE
+    * becomes a column rewrite over the snapshot (overwrite-on-write at the
+    * sink). LIKE stays a codegen'd Contains/StringPredicate — no UDF. */
+  def s9CrashReset(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .withColumn("status",
+        when(col("status").like("%encsrv01%") && !col("status").like("%Error%"),
+          lit("Not Encoding")).otherwise(col("status")))
+      .select("id", "status", "format_id", "priority")
+      .orderBy(col("id"))
+
+  /** J1 — the FK equi-join jobs->formats (job.py:163-172, FK
+    * schema.sql:327-328). The reference runs one point SELECT per job (N+1);
+    * here it is a single broadcast hash join per batch: the dimension is
+    * dozens of rows, so the probe side streams with zero shuffle — the plan
+    * that survives a 100 TB jobs table. Inner semantics drop dangling FKs
+    * exactly as the reference crashes on them (fetchone -> None). */
+  def j1JobFormatJoin(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+    val formats = EncodeDomain.formatsDF(spark)
+    jobs.join(broadcast(formats), jobs("format_id") === formats("id"))
+      .select(jobs("id").as("job_id"), jobs("status"),
+        formats("format_name"), formats("container"), formats("video_codec"),
+        formats("video_bitrate"), formats("audio_codec"),
+        formats("apply_mp4box"), formats("pass"))
+      .orderBy(col("job_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_dequeue" -> s1Dequeue,
+    "s2_format_lookup" -> s2FormatLookup,
+    "s4_count_waiting" -> s4CountWaiting,
+    "s9_crash_reset" -> s9CrashReset,
+    "j1_job_format_join" -> j1JobFormatJoin)
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_dequeue" -> EncodeDomain.oracle(
+      """SELECT id, source_file, destination_file, format_id, status, video_id, priority
+        |FROM encode_jobs WHERE status = 'Not Encoding'
+        |ORDER BY priority DESC, id ASC LIMIT 10""".stripMargin),
+    "s2_format_lookup" -> EncodeDomain.oracle(
+      """SELECT j.id AS job_id, f.format_name
+        |FROM encode_jobs j JOIN encode_formats f ON j.format_id = f.id
+        |WHERE j.status = 'Not Encoding' ORDER BY job_id""".stripMargin),
+    "s4_count_waiting" -> EncodeDomain.oracle(
+      """SELECT COUNT(*) AS n_waiting FROM encode_jobs
+        |WHERE status IN ('Not Encoding', 'encsrv01 - Waiting')""".stripMargin),
+    "s9_crash_reset" -> EncodeDomain.oracle(
+      """SELECT id,
+        |  CASE WHEN status LIKE '%encsrv01%' AND status NOT LIKE '%Error%'
+        |       THEN 'Not Encoding' ELSE status END AS status,
+        |  format_id, priority
+        |FROM encode_jobs ORDER BY id""".stripMargin),
+    "j1_job_format_join" -> EncodeDomain.oracle(
+      """SELECT j.id AS job_id, j.status, f.format_name, f.container,
+        |  f.video_codec, f.video_bitrate, f.audio_codec, f.apply_mp4box,
+        |  f."pass"
+        |FROM encode_jobs j JOIN encode_formats f ON j.format_id = f.id
+        |ORDER BY job_id""".stripMargin))
+}

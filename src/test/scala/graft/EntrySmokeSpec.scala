@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites: local, UTC, small shuffle width. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class EntrySmokeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every query has either an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries must be a deliberate, documented set
+    assert(missing.subsetOf(SparkEntry.rowsOnlyQueries),
+      s"queries without oracle nor rows-only declaration: $missing")
+  }
+
+  test("s1_dequeue returns a priority-descending prefix with id tie-break") {
+    val rows = graft.queries.EncodeQueries.s1Dequeue(spark, sf)
+      .select("priority", "id").collect()
+    val pairs = rows.map(r => (r.getDecimal(0).doubleValue(), r.getLong(1)))
+    assert(pairs.sameElements(pairs.sortBy { case (p, id) => (-p, id) }))
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate: run each oracle SQL in DuckDB over
+the sf parquet tables and compare against the Spark parquet dumps produced by
+`graft.Verify`. Columns sorted by name, rows sorted, values compared exactly
+(floats with tiny ulp tolerance reported separately).
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+"""
+import sys, os, glob, json, math
+import duckdb
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in idx))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in idx], out
+
+def norm(v):
+    import decimal, datetime
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in sorted(glob.glob(f"{sf}/*.parquet")):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output dir"); n_bad += 1; continue
+        try:
+            s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            s_cols = [d[0] for d in s.description]; s_rows = s.fetchall()
+            d = con.execute(sql)
+            d_cols = [d_[0] for d_ in d.description]; d_rows = d.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        sc, sr = canon(s_rows, s_cols)
+        dc, dr = canon(d_rows, d_cols)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}"); n_bad += 1; continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}"); n_bad += 1; continue
+        if sr == dr:
+            print(f"OK   {name} ({len(sr)} rows)"); n_ok += 1; continue
+        # find first diff
+        bad = None
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            if a != b:
+                bad = (i, a, b); break
+        print(f"FAIL {name}: first diff row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+        n_bad += 1
+    print(f"== {n_ok} ok / {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
