@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The ffmpeg command compiler (SURVEY.md §2.7 F1) — the reference's core
+  * row-level transformation (job.py:30-51 template, job.py:235-244
+  * expansion): an ordered list of argument slots, each optionally gated on
+  * the truthiness of one field of the joined job+format record; gated slots
+  * expand `{field}` placeholders, then all surviving slots join with a
+  * single space.
+  *
+  * Reimplemented as ONE slot table that renders to both a codegen-friendly
+  * Spark Column (`when` + `concat` + `concat_ws`, no UDF — stays inside
+  * whole-stage codegen) and the equivalent DuckDB SQL (`CASE` + `||` +
+  * `concat_ws`), so the oracle can never drift from the engine.
+  *
+  * Truthiness mirrors Python on the NULL-coalesced record (job.py:171
+  * coalesces NULL->''): strings are truthy iff non-empty, ints iff non-zero
+  * (the reference's audio-only format relies on `video_bitrate=0` dropping
+  * `-b:v`).
+  */
+object CommandCompiler {
+
+  /** One template slot: literal text with `{field}` placeholders, included
+    * iff `gate` (a field name) is absent or truthy. Mirrors the semantics of
+    * the reference's `{"arg": ..., "parm": ...}` rows (job.py:30-51). */
+  final case class Slot(template: String, gate: Option[String])
+
+  val slots: Seq[Slot] = Seq(
+    Slot("ffmpeg", None),
+    Slot("-i \"{_SourceFile}\"", Some("_SourceFile")),
+    Slot("-passlogfile \"{_PassLogFile}\"", Some("_PassLogFile")),
+    Slot("{args_beginning}", Some("args_beginning")),
+    Slot("-vcodec {video_codec}", Some("video_codec")),
+    Slot("-b:v {video_bitrate}", Some("video_bitrate")),
+    Slot("{_VPre}", Some("_VPre")),
+    Slot("-pass {_Pass}", Some("_Pass")),
+    Slot("-s {video_resolution}", Some("video_resolution")),
+    Slot("-aspect {aspect_ratio}", Some("aspect_ratio")),
+    Slot("{args_video}", Some("args_video")),
+    Slot("-acodec {audio_codec}", Some("audio_codec")),
+    Slot("-ar {audio_samplerate}", Some("audio_samplerate")),
+    Slot("-ab {audio_bitrate}", Some("audio_bitrate")),
+    Slot("{args_audio}", Some("args_audio")),
+    Slot("-threads 0", None),
+    Slot("{args_end}", Some("args_end")),
+    Slot("-f {container}", Some("container")),
+    Slot("-y", None),
+    Slot("\"{_TempDest}\"", Some("_TempDest")))
+
+  /** Fields with integer truthiness (0 is falsy). Everything else gates as
+    * a string (empty/NULL is falsy). */
+  val intFields: Set[String] =
+    Set("video_bitrate", "audio_samplerate", "audio_bitrate", "pass", "_Pass")
+
+  /** Split a template into Left(literal) / Right(placeholder) segments. */
+  private[graft] def segments(t: String): Seq[Either[String, String]] = {
+    val out = Seq.newBuilder[Either[String, String]]
+    var i = 0
+    while (i < t.length) {
+      val open = t.indexOf('{', i)
+      if (open < 0) { out += Left(t.substring(i)); i = t.length }
+      else {
+        if (open > i) out += Left(t.substring(i, open))
+        val close = t.indexOf('}', open)
+        out += Right(t.substring(open + 1, close))
+        i = close + 1
+      }
+    }
+    out.result().filter { case Left("") => false; case _ => true }
+  }
+
+  // ---- Spark rendering ----
+
+  private def truthy(field: String, resolve: String => Column): Column =
+    if (intFields(field)) coalesce(resolve(field), lit(0)) =!= 0
+    else coalesce(resolve(field).cast("string"), lit("")) =!= ""
+
+  private def render(t: String, resolve: String => Column): Column = {
+    val parts = segments(t).map {
+      case Left(s) => lit(s)
+      case Right(f) => resolve(f).cast("string")
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
+  /** The compiled command as a Column. `resolve` maps a field name to the
+    * Column holding it (plain format/derived columns). Whitespace
+    * normalisation (F2, job.py:239) is a no-op here: slot templates are
+    * single-line by construction. */
+  def compile(resolve: String => Column): Column =
+    concat_ws(" ", slots.map {
+      case Slot(t, None) => lit(t)
+      case Slot(t, Some(g)) =>
+        when(truthy(g, resolve), render(t, resolve))
+          .otherwise(lit(null).cast("string"))
+    }: _*)
+
+  // ---- SQL (DuckDB oracle) rendering of the exact same table ----
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def truthySql(field: String, resolve: String => String): String =
+    if (intFields(field)) s"COALESCE(${resolve(field)}, 0) <> 0"
+    else s"COALESCE(CAST(${resolve(field)} AS VARCHAR), '') <> ''"
+
+  private def renderSql(t: String, resolve: String => String): String =
+    segments(t).map {
+      case Left(s) => sqlLit(s)
+      case Right(f) => s"CAST(${resolve(f)} AS VARCHAR)"
+    }.mkString(" || ")
+
+  /** The same compilation as a DuckDB SQL expression. */
+  def compileSql(resolve: String => String): String = {
+    val parts = slots.map {
+      case Slot(t, None) => sqlLit(t)
+      case Slot(t, Some(g)) =>
+        s"CASE WHEN ${truthySql(g, resolve)} THEN ${renderSql(t, resolve)} END"
+    }
+    s"concat_ws(' ', ${parts.mkString(", ")})"
+  }
+}

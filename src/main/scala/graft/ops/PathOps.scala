@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Path/string scalar helpers (SURVEY.md §2.7 F6/F7/F12) — the reference
+  * leans on os.path (basename/dirname/splitext/join, job.py:150-158,286-306)
+  * and str.lstrip('/') (__init__.py:110). All are built from codegen'd Spark
+  * regex/string functions (no UDFs), each with a DuckDB-identical SQL twin
+  * kept adjacent in [[PathOpsSql]]; both engines' regex dialects (Java /
+  * RE2) agree on every pattern used here.
+  */
+object PathOps {
+
+  /** os.path.basename: everything after the last '/'. */
+  def pathBasename(c: Column): Column = regexp_replace(c, "^.*/", "")
+
+  /** os.path.dirname: everything before the last '/' (no trailing slash). */
+  def pathDirname(c: Column): Column = regexp_replace(c, "/[^/]*$", "")
+
+  /** os.path.splitext()[1]: the final extension including the dot, "" when
+    * none (adequate for the engine's leaf names — no dotfile corner). */
+  def pathExt(c: Column): Column = regexp_extract(c, "(\\.[^./]*)$", 1)
+
+  /** lstrip('/'): drop all leading slashes (__init__.py:110). */
+  def lstripSlashes(c: Column): Column = regexp_replace(c, "^/+", "")
+
+  /** Mount-prefix rewrite (P9, __init__.py:108-110). */
+  def mountRewrite(c: Column, mnt: String): Column =
+    concat(lit(mnt), lstripSlashes(c))
+
+  /** Frame-sequence detection: destination contains an ffmpeg %0Nd pattern
+    * (job.py:298). */
+  def isFrameSequence(c: Column): Column = c.rlike("%[0-9]+d")
+
+  /** Frame pattern -> regex that matches produced frames (job.py:299:
+    * re.sub('%([0-9]+)d', '\\d+', path)). */
+  def framePatternToRegex(c: Column): Column =
+    regexp_replace(c, "%[0-9]+d", "\\\\d+")
+}
+
+/** DuckDB SQL twins of [[PathOps]], as expression-text builders. */
+object PathOpsSql {
+  def pathBasename(c: String): String = s"regexp_replace($c, '^.*/', '')"
+  def pathDirname(c: String): String = s"regexp_replace($c, '/[^/]*$$', '')"
+  def pathExt(c: String): String = s"regexp_extract($c, '(\\.[^./]*)$$', 1)"
+  def lstripSlashes(c: String): String = s"regexp_replace($c, '^/+', '')"
+  def mountRewrite(c: String, mnt: String): String =
+    s"'$mnt' || ${lstripSlashes(c)}"
+  def isFrameSequence(c: String): String = s"regexp_matches($c, '%[0-9]+d')"
+  def framePatternToRegex(c: String): String =
+    s"regexp_replace($c, '%[0-9]+d', '\\d+')"
+}

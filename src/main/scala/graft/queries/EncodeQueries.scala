@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.EncodeDomain
+import graft.ops.{CommandCompiler, PathOps, PathOpsSql}
 
 /** The EncodeSrv query surface (SURVEY.md §2.1–2.4) as Spark-first
   * declarative plans over the derived domain tables.
@@ -76,12 +77,59 @@ object EncodeQueries {
       .orderBy(col("job_id"))
   }
 
+  /** F1+F6+U2 — the command compiler end-to-end (job.py:227-244): dequeue →
+    * broadcast format join → derived path columns (_SourceFile/_PassLogFile/
+    * _VPre/_TempDest, job.py:174-179) → pass-loop expansion as
+    * `explode(sequence(1, pass))` (U2: the *plan* of the passes; execution
+    * order stays per-job) → one compiled ffmpeg command string per
+    * (job, pass). Everything is codegen'd Column expressions — no UDF — so
+    * the whole pipeline stays inside one WholeStageCodegen span after the
+    * broadcast join. The oracle twin is rendered from the SAME slot table
+    * (CommandCompiler.compileSql), so engine and oracle cannot drift. */
+  def f1CommandCompile(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = "/tmp/encode/"
+    val jobs = EncodeDomain.jobsDF(spark, dir).filter(col("status") === "Not Encoding")
+    val formats = EncodeDomain.formatsDF(spark)
+    val joined = jobs.join(broadcast(formats), jobs("format_id") === formats("id"))
+      .select(jobs("id").as("job_id"), jobs("source_file"), jobs("destination_file"),
+        formats("*"))
+      .withColumn("_SourceFile", concat(lit(tmp), PathOps.pathBasename(col("source_file"))))
+      .withColumn("_PassLogFile", concat(lit(tmp), PathOps.pathBasename(col("source_file")), lit(".log")))
+      .withColumn("_VPre",
+        when(coalesce(col("vpre_string"), lit("")) =!= "",
+          concat(lit("-vpre "), col("vpre_string"))).otherwise(lit("")))
+      .withColumn("_TempDest", concat(lit(tmp), PathOps.pathBasename(col("destination_file"))))
+      .withColumn("_Pass", explode(sequence(lit(1), coalesce(col("pass"), lit(2)))))
+    joined.select(col("job_id"), col("_Pass").as("pass_no"),
+        CommandCompiler.compile(f => joined(f)).as("cmd"))
+      .orderBy(col("job_id"), col("pass_no"))
+  }
+
+  private val f1OracleSql: String = {
+    val tmp = "/tmp/encode/"
+    val resolve: String => String = f => "\"" + f + "\""
+    EncodeDomain.oracle(
+      s"""SELECT job_id, "_Pass" AS pass_no, ${CommandCompiler.compileSql(resolve)} AS cmd
+         |FROM (
+         |  SELECT j.id AS job_id, f.*,
+         |    '$tmp' || ${PathOpsSql.pathBasename("j.source_file")} AS "_SourceFile",
+         |    '$tmp' || ${PathOpsSql.pathBasename("j.source_file")} || '.log' AS "_PassLogFile",
+         |    CASE WHEN COALESCE(f.vpre_string, '') <> ''
+         |         THEN '-vpre ' || f.vpre_string ELSE '' END AS "_VPre",
+         |    '$tmp' || ${PathOpsSql.pathBasename("j.destination_file")} AS "_TempDest",
+         |    unnest(generate_series(1, COALESCE(f."pass", 2))) AS "_Pass"
+         |  FROM encode_jobs j JOIN encode_formats f ON j.format_id = f.id
+         |  WHERE j.status = 'Not Encoding')
+         |ORDER BY job_id, pass_no""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_dequeue" -> s1Dequeue,
     "s2_format_lookup" -> s2FormatLookup,
     "s4_count_waiting" -> s4CountWaiting,
     "s9_crash_reset" -> s9CrashReset,
-    "j1_job_format_join" -> j1JobFormatJoin)
+    "j1_job_format_join" -> j1JobFormatJoin,
+    "f1_command_compile" -> f1CommandCompile)
 
   val oracleSql: Map[String, String] = Map(
     "s1_dequeue" -> EncodeDomain.oracle(
@@ -106,5 +154,6 @@ object EncodeQueries {
         |  f.video_codec, f.video_bitrate, f.audio_codec, f.apply_mp4box,
         |  f."pass"
         |FROM encode_jobs j JOIN encode_formats f ON j.format_id = f.id
-        |ORDER BY job_id""".stripMargin))
+        |ORDER BY job_id""".stripMargin),
+    "f1_command_compile" -> f1OracleSql)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CommandCompiler, PathOps}
+
+class OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def eval1(c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.cast("string")).collect()(0).getString(0)
+  }
+
+  test("segments splits literals and placeholders") {
+    assert(CommandCompiler.segments("-i \"{_SourceFile}\"") ==
+      Seq(Left("-i \""), Right("_SourceFile"), Left("\"")))
+    assert(CommandCompiler.segments("ffmpeg") == Seq(Left("ffmpeg")))
+    assert(CommandCompiler.segments("{args_video}") == Seq(Right("args_video")))
+  }
+
+  test("compile golden string: 2-pass hd format, pass 1") {
+    // Mirrors what the reference's template (job.py:30-51) builds for the
+    // mp4-hd row of EncodeDomain.formats.
+    val fields: Map[String, Any] = Map(
+      "_SourceFile" -> "/tmp/e/v.mov", "_PassLogFile" -> "/tmp/e/v.mov.log",
+      "args_beginning" -> "-y", "video_codec" -> "libx264",
+      "video_bitrate" -> 5000000, "_VPre" -> "", "_Pass" -> 1,
+      "video_resolution" -> "1920x1080", "aspect_ratio" -> "16:9",
+      "args_video" -> "-vf scale=1920:1080", "audio_codec" -> "aac",
+      "audio_samplerate" -> 48000, "audio_bitrate" -> 192000,
+      "args_audio" -> null, "args_end" -> "-movflags faststart",
+      "container" -> "mp4", "_TempDest" -> "/tmp/e/out.mp4")
+    val got = eval1(CommandCompiler.compile(f => {
+      val v = fields(f)
+      if (v == null) lit(null).cast("string") else lit(v.toString)
+    }))
+    assert(got ==
+      "ffmpeg -i \"/tmp/e/v.mov\" -passlogfile \"/tmp/e/v.mov.log\" -y " +
+      "-vcodec libx264 -b:v 5000000 -pass 1 -s 1920x1080 -aspect 16:9 " +
+      "-vf scale=1920:1080 -acodec aac -ar 48000 -ab 192000 -threads 0 " +
+      "-movflags faststart -f mp4 -y \"/tmp/e/out.mp4\"")
+  }
+
+  test("compile drops integer-falsy slots (audio-only: video_bitrate=0)") {
+    val got = eval1(CommandCompiler.compile {
+      case "video_bitrate" => lit(0)
+      case "_Pass" => lit(0)
+      case f if CommandCompiler.intFields(f) => lit(0)
+      case _ => lit(null).cast("string")
+    })
+    assert(got == "ffmpeg -threads 0 -y")
+  }
+
+  test("path ops match os.path semantics") {
+    assert(eval1(PathOps.pathBasename(lit("/a/b/c.mov"))) == "c.mov")
+    assert(eval1(PathOps.pathBasename(lit("c.mov"))) == "c.mov")
+    assert(eval1(PathOps.pathDirname(lit("/a/b/c.mov"))) == "/a/b")
+    assert(eval1(PathOps.pathExt(lit("/a/b.x/c.tar.gz"))) == ".gz")
+    assert(eval1(PathOps.pathExt(lit("/a/b.x/c"))) == "")
+    assert(eval1(PathOps.lstripSlashes(lit("//vids/raw/x.mov"))) == "vids/raw/x.mov")
+    assert(eval1(PathOps.mountRewrite(lit("//v/x.mov"), "/mnt/")) == "/mnt/v/x.mov")
+  }
+
+  test("frame-sequence detection and rewrite (job.py:298-301)") {
+    assert(eval1(PathOps.isFrameSequence(lit("/o/f-%05d.jpg"))) == "true")
+    assert(eval1(PathOps.isFrameSequence(lit("/o/f.jpg"))) == "false")
+    assert(eval1(PathOps.framePatternToRegex(lit("/o/f-%05d.jpg"))) == "/o/f-\\d+.jpg")
+  }
+}
