@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.EncodeDomain
+import graft.ops.{PathOps, PathOpsSql}
+
+/** Row-local scalar transformations from SURVEY.md §2.7 that don't fit the
+  * command compiler: the EBU R128 loudness-normalisation math (F3-F5), the
+  * pv progress digit test (F13), temp-dir naming (F11) and the os.path
+  * family (F6/F12/P9). All pure Column expressions — codegen'd, no UDFs —
+  * with the nondeterministic inputs of the reference (ffmpeg stderr,
+  * datetime.now()) replaced by deterministic synth columns so the DuckDB
+  * oracle sees identical data.
+  */
+object ScalarQueries {
+
+  /** F3+F4+F5+P7 — loudness analysis & gain (job.py:196-215): synthesize
+    * the ffmpeg `-af ebur128` stderr block, regex-extract integrated LUFS
+    * (F3, job.py:204-205), compute the gain factor 10^((target-measured)/20)
+    * (F4, job.py:208), render the `-af volume=` argument (F5, job.py:211).
+    * Gated on normalise_level presence (P7, job.py:197 — the reference's
+    * `is not ''` quirk resolved to IS NOT NULL per SURVEY §7). The factor is
+    * rounded to 6 decimals before use: Math.pow and libm pow may differ in
+    * the last ulp, and this is the documented tolerance boundary. */
+  def f3LoudnessGain(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir).filter(col("status") === "Not Encoding")
+    val formats = EncodeDomain.formatsDF(spark)
+    val joined = jobs.join(broadcast(formats), jobs("format_id") === formats("id"))
+      .filter(col("normalise_level").isNotNull)
+      .select(jobs("id").as("job_id"), col("normalise_level"))
+      .withColumn("analysis",
+        format_string("Summary:\n\n  Integrated loudness:\n    I:         -%d.%d LUFS\n    Threshold: -33.0 LUFS",
+          lit(15) + col("job_id") % 15, col("job_id") % 10))
+    joined
+      .withColumn("measured",
+        regexp_extract(col("analysis"), "I:\\s*(-?[0-9]+\\.[0-9]+) LUFS", 1)
+          .cast("double"))
+      .withColumn("factor",
+        round(pow(lit(10.0), (col("normalise_level") - col("measured")) / 20.0), 6))
+      .withColumn("volume_arg", format_string("-af volume=%.6f", col("factor")))
+      .select("job_id", "normalise_level", "measured", "factor", "volume_arg")
+      .orderBy("job_id")
+  }
+
+  /** F13 — pv progress-line digit test (job.py:74-77): `rstrip().isdigit()`
+    * deciding whether a subprocess stdout line is a percent update. */
+  def f13DigitLines(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .select(col("id").as("job_id"),
+        when(col("id") % 4 === 0, (col("id") % 101).cast("string"))
+          .when(col("id") % 4 === 1, concat((col("id") % 101).cast("string"), lit("  ")))
+          .when(col("id") % 4 === 2, lit("pv: malformed"))
+          .otherwise(lit("")).as("line"))
+      .withColumn("is_progress",
+        regexp_replace(col("line"), "\\s+$", "").rlike("^[0-9]+$"))
+      .orderBy("job_id")
+
+  /** F11 — temp-dir naming (job.py:141-143): `basename + "--encode--" +
+    * str(now()).replace(' ', '-')`, with now() pinned to a deterministic
+    * per-job timestamp (UTC, microsecond-formatted). */
+  def f11TempDir(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .select(col("id").as("job_id"),
+        concat(PathOps.pathBasename(col("source_file")), lit("--encode--"),
+          date_format(timestamp_millis(lit(1756684800000L) + col("id")),
+            "yyyy-MM-dd-HH:mm:ss.SSSSSS")).as("temp_dir"))
+      .orderBy("job_id")
+
+  /** F6+F12+P9 — the os.path family over job paths (job.py:150-158,
+    * __init__.py:108-110): basename / dirname / extension / mount-prefix
+    * rewrite with leading-slash strip. */
+  def f6PathDerive(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .select(col("id").as("job_id"), col("source_file"),
+        PathOps.pathBasename(col("source_file")).as("src_base"),
+        PathOps.pathDirname(col("source_file")).as("src_dir"),
+        PathOps.pathExt(col("destination_file")).as("dst_ext"),
+        PathOps.mountRewrite(col("source_file"), "/mnt/video/").as("src_mounted"),
+        col("destination_file").contains("thumbs/").as("is_thumbs"))
+      .orderBy("job_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f3_loudness_gain" -> f3LoudnessGain,
+    "f13_digit_lines" -> f13DigitLines,
+    "f11_temp_dir" -> f11TempDir,
+    "f6_path_derive" -> f6PathDerive)
+
+  val oracleSql: Map[String, String] = Map(
+    "f3_loudness_gain" -> EncodeDomain.oracle(
+      """SELECT job_id, normalise_level, measured,
+        |       round(pow(10.0, (normalise_level - measured) / 20.0), 6) AS factor,
+        |       printf('-af volume=%.6f',
+        |              round(pow(10.0, (normalise_level - measured) / 20.0), 6)) AS volume_arg
+        |FROM (
+        |  SELECT job_id, normalise_level,
+        |         CAST(regexp_extract(analysis, 'I:\s*(-?[0-9]+\.[0-9]+) LUFS', 1) AS DOUBLE) AS measured
+        |  FROM (
+        |    SELECT j.id AS job_id, f.normalise_level,
+        |           printf('Summary:
+        |
+        |  Integrated loudness:
+        |    I:         -%d.%d LUFS
+        |    Threshold: -33.0 LUFS', 15 + j.id % 15, j.id % 10) AS analysis
+        |    FROM encode_jobs j JOIN encode_formats f ON j.format_id = f.id
+        |    WHERE j.status = 'Not Encoding' AND f.normalise_level IS NOT NULL))
+        |ORDER BY job_id""".stripMargin),
+    "f13_digit_lines" -> EncodeDomain.oracle(
+      """SELECT job_id, line,
+        |       regexp_matches(regexp_replace(line, '\s+$', ''), '^[0-9]+$') AS is_progress
+        |FROM (
+        |  SELECT id AS job_id,
+        |         CASE WHEN id % 4 = 0 THEN CAST(id % 101 AS VARCHAR)
+        |              WHEN id % 4 = 1 THEN CAST(id % 101 AS VARCHAR) || '  '
+        |              WHEN id % 4 = 2 THEN 'pv: malformed'
+        |              ELSE '' END AS line
+        |  FROM encode_jobs)
+        |ORDER BY job_id""".stripMargin),
+    "f11_temp_dir" -> EncodeDomain.oracle(
+      s"""SELECT id AS job_id,
+         |       ${PathOpsSql.pathBasename("source_file")} || '--encode--' ||
+         |       strftime(epoch_ms(1756684800000 + id), '%Y-%m-%d-%H:%M:%S.%f') AS temp_dir
+         |FROM encode_jobs ORDER BY job_id""".stripMargin),
+    "f6_path_derive" -> EncodeDomain.oracle(
+      s"""SELECT id AS job_id, source_file,
+         |       ${PathOpsSql.pathBasename("source_file")} AS src_base,
+         |       ${PathOpsSql.pathDirname("source_file")} AS src_dir,
+         |       ${PathOpsSql.pathExt("destination_file")} AS dst_ext,
+         |       ${PathOpsSql.mountRewrite("source_file", "/mnt/video/")} AS src_mounted,
+         |       contains(destination_file, 'thumbs/') AS is_thumbs
+         |FROM encode_jobs ORDER BY job_id""".stripMargin))
+}

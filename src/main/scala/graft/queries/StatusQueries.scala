@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.EncodeDomain
+import graft.ops.PathOps
+
+/** The EncodeSrv status machine re-expressed as data (SURVEY.md §2.1 S8,
+  * §2.8, §7 "hard parts"): PostgreSQL in-place `UPDATE encode_jobs SET
+  * status=…` (job.py:59-66) becomes an append-only status-event log plus a
+  * latest-per-key view — the only UPDATE semantics that survive immutable
+  * columnar storage at scale. Readers (the bots' status query,
+  * common.py:48-80) run against the view.
+  *
+  * The event log is derived deterministically from the jobs snapshot (each
+  * job's final status implies the transition walk that produced it,
+  * SURVEY.md §1.1 "status machine"), so the DuckDB oracle reconstructs the
+  * identical log from the same parquet inputs.
+  */
+object StatusQueries {
+
+  private val base = 1756684800000L // 2025-09-01T00:00:00Z, fixed epoch ms
+
+  /** The transition walk implied by each terminal status (transitions cited
+    * in SURVEY §1.1: __init__.py:112, job.py:78,199,230,283,309; Error at
+    * job.py:136ff). */
+  private val walks: Seq[(String, Seq[String])] = Seq(
+    "Not Encoding" -> Seq("Not Encoding"), // head = the `otherwise` branch
+    "encsrv01 - Waiting" -> Seq("Not Encoding", "encsrv01 - Waiting"),
+    "encsrv01 - Encoding Pass 2" -> Seq("Not Encoding", "encsrv01 - Waiting",
+      "encsrv01 - Copying Source 100%", "encsrv01 - Encoding Pass 1",
+      "encsrv01 - Encoding Pass 2"),
+    "encsrv01 - Error" -> Seq("Not Encoding", "encsrv01 - Waiting",
+      "encsrv01 - Copying Source 100%", "encsrv01 - Error"),
+    "Done" -> Seq("Not Encoding", "encsrv01 - Waiting",
+      "encsrv01 - Copying Source 100%", "encsrv01 - Encoding Pass 1",
+      "encsrv01 - Encoding Pass 2", "encsrv01 - Moving File", "Done"))
+
+  /** Event log: one row per (job, transition), event time = base +
+    * id*100s + seq*10s. Array-literal walk + posexplode keeps the whole
+    * derivation codegen'd — no shuffle until a consumer asks for one. */
+  def statusEventsDF(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+    val walkCol = walks.tail.foldLeft(null: org.apache.spark.sql.Column) {
+      case (null, (status, walk)) =>
+        when(col("status") === status, array(walk.map(lit): _*))
+      case (acc, (status, walk)) =>
+        acc.when(col("status") === status, array(walk.map(lit): _*))
+    }.otherwise(array(walks.head._2.map(lit): _*))
+    jobs.select(col("id").as("job_id"), posexplode(walkCol).as(Seq("seq", "status")))
+      .withColumn("ts", timestamp_millis(lit(base) + col("job_id") * 100000L + col("seq") * 10000L))
+      .select("job_id", "seq", "ts", "status")
+  }
+
+  /** SQL twin of [[statusEventsDF]] as a CTE (zipped unnest = posexplode). */
+  private val eventsCte: String = {
+    def arr(w: Seq[String]) = w.map(s => s"'$s'").mkString("[", ", ", "]")
+    val cases = walks.tail.map { case (s, w) => s"WHEN status = '$s' THEN ${arr(w)}" }
+      .mkString(" ")
+    s"""status_events AS (
+       |  SELECT job_id, seq, epoch_ms($base + job_id*100000 + seq*10000) AS ts, status
+       |  FROM (
+       |    SELECT id AS job_id, unnest(walk) AS status,
+       |           unnest(range(len(walk))) AS seq
+       |    FROM (SELECT id, CASE $cases ELSE ${arr(walks.head._2)} END AS walk
+       |          FROM encode_jobs)))""".stripMargin
+  }
+
+  private def oracle(body: String): String =
+    s"WITH ${EncodeDomain.formatsCte},\n${EncodeDomain.jobsCte},\n$eventsCte\n$body"
+
+  /** S8-as-log: the event stream itself. */
+  def stStatusEvents(spark: SparkSession, dir: String): DataFrame =
+    statusEventsDF(spark, dir).orderBy("job_id", "seq")
+
+  /** Latest-status-per-key view — the engine's substitute for an UPDATE'd
+    * row (window rank over the log; at scale this is one shuffle by job_id,
+    * and Spark 4 pushes the rank-1 filter into the window via
+    * WindowGroupLimit, so no full materialisation per key). */
+  def stLatestStatus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    statusEventsDF(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("job_id", "status", "ts")
+      .orderBy("job_id")
+  }
+
+  /** A3+J2 — the running-jobs roster (common.py:59-64, __init__.py:47-52):
+    * nice-name each encoding job ("basename (format_name)", job.py:84-86),
+    * fold to one comma-joined string, 'no jobs' when empty. */
+  def a3Roster(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+    val formats = EncodeDomain.formatsDF(spark)
+    val names = jobs.filter(col("status").like("encsrv01 - Encoding%"))
+      .join(broadcast(formats), jobs("format_id") === formats("id"))
+      .select(concat(PathOps.pathBasename(jobs("destination_file")),
+        lit(" ("), formats("format_name"), lit(")")).as("name"))
+    names.agg(
+      when(count(lit(1)) === 0, lit("no jobs"))
+        .otherwise(array_join(array_sort(collect_list(col("name"))), ", "))
+        .as("roster"))
+  }
+
+  /** ST2 — the claim: dequeued jobs flip to '<server> - Waiting' before
+    * dispatch (__init__.py:112-113). On immutable storage this is the
+    * left-anti + unionByName snapshot rewrite (SURVEY §2.3 J3, §2.6) — the
+    * general upsert shape the engine uses for every UPDATE sink. */
+  def st2ClaimUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+      .select("id", "status", "format_id", "priority")
+    val claimed = jobs.filter(col("status") === "Not Encoding")
+      .orderBy(col("priority").desc, col("id").asc).limit(10)
+      .withColumn("status", lit("encsrv01 - Waiting"))
+    jobs.join(claimed.select("id"), Seq("id"), "left_anti")
+      .unionByName(claimed)
+      .orderBy("id")
+  }
+
+  /** W3+F7 — frame-sequence move progress (job.py:298-305): expand each
+    * %0Nd destination into its frame files, rank within the job by
+    * filename, emit the reference's integer-percent progress line. */
+  def w3MoveProgress(spark: SparkSession, dir: String): DataFrame = {
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+      .filter(PathOps.isFrameSequence(col("destination_file")))
+    val frames = jobs.select(col("id").as("job_id"),
+        col("destination_file"),
+        explode(sequence(lit(1), lit(5))).as("frame_no"))
+      .withColumn("frame_file",
+        regexp_replace(col("destination_file"), lit("%[0-9]+d"),
+          lpad(col("frame_no").cast("string"), 5, "0")))
+    val w = Window.partitionBy(col("job_id")).orderBy(col("frame_file"))
+    frames
+      .withColumn("idx", row_number().over(w))
+      .withColumn("pct", (col("idx") * 100 / lit(5)).cast("int"))
+      .select(col("job_id"), col("frame_file"),
+        format_string("Moving files %d%%", col("pct")).as("progress"))
+      .orderBy("job_id", "frame_file")
+  }
+
+  /** F9+A1 — the bot reply (common.py:77-80, messages.py:12-18): waiting
+    * count formatted through the message-template map with the
+    * `"" if n==1 else "s"` pluralisation. */
+  def f9StatusMessage(spark: SparkSession, dir: String): DataFrame =
+    EncodeDomain.jobsDF(spark, dir)
+      .filter(col("status").isin("Not Encoding", "encsrv01 - Waiting"))
+      .agg(count(lit(1)).as("n"))
+      .select(format_string("There are %d job%s waiting",
+        col("n"), when(col("n") === 1, "").otherwise("s")).as("msg"))
+
+  /** F14 — stale-failure detection (__init__.py:121-130): Error jobs whose
+    * last transition is older than 1 day before the (fixed) evaluation
+    * time, with ISO-formatted age cutoff semantics. */
+  def f14StaleFailures(spark: SparkSession, dir: String): DataFrame = {
+    val now = base + 400000000L // fixed "now": base + 400,000s
+    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    statusEventsDF(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("status").like("%Error%") &&
+        col("ts") < timestamp_millis(lit(now - 86400000L)))
+      .select(col("job_id"), col("status"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"))
+      .orderBy("job_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_status_events" -> stStatusEvents,
+    "st_latest_status" -> stLatestStatus,
+    "a3_roster" -> a3Roster,
+    "st2_claim_upsert" -> st2ClaimUpsert,
+    "w3_move_progress" -> w3MoveProgress,
+    "f9_status_message" -> f9StatusMessage,
+    "f14_stale_failures" -> f14StaleFailures)
+
+  val oracleSql: Map[String, String] = Map(
+    "st_status_events" -> oracle(
+      "SELECT job_id, seq, ts, status FROM status_events ORDER BY job_id, seq"),
+    "st_latest_status" -> oracle(
+      """SELECT job_id, status, ts FROM (
+        |  SELECT job_id, status, ts,
+        |         row_number() OVER (PARTITION BY job_id ORDER BY seq DESC) AS rn
+        |  FROM status_events)
+        |WHERE rn = 1 ORDER BY job_id""".stripMargin),
+    "a3_roster" -> oracle(
+      s"""SELECT COALESCE(string_agg(name, ', ' ORDER BY name), 'no jobs') AS roster
+         |FROM (
+         |  SELECT ${graft.ops.PathOpsSql.pathBasename("j.destination_file")}
+         |           || ' (' || f.format_name || ')' AS name
+         |  FROM encode_jobs j JOIN encode_formats f ON j.format_id = f.id
+         |  WHERE j.status LIKE 'encsrv01 - Encoding%')""".stripMargin),
+    "st2_claim_upsert" -> oracle(
+      """SELECT id,
+        |  CASE WHEN id IN (SELECT id FROM encode_jobs
+        |                   WHERE status = 'Not Encoding'
+        |                   ORDER BY priority DESC, id ASC LIMIT 10)
+        |       THEN 'encsrv01 - Waiting' ELSE status END AS status,
+        |  format_id, priority
+        |FROM encode_jobs ORDER BY id""".stripMargin),
+    "w3_move_progress" -> oracle(
+      """SELECT job_id, frame_file,
+        |       printf('Moving files %d%%', CAST(idx * 100 / 5 AS INTEGER)) AS progress
+        |FROM (
+        |  SELECT job_id, frame_file,
+        |         row_number() OVER (PARTITION BY job_id ORDER BY frame_file) AS idx
+        |  FROM (
+        |    SELECT id AS job_id,
+        |           regexp_replace(destination_file, '%[0-9]+d',
+        |                          lpad(CAST(frame_no AS VARCHAR), 5, '0')) AS frame_file
+        |    FROM (SELECT id, destination_file,
+        |                 unnest(generate_series(1, 5)) AS frame_no
+        |          FROM encode_jobs
+        |          WHERE regexp_matches(destination_file, '%[0-9]+d'))))
+        |ORDER BY job_id, frame_file""".stripMargin),
+    "f9_status_message" -> oracle(
+      """SELECT printf('There are %d job%s waiting', n,
+        |              CASE WHEN n = 1 THEN '' ELSE 's' END) AS msg
+        |FROM (SELECT COUNT(*) AS n FROM encode_jobs
+        |      WHERE status IN ('Not Encoding', 'encsrv01 - Waiting'))""".stripMargin),
+    "f14_stale_failures" -> oracle(
+      s"""SELECT job_id, status, ts, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+         |FROM (
+         |  SELECT job_id, status, ts,
+         |         row_number() OVER (PARTITION BY job_id ORDER BY seq DESC) AS rn
+         |  FROM status_events)
+         |WHERE rn = 1 AND status LIKE '%Error%'
+         |  AND ts < epoch_ms(${base + 400000000L - 86400000L})
+         |ORDER BY job_id""".stripMargin))
+}
