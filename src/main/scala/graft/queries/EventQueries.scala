@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] event-stream analytics over the driver's `events` table (SURVEY.md
+  * §2.5 W4, §2.7 F17, §2.8 ST7): the analytic-window / event-time /
+  * JSON-scalar surface the reference never needed but the north-star engine
+  * ships. Batch twins of the streaming queries in `graft.streaming`.
+  *
+  * Timestamp discipline: `events.ts` is nanosecond-precision parquet. Spark
+  * reads it as epoch-nanos LONG (`spark.sql.legacy.parquet.nanosAsLong`,
+  * set in Verify/Bench/TestSpark); DuckDB truncates TIMESTAMP_NS to
+  * microseconds. Every derivation therefore floors to epoch-micros first
+  * (`ts div 1000` vs `epoch_us(ts)`), keeping both engines bit-identical.
+  */
+object EventQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+
+  /** Tumbling 1-hour rollup via Spark's native `window()` — at scale one
+    * partial-agg shuffle keyed by (hour, type); group count is bounded by
+    * hours×types, so the reduce side is tiny regardless of input rows. */
+  def e1HourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization by 30-min inactivity gap: lag + running conditional sum
+    * — the batch analogue of `session_window` (ST7). One shuffle by
+    * user_id; both window passes reuse that partitioning. */
+  def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        (col("gap_us").isNull || col("gap_us") > 1800L * 1000000L).cast("int"))
+      .withColumn("session_no", sum(col("is_new")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_utc").as("ts"),
+        col("session_no"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Latest event per user — the rank-1 window shape (same as the status
+    * machine's latest-per-key view; Spark 4 plans WindowGroupLimit so only
+    * each partition's top row survives the shuffle). */
+  def e3LatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts_utc").as("ts"))
+      .orderBy("user_id")
+  }
+
+  /** F17 — JSON scalar extraction over `props` + grouped rollup:
+    * `get_json_object` is codegen'd; the exact distinct count shuffles once
+    * (for the 100 TB path swap in approx_count_distinct — kept exact here
+    * for oracle comparability). */
+  def e4JsonProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Running per-user cumulative value (rows-unbounded-preceding frame) in
+    * exact DECIMAL so the reduction order can't change the answer. */
+  def e5RunningValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("cum_value",
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("decimal(18,2)"))
+      .select(col("event_id"), col("user_id"), col("cum_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Set ops (SURVEY §2.6): viewers who never errored = DISTINCT ∖ DISTINCT
+    * (EXCEPT has set semantics in both engines). */
+  def e6ViewersNoError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .except(ev.filter(col("event_type") === "error").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_hourly_rollup" -> e1HourlyRollup,
+    "e2_sessionize" -> e2Sessionize,
+    "e3_latest_per_user" -> e3LatestPerUser,
+    "e4_json_props" -> e4JsonProps,
+    "e5_running_value" -> e5RunningValue,
+    "e6_viewers_no_error" -> e6ViewersNoError)
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e2_sessionize" ->
+      """SELECT event_id, user_id, ts, session_no FROM (
+        |  SELECT event_id, user_id, ts,
+        |         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_no
+        |  FROM (
+        |    SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+        |           epoch_us(ts) - lag(epoch_us(ts), 1)
+        |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |    FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
+    "e3_latest_per_user" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e4_json_props" ->
+      """SELECT event_type,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e5_running_value" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(18,2)) AS cum_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "e6_viewers_no_error" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin)
+}
