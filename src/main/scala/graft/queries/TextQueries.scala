@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] large-scale training-data text pipeline (builder brief): exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), token
+  * statistics, quality scoring, language ID, and document fingerprinting
+  * over the driver's `documents` table.
+  *
+  * Portability backbone: every hash is md5-hex (identical in Spark and
+  * DuckDB), so MinHash minima, LSH band keys and SimHash bits are
+  * reproducible in the oracle. The corpus is `documents` augmented with
+  * deterministic mutants — a drop-first-word near-dup for doc_id%5==0
+  * (+1,000,000) and an exact copy for doc_id%7==0 (+2,000,000) — so the
+  * dedup queries have planted positives to find.
+  *
+  * Scale notes (100 TB): everything below is shuffle-by-key — shingle
+  * explode then groupBy(doc_id) for signatures (one shuffle), band-key
+  * equi-join for candidates (no cross join anywhere), and the exact-Jaccard
+  * verify runs only on LSH candidates, never all pairs. SimHash dup pairs
+  * join on the full signature value. The only quadratic surface is within a
+  * band bucket, which is what banding exists to bound.
+  */
+object TextQueries {
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  // ---- corpus ----
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"), col("lang")))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang")))
+  }
+
+  private val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', ''), lang
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, lang
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  // ---- tokens & shingles ----
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks",
+      filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+  /** (doc_id, shingle): word 3-grams, exploded. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    withToks(corpus(spark, dir))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i + 1, lit(3)), " "))).as("shingle"))
+
+  private val shinglesCte: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |shingles AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(toks) - 2),
+       |                i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+       |  FROM toks WHERE len(toks) >= 3)""".stripMargin
+
+  private def oracle(body: String): String =
+    s"WITH $corpusCte,\n$shinglesCte\n$body"
+
+  // ---- MinHash signature (shared by d2/d3/d4) ----
+
+  private def sigDF(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
+        (1 until NumHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
+
+  private val sigsCte: String = {
+    val aggs = (0 until NumHashes)
+      .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(", ")
+    s"sigs AS (SELECT doc_id, $aggs FROM shingles GROUP BY doc_id)"
+  }
+
+  private def bandsDF(spark: SparkSession, dir: String): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
+    }
+    sigDF(spark, dir)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  private val bandsCte: String = {
+    val rows = (0 until Bands).map { b =>
+      val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => s"h$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"bands AS (\n  $rows)"
+  }
+
+  /** LSH candidate pairs: equal band key in any band. */
+  private def candDF(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsDF(spark, dir)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val candCte: String =
+    """cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  // ---- queries ----
+
+  /** Exact dedup: hash-groupBy on normalised content; emit duplicate groups
+    * (canonical = min doc_id). One shuffle keyed by the 128-bit fingerprint
+    * — the shape that holds at any scale. */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("fp", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** MinHash signatures (16 hashes over word 3-gram shingles, md5-hex min
+    * per seed). Explode + one groupBy(doc_id) — no pairwise work. */
+  def d2MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    sigDF(spark, dir)
+      .select(col("doc_id"),
+        concat_ws("|", (0 until NumHashes).map(j => col(s"h$j")): _*).as("signature"))
+      .orderBy("doc_id")
+
+  /** LSH near-dup candidate pairs: 4 bands x 4 rows; pairs sharing any band
+    * key. Equi-join on (band, bkey) — never a cross join. */
+  def d3MinhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    candDF(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** Exact n-gram Jaccard, computed ONLY on LSH candidates (the verify step
+    * of MinHash dedup): |A∩B| via shingle equi-join restricted to candidate
+    * pairs, |A∪B| = |A|+|B|-|A∩B|. */
+  def d4JaccardVerify(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cands = candDF(spark, dir)
+    val shared = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (16-bit, md5-derived token hashes): per-bit weighted vote over
+    * tokens, then bit-pack. Pure explode + groupBy — one shuffle. */
+  def d5SimhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = withToks(corpus(spark, dir))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("h16", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int"))
+    val bitSums = tokens.groupBy(col("doc_id"))
+      .agg(sum(when(shiftright(col("h16"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 16).map(b =>
+          sum(when(shiftright(col("h16"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+    bitSums.select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
+          .reduce(_ + _).cast("int").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash duplicate pairs: identical 16-bit signature (hamming 0) via
+    * value equi-join — the degenerate-but-scalable bucket join. */
+  def d6SimhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = d5SimhashSig(spark, dir)
+    sig.as("a").join(sig.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Token statistics: whitespace tokens + a BPE-ish ≤4-char alnum piece
+    * count (greedy regex — same segmentation in both engines). */
+  def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
+    withToks(corpus(spark, dir))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]{1,4}"), lit(0)))
+          .as("n_bpe_pieces"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Quality score: stopword ratio, punctuation density, length saturation
+    * — weighted to [0,1] like production pretraining-data filters. */
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame =
+    withToks(corpus(spark, dir))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(stopwords))))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+        round(
+          col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
+            (lit(1.0) - least(col("n_punct").cast("double") /
+              greatest(length(col("text")).cast("double"), lit(1.0)), lit(1.0))) * 0.3 +
+            least(length(col("text")).cast("double"), lit(500.0)) / 500.0 * 0.2,
+          6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language ID: distinctive-stopword vote with a fixed precedence order —
+    * a deterministic n-gram-heuristic classifier. */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "es" -> Seq("el", "la", "y", "es"),
+      "fr" -> Seq("le", "la", "et", "est"))
+    val counted = sets.foldLeft(withToks(corpus(spark, dir))) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"c_$l", size(filter(col("toks"), t => t.isInCollection(ws))))
+    }
+    counted.select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("c_en"), col("c_de"), col("c_es"), col("c_fr"),
+        when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+          .when(col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
+          .when(col("c_es") >= col("c_fr"), "es")
+          .otherwise("fr").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: whole-content md5 + winnowing-style min-shingle
+    * hash (= MinHash seed 0) for robust-to-reorder matching. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = corpus(spark, dir)
+      .withColumn("fp_md5", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val winnow = shingles(spark, dir).groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fp_winnow"))
+    fp.join(winnow, Seq("doc_id"), "left")
+      .select("doc_id", "fp_md5", "fp_winnow")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_sig" -> d2MinhashSig,
+    "d3_minhash_lsh_pairs" -> d3MinhashLshPairs,
+    "d4_jaccard_verify" -> d4JaccardVerify,
+    "d5_simhash_sig" -> d5SimhashSig,
+    "d6_simhash_dup_pairs" -> d6SimhashDupPairs,
+    "t1_token_stats" -> t1TokenStats,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_lang_id" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint)
+
+  val oracleSql: Map[String, String] = {
+    val simhashCte = {
+      val bitAggs = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val pack = (0 until 16).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+      s"""tok1 AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |th AS (SELECT doc_id,
+         |              CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) AS h16
+         |       FROM tok1),
+         |bitsums AS (SELECT doc_id, $bitAggs FROM th GROUP BY doc_id),
+         |simhashes AS (SELECT doc_id, CAST($pack AS INTEGER) AS simhash FROM bitsums)""".stripMargin
+    }
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    Map(
+      "d1_exact_dedup" -> oracle(
+        """SELECT fp, keep_id, n_copies FROM (
+          |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+          |         min(doc_id) AS keep_id, count(*) AS n_copies
+          |  FROM corpus GROUP BY 1)
+          |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
+      "d2_minhash_sig" -> oracle(
+        s""", $sigsCte
+           |SELECT doc_id, ${(0 until NumHashes).map(j => s"h$j").mkString(" || '|' || ")} AS signature
+           |FROM sigs ORDER BY doc_id""".stripMargin),
+      "d3_minhash_lsh_pairs" -> oracle(
+        s""", $sigsCte,
+           |$bandsCte,
+           |$candCte
+           |SELECT doc_a, doc_b FROM cands ORDER BY doc_a, doc_b""".stripMargin),
+      "d4_jaccard_verify" -> oracle(
+        s""", $sigsCte,
+           |$bandsCte,
+           |$candCte,
+           |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN dsh sa ON c.doc_a = sa.doc_id
+           |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT s.doc_a, s.doc_b,
+           |         round(CAST(s.shared AS DOUBLE) /
+           |               CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
+           |  FROM shared s
+           |  JOIN sizes na ON s.doc_a = na.doc_id
+           |  JOIN sizes nb ON s.doc_b = nb.doc_id)
+           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+      "d5_simhash_sig" -> oracle(
+        s""", $simhashCte
+           |SELECT doc_id, simhash FROM simhashes ORDER BY doc_id""".stripMargin),
+      "d6_simhash_dup_pairs" -> oracle(
+        s""", $simhashCte
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+           |FROM simhashes a JOIN simhashes b
+           |  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin),
+      "t1_token_stats" -> oracle(
+        """SELECT t.doc_id, len(t.toks) AS n_tokens, length(c.text) AS n_chars,
+          |       len(regexp_extract_all(c.text, '[A-Za-z0-9]{1,4}')) AS n_bpe_pieces
+          |FROM toks t JOIN corpus c ON t.doc_id = c.doc_id
+          |ORDER BY t.doc_id""".stripMargin),
+      "t2_quality_score" -> oracle(
+        s"""SELECT doc_id, n_tokens, n_stop, n_punct,
+           |       round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
+           |             (1.0 - least(CAST(n_punct AS DOUBLE) /
+           |                          greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
+           |             least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2,
+           |             6) AS quality
+           |FROM (
+           |  SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
+           |         len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
+           |         len(regexp_extract_all(c.text, '[^A-Za-z0-9\\s]')) AS n_punct
+           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
+           |ORDER BY doc_id""".stripMargin),
+      "t3_lang_id" -> oracle(
+        """SELECT doc_id, labeled_lang, c_en, c_de, c_es, c_fr,
+          |       CASE WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+          |            WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+          |            WHEN c_es >= c_fr THEN 'es'
+          |            ELSE 'fr' END AS predicted_lang
+          |FROM (
+          |  SELECT c.doc_id, c.lang AS labeled_lang,
+          |         len(list_filter(t.toks, x -> x IN ('the','and','of','is'))) AS c_en,
+          |         len(list_filter(t.toks, x -> x IN ('der','die','und','ist'))) AS c_de,
+          |         len(list_filter(t.toks, x -> x IN ('el','la','y','es'))) AS c_es,
+          |         len(list_filter(t.toks, x -> x IN ('le','la','et','est'))) AS c_fr
+          |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      "t4_fingerprint" -> oracle(
+        """SELECT c.doc_id,
+          |  md5(lower(trim(regexp_replace(c.text, '\s+', ' ', 'g')))) AS fp_md5,
+          |  w.fp_winnow
+          |FROM corpus c LEFT JOIN (
+          |  SELECT doc_id, min(md5(shingle)) AS fp_winnow
+          |  FROM shingles GROUP BY doc_id) w
+          |ON c.doc_id = w.doc_id
+          |ORDER BY c.doc_id""".stripMargin))
+  }
+}
