@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] similarity search over the `embeddings` table (builder brief):
+  * brute-force cosine top-k as the correctness baseline, a sign-bit
+  * bucketed variant as the 100 TB path, and per-label centroids.
+  *
+  * Numeric discipline: embeddings are float32; every product/sum is
+  * computed element-wise in DOUBLE in deterministic list order
+  * (higher-order `aggregate` = sequential fold), and cosines are rounded
+  * to 6 decimals BEFORE ranking, so a last-ulp libm difference between
+  * engines can neither change a value nor reorder a top-k. Ties break on
+  * vec_id.
+  *
+  * Scale notes: v1 is O(Q x N) with Q = 3 broadcast query vectors — the
+  * honest baseline. v3 buckets by the 8-dim sign signature (256 buckets)
+  * and joins bucket-to-bucket: the IVF/LSH shape where each probe touches
+  * ~N/256 candidates; at 100 TB the bucket count scales with the corpus
+  * and the bucket join replaces any cross join.
+  */
+object VectorQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Σ a_i*b_i over two float arrays, double-accumulated sequential fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** 8-bit sign-bucket of the first 8 dims (the LSH/IVF cell key). */
+  private def bucket(a: Column): Column =
+    (0 until 8).map(i => when(element_at(a, i + 1) > 0f, 1 << i).otherwise(0))
+      .reduce(_ + _).cast("int")
+
+  /** SQL twins on exploded (vec_id, pos, v) rows — DuckDB sums per (q,c)
+    * group over 64 elements; double accumulation differences vs the fold
+    * are absorbed by the shared round-to-6. */
+  private val valsCte: String =
+    """vals AS (
+      |  SELECT vec_id, label,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+      |         unnest(range(len(embedding))) AS pos
+      |  FROM embeddings)""".stripMargin
+
+  private val normsCte: String =
+    "norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM vals GROUP BY vec_id)"
+
+  private val bucketSql: String =
+    (0 until 8).map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS INTEGER)")
+
+  /** v1 — brute-force cosine top-10 for query vectors vec_id < 3: the
+    * exhaustive baseline every ANN variant is judged against. The query
+    * side is broadcast; the candidate scan streams — no shuffle of the
+    * corpus. */
+  def v1CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6)
+          .as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("qid", "vid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** v2 — per-label centroid, emitted as (label, pos, c) rows: posexplode +
+    * one groupBy — the distributed mean over any corpus size. */
+  def v2LabelCentroid(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+      .orderBy("label", "pos")
+
+  /** v3 — bucketed ANN: probe only the query's sign-bucket cell (~N/256 of
+    * the corpus) — recall trades for a 256x candidate cut; the equi-join
+    * on bucket is the plan that survives at 100 TB. */
+  def v3BucketedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bkt", bucket(col("embedding")))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt"))
+    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bkt"))
+    val scored = c.join(broadcast(q), Seq("bkt"))
+      .select(col("qid"), col("vid"), col("bkt"),
+        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6)
+          .as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vid", "bkt", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cosine_topk" -> v1CosineTopk,
+    "v2_label_centroid" -> v2LabelCentroid,
+    "v3_bucketed_ann" -> v3BucketedAnn)
+
+  val oracleSql: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      s"""WITH $valsCte,
+         |$normsCte,
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid, SUM(q.v * c.v) AS dp
+         |  FROM vals q JOIN vals c ON q.pos = c.pos
+         |  WHERE q.vec_id < 3
+         |  GROUP BY 1, 2)
+         |SELECT qid, vid, cosine, rk FROM (
+         |  SELECT qid, vid, cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cosine DESC, vid ASC) AS rk
+         |  FROM (
+         |    SELECT d.qid, d.vid,
+         |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
+         |    FROM dots d
+         |    JOIN norms nq ON d.qid = nq.vec_id
+         |    JOIN norms nc ON d.vid = nc.vec_id))
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "v2_label_centroid" ->
+      s"""WITH $valsCte
+         |SELECT label, pos, round(AVG(v), 6) AS centroid_v
+         |FROM vals GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "v3_bucketed_ann" ->
+      s"""WITH $valsCte,
+         |$normsCte,
+         |bkts AS (SELECT vec_id, $bucketSql AS bkt FROM embeddings),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid, bq.bkt, SUM(q.v * c.v) AS dp
+         |  FROM vals q
+         |  JOIN bkts bq ON q.vec_id = bq.vec_id
+         |  JOIN bkts bc ON bq.bkt = bc.bkt
+         |  JOIN vals c ON c.vec_id = bc.vec_id AND q.pos = c.pos
+         |  WHERE q.vec_id < 3
+         |  GROUP BY 1, 2, 3)
+         |SELECT qid, vid, bkt, cosine, rk FROM (
+         |  SELECT qid, vid, bkt, cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cosine DESC, vid ASC) AS rk
+         |  FROM (
+         |    SELECT d.qid, d.vid, d.bkt,
+         |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
+         |    FROM dots d
+         |    JOIN norms nq ON d.qid = nq.vec_id
+         |    JOIN norms nc ON d.vid = nc.vec_id))
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
+}
