@@ -1,0 +1,75 @@
+package graft.exec
+
+import java.io.File
+import scala.util.matching.Regex
+
+/** U1/U3 — the external-process stage (job.py:246-257,267-274, pv at
+  * job.py:70): ffmpeg/MP4Box/pv invocations behind a trait so every test —
+  * and the whole streaming pipeline — runs against a deterministic mock.
+  * The real implementation is a plain ProcessBuilder; parallelism comes
+  * from partitioning rows across executors (SURVEY §4: parallelize across
+  * jobs, never within one), so this code is single-threaded by design.
+  */
+final case class RunResult(exitCode: Int, stdout: String, stderr: String)
+
+trait CommandRunner extends Serializable {
+  def run(cmd: Seq[String], cwd: Option[File] = None): RunResult
+  def ok(cmd: Seq[String], cwd: Option[File] = None): Boolean =
+    run(cmd, cwd).exitCode == 0
+}
+
+/** Real runner: java.lang.ProcessBuilder, stdout/stderr drained to strings
+  * (the reference reads pv progress from stdout line-by-line, job.py:72-78;
+  * the loudness pass reads ffmpeg stderr, job.py:202-203). */
+object ProcessRunner extends CommandRunner {
+  def run(cmd: Seq[String], cwd: Option[File]): RunResult = {
+    val pb = new ProcessBuilder(cmd: _*)
+    cwd.foreach(pb.directory)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val err = new String(p.getErrorStream.readAllBytes())
+    val code = p.waitFor()
+    RunResult(code, out, err)
+  }
+}
+
+/** Deterministic mock fabricating the two output shapes the pipeline
+  * parses: pv percent lines and an ffmpeg EBU R128 summary. Commands whose
+  * first token is "fail" exit 1 (the per-stage error path,
+  * job.py:136/147/157). */
+object MockRunner extends CommandRunner {
+  def run(cmd: Seq[String], cwd: Option[File]): RunResult = cmd match {
+    case Seq("fail", _*) => RunResult(1, "", "mock failure")
+    case Seq("pv", src, _*) if src.contains("missing") =>
+      RunResult(1, "", s"pv: $src: No such file or directory")
+    case Seq("pv", _*) => RunResult(0, "0\n25\n50\n75\n100\n", "")
+    case c if c.headOption.contains("ffmpeg") && c.contains("ebur128") =>
+      // loudness derived from the last arg's hash → stable per input
+      val l = -16 - math.abs(cmd.last.hashCode % 15)
+      RunResult(0, "", s"[Parsed_ebur128_0]\n  Integrated loudness:\n    I:         $l.0 LUFS\n    Threshold: -33.0 LUFS\n")
+    case _ => RunResult(0, "", "")
+  }
+}
+
+/** F3-F5 scala-side twins used by the imperative pipeline (the Column
+  * versions live in ScalarQueries): parse integrated LUFS from R128 output
+  * and derive the volume arg (job.py:204-211). */
+object Loudness {
+  private val IPattern: Regex = """(?m)I:\s*(-?\d+(?:\.\d+)?) LUFS""".r
+
+  def integratedLufs(ffmpegStderr: String): Option[Double] =
+    IPattern.findFirstMatchIn(ffmpegStderr).map(_.group(1).toDouble)
+
+  def gainFactor(targetLufs: Double, measuredLufs: Double): Double =
+    math.pow(10, (targetLufs - measuredLufs) / 20)
+
+  def volumeArg(factor: Double): String = f"-af volume=$factor%.6f"
+}
+
+/** F13 — pv progress parsing (job.py:74-77): digit lines are percent
+  * updates, everything else is ignored. */
+object Progress {
+  def percents(pvStdout: String): Seq[Int] =
+    pvStdout.linesIterator.map(_.stripTrailing).filter(_.matches("[0-9]+"))
+      .map(_.toInt).toSeq
+}

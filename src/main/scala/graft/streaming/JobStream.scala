@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.exec.{CommandRunner, Loudness, Progress}
+
+/** SURVEY.md §2.8 — the scheduler/worker loop as Structured Streaming.
+  *
+  * Reference shape (encodesrv/__init__.py:97-141): a 60 s poll loop SELECTs
+  * the top-priority 'Not Encoding' jobs, claims them by flipping status to
+  * '<server> - Waiting' (ST2), hands them to a worker pool (ST5), and every
+  * stage of the worker writes a status UPDATE back (ST6). Here the poll
+  * loop is a micro-batch trigger, the claim is an idempotent per-batch
+  * ledger write, the worker pool is partition parallelism inside
+  * foreachBatch, and the status writes are an append-only event stream
+  * consumed by the latest-per-key view (StatusQueries).
+  */
+object JobStream {
+
+  case class JobRequest(id: Long, source_file: String, destination_file: String,
+      format_id: Int, priority: Double, normalise_level: Option[Int],
+      passes: Int, apply_mp4box: Boolean)
+
+  case class StatusEvent(job_id: Long, status: String, ts: Timestamp, batch_id: Long)
+
+  /** W1 with the reference's quirk fixed (SURVEY §2.5): the reference
+    * computes `LIMIT 1-qsize()` — negative whenever anything is queued,
+    * which Postgres rejects and a bare except swallows (__init__.py:103,
+    * 119), capping dispatch at 1 job/min. Intended semantics: fill free
+    * capacity, clamped at zero. */
+  def dequeueLimit(capacity: Int, queued: Int): Int = math.max(0, capacity - queued)
+
+  /** S1 dequeue over a micro-batch snapshot (same plan as
+    * EncodeQueries.s1Dequeue, parameterized by capacity). */
+  def dequeue(jobs: DataFrame, capacity: Int, queued: Int): DataFrame =
+    jobs.filter(col("status") === "Not Encoding")
+      .orderBy(col("priority").desc, col("id").asc)
+      .limit(dequeueLimit(capacity, queued))
+
+  // ---- status machine (keyed state) ----
+
+  /** Stage order for legality checks (SURVEY §1.1 status machine). */
+  private val stageRank: Map[String, Int] = Map(
+    "Not Encoding" -> 0, "Waiting" -> 1, "Copying Source" -> 2,
+    "Analysing audio" -> 3, "Encoding Pass" -> 4, "Moving File" -> 5,
+    "Moving files" -> 5, "Done" -> 6, "Error" -> 7, "Encoded" -> 7)
+
+  private[graft] def rank(status: String): Int = {
+    val s = status.replaceFirst("^[^-]+ - ", "") // strip "<server> - "
+    stageRank.collectFirst { case (k, r) if s.startsWith(k) => r }.getOrElse(-1)
+  }
+
+  case class JobState(status: String, rank: Int, updatedMs: Long)
+
+  /** Latest-legal-status per job: transitions may only move forward (or
+    * repeat a stage with fresh progress %); a regression event is dropped —
+    * the streaming twin of StatusQueries.stLatestStatus. Error/Done are
+    * terminal except the crash-reset (ST3) which re-opens via
+    * 'Not Encoding' from rank 7 is still refused here; resets rewrite the
+    * snapshot instead (EncodeQueries.s9CrashReset). */
+  def latestStatus(events: Dataset[StatusEvent]): Dataset[(Long, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.job_id).mapGroupsWithState[JobState, (Long, String)](
+      GroupStateTimeout.NoTimeout) {
+      case (id, evs, state: GroupState[JobState]) =>
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, rank(e.status)))
+        val init = state.getOption
+        val next = sorted.foldLeft(init) { (cur, e) =>
+          val r = rank(e.status)
+          cur match {
+            case Some(s) if r < s.rank => cur // refuse regression
+            case _ => Some(JobState(e.status, r, e.ts.getTime))
+          }
+        }
+        next.foreach(state.update)
+        (id, next.map(_.status).getOrElse("Not Encoding"))
+    }
+  }
+
+  // ---- dispatch (foreachBatch body) ----
+
+  /** Claim ledger: idempotence for the side-effecting stage — a claim is
+    * keyed (job_id); a re-delivered batch (same batchId) is a no-op, a
+    * later batch never re-claims (SURVEY §7 exactly-once). Driver-side
+    * state standing in for the claims table a cluster deployment writes. */
+  final class ClaimLedger extends Serializable {
+    private val claims = scala.collection.mutable.Map[Long, Long]()
+    def tryClaim(jobId: Long, batchId: Long): Boolean = synchronized {
+      claims.get(jobId) match {
+        case Some(_) => false
+        case None => claims(jobId) = batchId; true
+      }
+    }
+    def claimed: Map[Long, Long] = synchronized(claims.toMap)
+  }
+
+  /** One job's full stage walk (job.py:117-338 order: copy → analyse →
+    * passes → mp4box → move), emitting a status event per transition;
+    * failure at any stage short-circuits to Error (per-stage try/except
+    * discipline). Runs inside a partition — jobs parallelize across
+    * partitions, stages stay sequential within a job (SURVEY §4). */
+  def runJob(job: JobRequest, runner: CommandRunner, batchId: Long,
+      now: () => Long = () => System.currentTimeMillis()): Seq[StatusEvent] = {
+    val srv = "encsrv01"
+    val buf = scala.collection.mutable.ArrayBuffer[StatusEvent]()
+    def emit(s: String): Unit =
+      buf += StatusEvent(job.id, s, new Timestamp(now()), batchId)
+    def fail(): Seq[StatusEvent] = { emit(s"$srv - Error"); buf.toSeq }
+
+    val copy = runner.run(Seq("pv", job.source_file))
+    if (copy.exitCode != 0) return fail()
+    Progress.percents(copy.stdout).lastOption
+      .foreach(p => emit(s"$srv - Copying Source $p%"))
+
+    val volume: Option[String] = job.normalise_level match {
+      case Some(target) =>
+        emit(s"$srv - Analysing audio")
+        val an = runner.run(Seq("ffmpeg", "-i", job.source_file, "-af", "ebur128", "-f", "null", "-"))
+        if (an.exitCode != 0) return fail()
+        Loudness.integratedLufs(an.stderr)
+          .map(m => Loudness.volumeArg(Loudness.gainFactor(target.toDouble, m)))
+      case None => None
+    }
+
+    for (p <- 1 to job.passes) {
+      emit(s"$srv - Encoding Pass $p")
+      val enc = runner.run(Seq("ffmpeg", "-i", job.source_file, "-pass", p.toString) ++
+        volume.toSeq :+ job.destination_file)
+      if (enc.exitCode != 0) return fail()
+    }
+
+    if (job.apply_mp4box && !runner.ok(Seq("MP4Box", "-inter", "500", job.destination_file)))
+      return fail()
+
+    emit(s"$srv - Moving File")
+    emit("Done")
+    buf.toSeq
+  }
+
+  /** The full streaming pipeline: job-request stream → per-trigger claim →
+    * partition-parallel dispatch → status-event collector. The trigger
+    * interval reproduces the reference's 60 s poll (ST1); tests run
+    * availableNow. `collect` receives each batch's events (a cluster
+    * deployment appends them to the status table instead). */
+  def start(requests: Dataset[JobRequest], runner: CommandRunner,
+      ledger: ClaimLedger, capacity: Int,
+      collect: Seq[StatusEvent] => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    requests.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[JobRequest], batchId: Long) =>
+        // ST2 claim: top-priority fill of free capacity, idempotent per job
+        val picked = batch
+          .orderBy(col("priority").desc, col("id").asc)
+          .limit(dequeueLimit(capacity, 0))
+          .as[JobRequest].collect()
+          .filter(j => ledger.tryClaim(j.id, batchId))
+        val claimEvents = picked.map(j =>
+          StatusEvent(j.id, "encsrv01 - Waiting", new Timestamp(System.currentTimeMillis()), batchId))
+        // ST5 worker pool = partition parallelism across claimed jobs
+        val runEvents = spark.createDataset(picked.toIndexedSeq)
+          .repartition(math.max(1, math.min(picked.length, 8)))
+          .mapPartitions(_.flatMap(j => runJob(j, runner, batchId)))
+          .collect()
+        collect((claimEvents ++ runEvents).toSeq)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.{Loudness, MockRunner, Progress}
+import graft.streaming.JobStream
+import graft.streaming.JobStream.{JobRequest, StatusEvent}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dequeueLimit clamps the reference's negative-LIMIT quirk (W1)") {
+    assert(JobStream.dequeueLimit(1, 0) == 1)
+    assert(JobStream.dequeueLimit(1, 1) == 0)
+    assert(JobStream.dequeueLimit(1, 5) == 0) // reference: LIMIT -4 → SQL error
+    assert(JobStream.dequeueLimit(8, 3) == 5)
+  }
+
+  test("status ranks follow the reference's stage order") {
+    val walk = Seq("Not Encoding", "encsrv01 - Waiting",
+      "encsrv01 - Copying Source 50%", "encsrv01 - Analysing audio",
+      "encsrv01 - Encoding Pass 1", "encsrv01 - Moving File", "Done")
+    val ranks = walk.map(JobStream.rank)
+    assert(ranks == ranks.sorted, s"ranks not monotone: $ranks")
+    assert(JobStream.rank("encsrv01 - Error") > JobStream.rank("Done") - 2)
+    assert(JobStream.rank("garbage status") == -1)
+  }
+
+  test("latestStatus keyed state refuses regressions (batch mode)") {
+    import spark.implicits._
+    val t0 = 1756684800000L
+    val evs = Seq(
+      StatusEvent(1, "Not Encoding", new Timestamp(t0), 0),
+      StatusEvent(1, "encsrv01 - Waiting", new Timestamp(t0 + 1000), 0),
+      StatusEvent(1, "encsrv01 - Encoding Pass 1", new Timestamp(t0 + 2000), 0),
+      StatusEvent(1, "Not Encoding", new Timestamp(t0 + 3000), 0), // regression: dropped
+      StatusEvent(2, "Not Encoding", new Timestamp(t0), 0),
+      StatusEvent(2, "Done", new Timestamp(t0 + 1000), 0)).toDS()
+    val out = JobStream.latestStatus(evs).collect().toMap
+    assert(out(1L) == "encsrv01 - Encoding Pass 1")
+    assert(out(2L) == "Done")
+  }
+
+  test("loudness + progress parsing (F3-F5, F13 scala twins)") {
+    val m = Loudness.integratedLufs(
+      "[Parsed_ebur128_0]\n  Integrated loudness:\n    I:         -23.5 LUFS\n")
+    assert(m.contains(-23.5))
+    val f = Loudness.gainFactor(-16, -23.5)
+    assert(math.abs(f - math.pow(10, 7.5 / 20)) < 1e-12)
+    assert(Loudness.volumeArg(1.0) == "-af volume=1.000000")
+    assert(Progress.percents("0\n50 \nabc\n100\n") == Seq(0, 50, 100))
+  }
+
+  test("runJob walks the reference's stage sequence and short-circuits on failure") {
+    val now = { var t = 0L; () => { t += 1000; 1756684800000L + t } }
+    val ok = JobStream.runJob(
+      JobRequest(7, "/v/in.mov", "/v/out.mp4", 1, 5.0, Some(-16), 2, apply_mp4box = true),
+      MockRunner, 0, now)
+    val statuses = ok.map(_.status)
+    assert(statuses == Seq("encsrv01 - Copying Source 100%",
+      "encsrv01 - Analysing audio", "encsrv01 - Encoding Pass 1",
+      "encsrv01 - Encoding Pass 2", "encsrv01 - Moving File", "Done"))
+    val bad = JobStream.runJob(
+      JobRequest(8, "/v/missing.mov", "/v/out.mp4", 1, 5.0, None, 1, apply_mp4box = false),
+      MockRunner, 0, now)
+    assert(bad.map(_.status) == Seq("encsrv01 - Error"))
+  }
+
+  test("streaming pipeline claims top-priority jobs once, dispatches, emits Done") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[JobRequest]
+    val ledger = new JobStream.ClaimLedger
+    val events = scala.collection.mutable.ArrayBuffer[StatusEvent]()
+    val jobs = (1 to 6).map(i =>
+      JobRequest(i.toLong, s"/v/$i.mov", s"/v/$i.mp4", 1, priority = i.toDouble,
+        normalise_level = None, passes = 1, apply_mp4box = false))
+    ms.addData(jobs: _*)
+    val q = JobStream.start(ms.toDS(), MockRunner, ledger, capacity = 4,
+      evs => events.synchronized { events ++= evs }, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    // capacity 4 → the 4 highest-priority jobs (6,5,4,3) claimed once each
+    assert(ledger.claimed.keySet == Set(6L, 5L, 4L, 3L))
+    val done = events.filter(_.status == "Done").map(_.job_id).toSet
+    assert(done == Set(6L, 5L, 4L, 3L))
+    // re-delivery of the same jobs (new batch) must not re-claim (ST2)
+    val events2 = scala.collection.mutable.ArrayBuffer[StatusEvent]()
+    val ms2 = MemoryStream[JobRequest]
+    ms2.addData(jobs: _*)
+    val q2 = JobStream.start(ms2.toDS(), MockRunner, ledger, capacity = 4,
+      evs => events2.synchronized { events2 ++= evs }, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(ledger.claimed.keySet == Set(6L, 5L, 4L, 3L), "double-claim detected")
+    assert(events2.isEmpty, s"re-delivered batch dispatched: ${events2.toSeq}")
+  }
+}
