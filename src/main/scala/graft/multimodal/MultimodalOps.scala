@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [EXT] multimodal columns (builder brief): image/audio/video as opaque
+  * BINARY payloads with typed metadata, plus the decode / feature-extract /
+  * frame-sample operators a training-data pipeline runs over them.
+  *
+  * The Spark-side plumbing — schema, partition-preserving mapPartitions,
+  * batch iteration, deterministic output contract — is real and tested.
+  * The codec itself is a STUB (`FakeCodec`): this container ships no
+  * image/audio libraries, so decode produces a deterministic payload-hash
+  * projection with the same shape a real decoder would emit. Swapping in a
+  * real codec is a one-object change behind [[MediaCodec]].
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no driver collect,
+  * no row explosion before the sample step); feature extraction is
+  * mapPartitions so per-partition codec init amortizes — the same reason
+  * PySpark pipelines use mapInPandas batches. Partitioning is whatever the
+  * upstream source chose; decode never shuffles.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
+
+  case class MediaMeta(width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], n_frames: Option[Int])
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  case class FrameRow(media_id: Long, frame_no: Int, frame_payload: Array[Byte])
+
+  /** Codec seam. Real deployments bind JNI/FFI decoders here. */
+  trait MediaCodec extends Serializable {
+    def features(kind: String, payload: Array[Byte], dim: Int): Array[Float]
+    def frame(payload: Array[Byte], frameNo: Int): Array[Byte]
+  }
+
+  /** STUB codec: deterministic bytes→feature projection (md5-chained), so
+    * tests pin exact outputs without any media library. */
+  object FakeCodec extends MediaCodec {
+    def features(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(kind.getBytes ++ payload)
+      Array.tabulate(dim)(i => ((h(i % h.length) & 0xff) - 128) / 128.0f)
+    }
+    def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
+      payload.take(16) :+ frameNo.toByte
+  }
+
+  /** Deterministic synthetic media table (payload bytes derived from
+    * media_id) — the fixture generator for multimodal tests/benches. */
+  def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { r =>
+      val id = r
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val payload = Array.tabulate(64)(i => ((id * 31 + i * 7) % 256).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta(Some(640), Some(480), None, None)
+        case "audio" => MediaMeta(None, None, Some(48000), None)
+        case _ => MediaMeta(Some(1920), Some(1080), None, Some(250))
+      }
+      MediaRow(id, kind, payload, meta)
+    }
+  }
+
+  /** Feature extraction: partition-preserving mapPartitions, codec
+    * initialized once per partition (the mapInPandas batch shape). */
+  def extractFeatures(media: Dataset[MediaRow], codec: MediaCodec, dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec setup would happen here (JNI handle, model load)
+      it.map(m => MediaFeatures(m.media_id, m.kind, codec.features(m.kind, m.payload, dim)))
+    }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame up to the
+    * metadata frame count — row explosion happens AFTER the kind filter,
+    * never on the full corpus. */
+  def sampleFrames(media: Dataset[MediaRow], codec: MediaCodec, stride: Int = 50): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val n = m.meta.n_frames.getOrElse(0)
+      (0 until n by stride).map(f => FrameRow(m.media_id, f, codec.frame(m.payload, f)))
+    }
+  }
+
+  /** Declarative metadata stats over the media table (pure columns — the
+    * part Catalyst optimizes like any other query). */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(col("meta.width")).as("max_width"))
+      .orderBy("kind")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MultimodalOps
+import graft.multimodal.MultimodalOps._
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("synthetic media table matches the declared schema") {
+    val m = syntheticMedia(spark, 30)
+    assert(m.toDF().schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      mediaSchema.fields.map(f => (f.name, f.dataType.typeName)).toSeq)
+    assert(m.count() == 30)
+  }
+
+  test("feature extraction is deterministic, shape-stable, partition-preserving") {
+    val m = syntheticMedia(spark, 30, partitions = 5)
+    val f = extractFeatures(m, FakeCodec, dim = 16)
+    assert(f.rdd.getNumPartitions == 5, "mapPartitions must not shuffle")
+    val rows = f.collect().sortBy(_.media_id)
+    assert(rows.length == 30)
+    assert(rows.forall(_.features.length == 16))
+    val again = extractFeatures(syntheticMedia(spark, 30, 5), FakeCodec, 16)
+      .collect().sortBy(_.media_id)
+    rows.zip(again).foreach { case (a, b) =>
+      assert(a.features.sameElements(b.features), s"nondeterministic for ${a.media_id}")
+    }
+    assert(rows.forall(r => r.features.forall(v => v >= -1f && v < 1f)))
+  }
+
+  test("frame sampling explodes only video rows, respecting stride") {
+    val m = syntheticMedia(spark, 30)
+    val frames = sampleFrames(m, FakeCodec, stride = 50).collect()
+    val videoIds = m.collect().filter(_.kind == "video").map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet == videoIds)
+    // 250 frames, stride 50 → frames 0,50,100,150,200
+    assert(frames.groupBy(_.media_id).values.forall(_.map(_.frame_no).sorted.sameElements(
+      Seq(0, 50, 100, 150, 200))))
+    assert(frames.forall(_.frame_payload.length == 17))
+  }
+
+  test("metadata stats aggregate per kind") {
+    val stats = mediaStats(syntheticMedia(spark, 30).toDF()).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.map(_.getLong(1)).sum == 30)
+  }
+}
