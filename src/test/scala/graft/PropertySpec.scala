@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CommandCompiler
+import graft.streaming.JobStream
+
+/** SURVEY.md §5.3 — property-based invariants. Pure properties run through
+  * ScalaCheck; Spark-evaluated properties generate a batch of random rows
+  * and assert per-row invariants in one job (one JVM round-trip for the
+  * whole sample set).
+  */
+object PropertySpec {
+  case class Fmt(id: Int, video_codec: String, video_bitrate: Int,
+      args_video: String, container: String)
+}
+
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("segments reassembles to the original template (F1 parser)") {
+    // templates over the compiler's grammar: literals + {field} refs
+    val litGen = Gen.alphaNumStr.suchThat(s => !s.contains('{') && !s.contains('}'))
+    val fieldGen = Gen.identifier.suchThat(_.nonEmpty).map(f => s"{$f}")
+    val tmplGen = Gen.listOf(Gen.oneOf(litGen, fieldGen)).map(_.mkString)
+    check(Prop.forAll(tmplGen) { t =>
+      CommandCompiler.segments(t).map {
+        case Left(s) => s
+        case Right(f) => s"{$f}"
+      }.mkString == t
+    })
+  }
+
+  test("dequeueLimit never negative, fills exactly the free capacity (W1)") {
+    check(Prop.forAll(Gen.chooseNum(0, 1000), Gen.chooseNum(0, 1000)) { (cap, queued) =>
+      val k = JobStream.dequeueLimit(cap, queued)
+      k >= 0 && k <= cap && (queued >= cap || k == cap - queued)
+    })
+  }
+
+  test("claim ledger: each job claimed at most once across any claim sequence (ST2)") {
+    val seqGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 5L)))
+    check(Prop.forAll(seqGen) { claims =>
+      val ledger = new JobStream.ClaimLedger
+      val granted = claims.filter { case (j, b) => ledger.tryClaim(j, b) }
+      granted.map(_._1).distinct.size == granted.size &&
+        ledger.claimed.keySet == claims.map(_._1).toSet
+    })
+  }
+
+  test("status rank is monotone along every legal walk prefix") {
+    val walks = Seq(
+      Seq("Not Encoding", "encsrv01 - Waiting", "encsrv01 - Copying Source 12%",
+        "encsrv01 - Analysing audio", "encsrv01 - Encoding Pass 1",
+        "encsrv01 - Encoding Pass 2", "encsrv01 - Moving File", "Done"),
+      Seq("Not Encoding", "encsrv01 - Waiting", "encsrv01 - Error"))
+    val prefixGen = for {
+      w <- Gen.oneOf(walks)
+      n <- Gen.chooseNum(1, w.length)
+    } yield w.take(n)
+    check(Prop.forAll(prefixGen) { p =>
+      val rs = p.map(JobStream.rank)
+      rs == rs.sorted
+    })
+  }
+
+  test("compiler gating invariant over 200 random format rows (Spark batch)") {
+    import spark.implicits._
+    import PropertySpec.Fmt
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      Fmt(i,
+        if (rnd.nextBoolean()) "libx264" else "",
+        if (rnd.nextBoolean()) 5000 else 0,
+        if (rnd.nextInt(3) == 0) null else if (rnd.nextBoolean()) "-vf x" else "",
+        if (rnd.nextBoolean()) "mp4" else "")
+    }
+    val df = rows.toDF()
+    val compiled = df.select(col("id"), CommandCompiler.compile {
+      case f @ ("video_codec" | "video_bitrate" | "args_video" | "container") => col(f)
+      case other if CommandCompiler.intFields(other) => lit(0)
+      case _ => lit(null).cast("string")
+    }.as("cmd")).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    rows.foreach { f =>
+      val cmd = compiled(f.id)
+      assert(cmd.contains("-vcodec") == f.video_codec.nonEmpty, s"$f -> $cmd")
+      assert(cmd.contains("-b:v") == (f.video_bitrate != 0), s"$f -> $cmd")
+      assert(cmd.contains("-vf x") == (f.args_video != null && f.args_video.nonEmpty), s"$f -> $cmd")
+      assert(cmd.contains("-f mp4") == f.container.nonEmpty, s"$f -> $cmd")
+      // unconditional slots always present, in order
+      assert(cmd.startsWith("ffmpeg"))
+      assert(cmd.contains("-threads 0"))
+    }
+  }
+
+  test("latestStatus equals the pure forward-only fold for random event soups (Spark batch)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val statuses = Seq("Not Encoding", "encsrv01 - Waiting",
+      "encsrv01 - Copying Source 50%", "encsrv01 - Encoding Pass 1",
+      "encsrv01 - Moving File", "Done", "encsrv01 - Error")
+    val evs = (0 until 400).map { i =>
+      JobStream.StatusEvent(i % 40, statuses(rnd.nextInt(statuses.length)),
+        new java.sql.Timestamp(1756684800000L + i * 1000L), 0)
+    }
+    val got = JobStream.latestStatus(evs.toDS()).collect().toMap
+    val want = evs.groupBy(_.job_id).view.mapValues { es =>
+      es.sortBy(e => (e.ts.getTime, JobStream.rank(e.status)))
+        .foldLeft(Option.empty[(String, Int)]) { (cur, e) =>
+          val r = JobStream.rank(e.status)
+          cur match {
+            case Some((_, cr)) if r < cr => cur
+            case _ => Some((e.status, r))
+          }
+        }.map(_._1).getOrElse("Not Encoding")
+    }.toMap
+    assert(got == want)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.JobStream
+
+/** SURVEY.md §7 "reference quirks": each divergence between the reference's
+  * literal behavior and this engine's intended-semantics implementation,
+  * pinned as an executable assertion with the citation. The engine
+  * implements the INTENDED semantics; this suite is the contract saying so.
+  */
+class QuirksSpec extends AnyFunSuite {
+
+  test("W1: reference LIMIT 1-qsize() goes negative; engine clamps to free capacity") {
+    // /root/reference/encodesrv/__init__.py:103 computes `LIMIT {1-qsize}`:
+    // with 1 job queued the SQL is LIMIT 0, with 2+ it is negative — a
+    // Postgres error swallowed by the bare except at __init__.py:119,
+    // capping dispatch at ≤1 job/poll. Intended semantics: fill free
+    // capacity, never negative.
+    assert(JobStream.dequeueLimit(1, 2) == 0)   // reference: LIMIT -1 → error
+    assert(JobStream.dequeueLimit(4, 1) == 3)   // reference: impossible (>1)
+  }
+
+  test("P7: reference `is not ''` identity test is always true; engine gates on NULL") {
+    // /root/reference/encodesrv/job.py:197 `if args['normalise_level'] is not ''`
+    // is a Python IDENTITY comparison — true for every DB-sourced value, so
+    // the reference normalises whenever the column survives NULL-coalescing.
+    // Engine semantics: gate on normalise_level IS NOT NULL
+    // (ScalarQueries.f3LoudnessGain filter, JobStream.runJob Option match).
+    val job = JobStream.JobRequest(1, "/v/a.mov", "/v/a.mp4", 1, 5.0,
+      normalise_level = None, passes = 1, apply_mp4box = false)
+    val events = JobStream.runJob(job, graft.exec.MockRunner, 0, () => 0L)
+    assert(!events.exists(_.status.contains("Analysing audio")),
+      "NULL normalise_level must skip the loudness stage")
+  }
+
+  test("S6/A2: reference's thumbnail-size scan has a CWD bug; engine sums real sizes") {
+    // /root/reference/encodesrv/job.py:55 calls os.path.isfile on bare
+    // os.listdir names (not joined to the directory), so unless the daemon's
+    // CWD happens to be that directory the sum is 0 and video_files.size is
+    // written as 0 (job.py:314). Engine: binaryFile metadata scan sums true
+    // lengths (SourcesSpec). Nothing to execute from the reference here —
+    // this test pins the DIVERGENCE DECISION: intended semantics win.
+    succeed
+  }
+
+  test("W2: reference dequeue order is unstable beyond priority; engine adds id tie-break") {
+    // /root/reference/encodesrv/__init__.py:103 ORDER BY priority DESC only;
+    // equal-priority jobs dequeue in storage order (nondeterministic).
+    // Engine: ORDER BY priority DESC, id ASC (EncodeQueries.s1Dequeue) so
+    // results are reproducible and oracle-comparable.
+    import TestSpark._
+    val rows = graft.queries.EncodeQueries.s1Dequeue(spark, sf)
+      .select("priority", "id").collect()
+    val pairs = rows.map(r => (r.getDecimal(0).doubleValue(), r.getLong(1)))
+    assert(pairs.sameElements(pairs.sortBy { case (p, id) => (-p, id) }))
+  }
+
+  test("ST3: crash-reset re-queues this server's non-Error claims only") {
+    // /root/reference/encodesrv/__init__.py:78: UPDATE ... WHERE status LIKE
+    // '%srv%' AND status NOT LIKE '%Error%'. Engine rewrites the snapshot
+    // (EncodeQueries.s9CrashReset); Error rows must survive untouched.
+    import TestSpark._
+    val out = graft.queries.EncodeQueries.s9CrashReset(spark, sf)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.keySet.exists(s => s.contains("encsrv01") && !s.contains("Error")),
+      s"non-Error claims must be reset: ${out.keySet}")
+    assert(out.keySet.exists(_.contains("Error")), "Error rows must survive")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PathOps
+
+/** S6 + A2 — the filesystem-listing source (job.py:55 `os.listdir` +
+  * per-file sizes; job.py:301 frame-file move) re-expressed as Spark's
+  * binaryFile source: metadata-only scan (path, length), aggregation of
+  * total bytes, and regex frame filtering — distributed file listing
+  * instead of a driver loop. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mkFiles(): Path = {
+    val dir = Files.createTempDirectory("graft-s6")
+    Seq("frame-00001.jpg" -> 100, "frame-00002.jpg" -> 200,
+      "frame-00010.jpg" -> 300, "cover.png" -> 999, "notes.txt" -> 10)
+      .foreach { case (name, size) =>
+        Files.write(dir.resolve(name), Array.fill[Byte](size)(1))
+      }
+    dir
+  }
+
+  test("binaryFile scan lists files with sizes; A2 sums thumbnail bytes") {
+    val dir = mkFiles()
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(dir.toString)
+      .select(col("path"), col("length"))
+    // _get_video_size (job.py:53-57): sum of file sizes. The reference has
+    // a CWD bug (listdir names passed to isfile) making it ~0 in practice;
+    // we implement the intended semantics (QuirksSpec).
+    val total = files.agg(sum(col("length"))).collect()(0).getLong(0)
+    assert(total == 600)
+    assert(files.count() == 3)
+  }
+
+  test("frame-sequence filter: produced frames match the %0Nd-derived regex (F7)") {
+    val dir = mkFiles()
+    val pattern = "frame-%05d.jpg"
+    val files = spark.read.format("binaryFile").load(dir.toString)
+      .select(PathOps.pathBasename(col("path")).as("name"))
+      .withColumn("pat", PathOps.framePatternToRegex(lit(pattern)))
+      .filter(rlike(col("name"), concat(lit("^"), col("pat"), lit("$"))))
+    // rlike with a column pattern: matches frame-00001/00002/00010, not cover/notes
+    assert(files.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("frame-00001.jpg", "frame-00002.jpg", "frame-00010.jpg"))
+  }
+}
