@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries._
+
+/** Physical-plan contract (the "would this survive 100 TB" gate): for each
+  * headline query, assert the plan property that makes it scale — filters
+  * reaching the parquet scan, dimension joins broadcast, top-k as
+  * TakeOrderedAndProject (no global sort), rank-1 windows using
+  * WindowGroupLimit, column pruning in the read schema. These are
+  * regression guards: a refactor that silently degrades a plan fails here,
+  * not in a cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("s1_dequeue: top-k plans as TakeOrderedAndProject, filter constant-folds through the derivation") {
+    val p = planOf(EncodeQueries.s1Dequeue(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the status filter is on a DERIVED column; Catalyst must fold it into
+    // a predicate on the underlying key and prune the scan to that column
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"scan not pruned to the single source column:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Condition") && l.contains("Not Encoding")),
+      s"status equality survived instead of constant-folding:\n$p")
+    assert(!p.contains("SortExec"), s"global sort instead of top-k:\n$p")
+  }
+
+  test("j1 join: formats dimension is broadcast, no shuffle of the jobs side") {
+    val p = planOf(EncodeQueries.j1JobFormatJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact side got shuffled for the dim join:\n$p")
+  }
+
+  test("q1_agg: partial aggregation before the exchange (map-side combine)") {
+    val p = planOf(AnalyticsQueries.q1Agg(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q6_forecast: predicates push into the parquet scan, schema pruned") {
+    val p = planOf(AnalyticsQueries.q6Forecast(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    // only the 4 needed columns are read, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount") &&
+      !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q4: EXISTS plans as a semi join; q_parts_no_returns as anti join") {
+    val semi = planOf(AnalyticsQueries.q4PriorityWaiting(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planOf(AnalyticsQueries.qPartsNoReturns(spark, sf))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("st_latest_status / e3: rank-1 window gets WindowGroupLimit pushdown") {
+    val p = planOf(EventQueries.e3LatestPerUser(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("v1 cosine: query side broadcast, candidate scan not shuffled") {
+    val p = planOf(VectorQueries.v1CosineTopk(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"), p)
+  }
+
+  test("f1_command_compile: pure expressions over a broadcast join (no UDF, no shuffle)") {
+    // (AQE wraps this plan pre-execution, hiding codegen ids; every
+    // operator here — Project/Generate/BroadcastHashJoin — is a
+    // codegen-supporting node and the expressions are all built-ins.)
+    val p = planOf(EncodeQueries.f1CommandCompile(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ScalaUDF"), s"UDF crept into the compile path:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"compile path must not shuffle:\n$p")
+  }
+
+  test("d3 LSH: candidate generation is an equi-join, never a cartesian product") {
+    val p = planOf(TextQueries.d3MinhashLshPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
