@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] ST7 — event-time streaming analytics (SURVEY §2.8): the watermarked
+  * windowed aggregations the reference never had (all its processing was
+  * processing-time). Transforms are defined on unbounded DataFrames so the
+  * SAME code runs in batch (EventQueries twins) and streaming; specs drive
+  * them with MemoryStream.
+  *
+  * Scale notes: state per (window × type) group only — the watermark bounds
+  * state growth by evicting windows older than the allowed lateness, which
+  * is what makes a 100 TB/day stream aggregation possible at all.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour counts/sums with 30-min allowed lateness. Append mode:
+    * a window emits once, when the watermark passes its end. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows keyed by user with a 30-min inactivity gap — the
+    * native streaming form of EventQueries.e2Sessionize. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class EventStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+  private def t(minutes: Long) = new Timestamp(1756684800000L + minutes * 60000L)
+
+  test("watermarked hourly rollup finalizes a window only after the watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventStream.hourlyRollup(df).writeStream
+      .format("memory").queryName("hourly").outputMode("append").start()
+    // two events in hour 0, then an event far enough ahead to advance the
+    // watermark (90 min lateness) past hour-0's end
+    ms.addData((t(5), "view", 1L, 1.0), (t(20), "view", 2L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("hourly").count() == 0, "window emitted before watermark")
+    ms.addData((t(120), "view", 1L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[java.math.BigDecimal]("sum_value").doubleValue() == 3.0)
+    q.stop()
+  }
+
+  test("session windows split on the 30-min gap per user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventStream.userSessions(df).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    // user 1: events at 0,10 (one session), then 70 (new session: gap 60>30)
+    ms.addData((t(0), "view", 1L, 1.0), (t(10), "view", 1L, 1.0), (t(70), "view", 1L, 1.0))
+    q.processAllAvailable()
+    ms.addData((t(300), "view", 2L, 1.0)) // advance watermark far past both sessions
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect().filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(rows.length == 2, rows.mkString(";"))
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(1).getAs[Long]("n_events") == 1)
+    q.stop()
+  }
+}
