@@ -6,9 +6,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The EncodeSrv hot path: dequeue -> broadcast format join (SURVEY §3.1). */
+    * The full EncodeSrv hot path (SURVEY §3.1): dequeue → broadcast format
+    * join → derived path columns → pass-loop expansion → compiled ffmpeg
+    * command per (job, pass). */
   def entry(spark: SparkSession): DataFrame =
-    EncodeQueries.j1JobFormatJoin(spark, "/root/testdata/sf0.001")
+    EncodeQueries.f1CommandCompile(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

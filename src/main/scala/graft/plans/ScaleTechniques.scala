@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100 TB toolbox (SURVEY §4, builder brief "optimize for scale"):
+  * reusable shapes for the three physical problems a local[n] run never
+  * forces but a 1000-executor run always does — repeated co-located joins
+  * (bucketing), scan minimization on selective predicates (partitioned
+  * layout → partition pruning), and hot-key shuffles (salting). Each has a
+  * PlanSpec-style assertion in ScaleSpec proving the plan property, not
+  * just the result.
+  */
+object ScaleTechniques {
+
+  /** Write both fact tables bucketed by the join key: every subsequent
+    * equi-join on that key is exchange-free (no shuffle at any scale).
+    * `buckets` should match the cluster's target partition count at the
+    * expected data volume. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Bucket-aware join: reads two bucketed tables and joins on their bucket
+    * key. With matching bucket counts Spark plans SortMergeJoin with NO
+    * Exchange on either side. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      col(leftKey) === col(rightKey))
+
+  /** Layout for selective time/status predicates: partition directories by
+    * the filter column so the scan lists only matching directories
+    * (PartitionFilters, zero data IO for pruned partitions). High-cardinality
+    * keys don't belong here — this is for the handful of hot predicates
+    * (status, date). */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Salted aggregation for skewed keys: two-phase — first aggregate on
+    * (key, salt) spreading a hot key over `salts` reducers, then combine
+    * per key. Correct for any associative aggregate; shown for sum/count.
+    * (AQE's skew-join handling covers JOIN skew; aggregation skew still
+    * needs explicit salting.) */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.ScaleTechniques
+
+/** Plan-level proof of the scale toolbox: bucketing kills the join
+  * exchange, partitioned layout prunes the scan, salting spreads a hot
+  * aggregation key. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("bucketed tables join with no Exchange on either side") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    ScaleTechniques.writeBucketed(orders, "o_orderkey", 8, "orders_b")
+    ScaleTechniques.writeBucketed(lineitem, "l_orderkey", 8, "lineitem_b")
+    val joined = ScaleTechniques.bucketedJoin(spark, "lineitem_b", "orders_b",
+      "l_orderkey", "o_orderkey")
+    val p = planOf(joined)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    // and it still returns the right rows
+    assert(joined.count() == lineitem.count())
+  }
+
+  test("partitioned layout gives PartitionFilters pruning on the status predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val jobs = graft.model.EncodeDomain.jobsDF(spark, sf)
+    ScaleTechniques.writePartitioned(jobs, "status", dir)
+    val scan = spark.read.parquet(dir).filter(col("status") === "Not Encoding")
+    val p = planOf(scan)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("status"), s"no partition pruning:\n$p")
+    assert(scan.count() == jobs.filter(col("status") === "Not Encoding").count())
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = ScaleTechniques.saltedSumCount(li, "l_returnflag", "l_quantity", 16)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, (s, n)) =>
+      assert(math.abs(salted(k)._1 - s) < 1e-6 && salted(k)._2 == n, s"key $k")
+    }
+  }
+}
