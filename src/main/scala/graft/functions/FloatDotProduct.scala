@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Σ a_i·b_i over two float32 arrays, double-accumulated left-to-right —
+  * the hot inner loop of every embedding-similarity operator
+  * (VectorQueries v1/v3).
+  *
+  * Why a custom Expression (builder brief, preference (b)): the
+  * `aggregate(zip_with(...))` higher-order form allocates a zipped array
+  * and evaluates a lambda per element per row; this is a native codegen'd
+  * tight loop over the unsafe array data — no allocation, no virtual
+  * dispatch — while producing BIT-IDENTICAL results (same accumulation
+  * order), so oracle parity is unaffected. At 100 TB the dot product runs
+  * O(corpus × dims) times; this is the single hottest scalar in the
+  * pipeline.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // (AbstractDataType is private[sql]; the inferred Seq[ArrayType] conforms)
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension registering the engine's native functions — wire with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (done in
+  * Verify/Bench/TestSpark). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+  }
+}

@@ -25,8 +25,17 @@ object VectorQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Σ a_i*b_i over two float arrays, double-accumulated sequential fold. */
+  /** Σ a_i*b_i over two float arrays, double-accumulated left-to-right.
+    * Uses the native codegen'd expression (graft.functions.FloatDotProduct,
+    * registered via GraftExtensions) — bit-identical to the higher-order
+    * `aggregate(zip_with(...))` fold it replaced, minus the per-element
+    * lambda dispatch and array allocation (VectorSpec pins the equality). */
   private def dot(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+
+  /** The HOF form the custom expression replaced — kept for the equality
+    * spec and as the no-extensions fallback. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

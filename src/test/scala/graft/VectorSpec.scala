@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.VectorQueries
+
+class VectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("float_dot equals the higher-order fold bit-for-bit on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = e.select(col("vec_id"), col("embedding").as("x"))
+    val b = e.select(col("vec_id"), col("embedding").as("y"))
+    val both = a.join(b, "vec_id")
+      .select(col("vec_id"),
+        call_function("float_dot", col("x"), col("y")).as("native"),
+        VectorQueries.dotHof(col("x"), col("y")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      // bit-identical, not approximately equal: same accumulation order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("float_dot null/edge semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])))
+      .toDF("x", "y")
+    val got = df.select(call_function("float_dot", col("x"), col("y"))).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0))
+    assert(got(2).getDouble(0) == 0.0)
+  }
+
+  test("float_dot codegens (interpreted fallback would log CodegenFallback)") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(call_function("float_dot", col("embedding"), col("embedding")).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("float_dot"), p)
+    // single-stage project: must be inside WholeStageCodegen (shown as *)
+    assert(p.linesIterator.exists(l => l.contains("*") && l.contains("Project")), p)
+  }
+}
