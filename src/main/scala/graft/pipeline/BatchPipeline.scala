@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.exec.CommandRunner
+import graft.model.EncodeDomain
+import graft.streaming.JobStream
+import graft.streaming.JobStream.{JobRequest, StatusEvent}
+
+/** SURVEY §3.1/§3.2 as one batch round — the t1 end-to-end slice: dequeue
+  * the top-k 'Not Encoding' jobs, claim them, execute each job's stage walk
+  * against a CommandRunner (partition-parallel across jobs, sequential
+  * within a job), and fold the emitted status events back over the snapshot
+  * (immutable-storage UPDATE: events + latest-per-key view, never an
+  * in-place write).
+  */
+object BatchPipeline {
+
+  case class RoundResult(events: Dataset[StatusEvent], finalJobs: DataFrame)
+
+  /** One scheduler round over a jobs snapshot. */
+  def runRound(spark: SparkSession, dir: String, capacity: Int,
+      runner: CommandRunner, batchId: Long = 0L): RoundResult = {
+    import spark.implicits._
+    val jobs = EncodeDomain.jobsDF(spark, dir)
+    val formats = EncodeDomain.formatsDF(spark)
+
+    // S1+W1 dequeue joined to its format config (J1)
+    val dequeued = jobs.filter(col("status") === "Not Encoding")
+      .orderBy(col("priority").desc, col("id").asc)
+      .limit(JobStream.dequeueLimit(capacity, 0))
+    val picked = dequeued
+      .join(broadcast(formats), dequeued("format_id") === formats("id"))
+      .select(dequeued("id").cast("long").as("id"), col("source_file"),
+        col("destination_file"), col("format_id"),
+        col("priority").cast("double").as("priority"),
+        col("normalise_level"), coalesce(col("pass"), lit(2)).as("passes"),
+        col("apply_mp4box"))
+      .as[JobRequest]
+
+    // ST2 claim events + U1 dispatch (stage walk per job, jobs in parallel)
+    val claimTs = new Timestamp(0L) // deterministic; real deployments stamp now()
+    val events: Dataset[StatusEvent] = picked
+      .repartition(8)
+      .mapPartitions(_.flatMap { j =>
+        StatusEvent(j.id, "encsrv01 - Waiting", claimTs, batchId) +:
+          JobStream.runJob(j, runner, batchId, () => 0L)
+      })
+      // consumed by the latest-view AND returned to the caller: cache so
+      // the side-effecting dispatch runs once, not once per downstream action
+      .cache()
+
+    // S8 rewrite: latest event per job overrides the snapshot status
+    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    val latest = events.toDF()
+      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("job_id"), col("status").as("new_status"))
+    val finalJobs = jobs
+      .join(latest, jobs("id") === latest("job_id"), "left")
+      .withColumn("status", coalesce(col("new_status"), col("status")))
+      .drop("job_id", "new_status")
+    RoundResult(events, finalJobs)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] the sketch/approximate variants of exact operators shipped
+  * elsewhere — the 100 TB swap-ins (SURVEY §8 notes). These are declared
+  * rows-only (`SparkEntry.rowsOnlyQueries`): approximate answers are
+  * engine-specific by design, so the driver records the weaker check. Each
+  * scaladoc names the exact twin the oracle does verify.
+  */
+object ApproxQueries {
+
+  /** approx_count_distinct (HyperLogLog++) twin of `e4_json_props`'
+    * COUNT(DISTINCT user_id): constant memory per group vs a full distinct
+    * shuffle — the only viable form when the key cardinality is billions. */
+  def xApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** approx_percentile twin of exact quantiles over lineitem prices —
+    * single-pass sketch vs a full sort. */
+  def xPriceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p50_p95_p99"),
+        count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_approx_users" -> xApproxUsers,
+    "x_price_quantiles" -> xPriceQuantiles)
+
+  /** No oracle by design. */
+  val rowsOnly: Set[String] = queries.keySet
+}

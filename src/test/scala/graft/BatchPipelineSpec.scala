@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.MockRunner
+import graft.pipeline.BatchPipeline
+
+/** t1-style end-to-end: one full scheduler round over the sf0.001 snapshot
+  * with the mock runner — SURVEY §5.4. */
+class BatchPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("one round: top-k claimed jobs walk to Done, rest of snapshot untouched") {
+    val before = graft.model.EncodeDomain.jobsDF(spark, sf)
+    val r = BatchPipeline.runRound(spark, sf, capacity = 20, MockRunner)
+    val events = r.events.collect()
+    val doneIds = events.filter(_.status == "Done").map(_.job_id).toSet
+    assert(doneIds.size == 20, s"expected 20 Done jobs, got ${doneIds.size}")
+    // every claimed job emitted the full walk: Waiting … Done
+    val byJob = events.groupBy(_.job_id)
+    doneIds.foreach { id =>
+      val st = byJob(id).map(_.status)
+      assert(st.head == "encsrv01 - Waiting" && st.last == "Done", st.mkString("->"))
+      assert(st.exists(_.startsWith("encsrv01 - Encoding Pass")), st.mkString("->"))
+    }
+    // snapshot: exactly the claimed jobs changed, all to Done
+    val after = r.finalJobs
+    assert(after.filter(col("status") === "Done").count() ==
+      before.filter(col("status") === "Done").count() + 20)
+    val changed = after.as("a").join(before.as("b"), col("a.id") === col("b.id"))
+      .filter(col("a.status") =!= col("b.status"))
+      .select(col("a.id")).collect().map(_.getLong(0)).toSet
+    assert(changed == doneIds)
+    // dequeue respected priority: claimed set = the top-20 by (priority desc, id)
+    val expected = before.filter(col("status") === "Not Encoding")
+      .orderBy(col("priority").desc, col("id").asc).limit(20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(doneIds == expected)
+  }
+}
