@@ -224,6 +224,23 @@ object AnalyticsQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** TPC-H Q17 shape: correlated scalar subquery (per-part average
+    * threshold) — exercised through `spark.sql` over registered views so
+    * Catalyst's subquery decorrelation (rewrite to an aggregated join)
+    * does the planning, exactly as a SQL user of the engine would hit it. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    table(spark, dir, "part").createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |       AS avg_yearly
+        |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem_v l2
+        |                    WHERE l2.l_partkey = lineitem_v.l_partkey)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_unshipped" -> q3TopUnshipped,
@@ -237,7 +254,8 @@ object AnalyticsQueries {
     "q18_large_orders" -> q18LargeOrders,
     "q19_brackets" -> q19Brackets,
     "q_rollup" -> qRollup,
-    "q_parts_no_returns" -> qPartsNoReturns)
+    "q_parts_no_returns" -> qPartsNoReturns,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue)
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -359,5 +377,13 @@ object AnalyticsQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey AND l_returnflag = 'R'
         |                    AND l_quantity > 35)
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |       AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)
 }

@@ -101,7 +101,30 @@ object EventQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Range-frame window (SURVEY §2.5 W4): per-user trailing-1-hour value
+    * sum ordered by event time — RANGE frames bound by the time axis, not
+    * row counts. Decimal accumulation for order-independence. */
+  def e7TrailingHour(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    events(spark, dir)
+      .withColumn("trailing_1h",
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("decimal(18,2)"))
+      .select(col("event_id"), col("user_id"), col("trailing_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** INTERSECT (SURVEY §2.6): user-days with both a view and a purchase. */
+  def e8EngagedDays(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("day", to_date(col("ts_utc")))
+    ev.filter(col("event_type") === "view").select("user_id", "day")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id", "day"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_trailing_hour" -> e7TrailingHour,
+    "e8_engaged_days" -> e8EngagedDays,
     "e1_hourly_rollup" -> e1HourlyRollup,
     "e2_sessionize" -> e2Sessionize,
     "e3_latest_per_user" -> e3LatestPerUser,
@@ -110,6 +133,20 @@ object EventQueries {
     "e6_viewers_no_error" -> e6ViewersNoError)
 
   val oracleSql: Map[String, String] = Map(
+    "e7_trailing_hour" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(18,2)) AS trailing_1h
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "e8_engaged_days" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
     "e1_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       COUNT(*) AS n_events,
