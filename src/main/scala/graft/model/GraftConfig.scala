@@ -1,0 +1,31 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** S5 — the nested JSON configuration source (reference:
+  * config.json.sample:1-31, loaded at encodesrv/config.py:5-6). Read with
+  * an EXPLICIT schema derived from the case classes — never inference
+  * (SURVEY §1.2: the reference's schemas are DDL-declared; inference on
+  * config files is a runtime surprise at deploy time). */
+case class DbConfig(host: String, name: String, user: String, password: String)
+case class MailConfig(host: String, from: String, to: String)
+case class GraftConfig(
+    database: DbConfig,
+    mail: Option[MailConfig],
+    tmpfolder: String,
+    mntfolder: String,
+    threads: Int,
+    servername: String)
+
+object GraftConfig {
+  /** Load a single nested-JSON config document. */
+  def load(spark: SparkSession, path: String): GraftConfig = {
+    import spark.implicits._
+    val ds: Dataset[GraftConfig] = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[GraftConfig]].schema)
+      .option("multiLine", true)
+      .json(path)
+      .as[GraftConfig]
+    ds.head()
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.GraftConfig
+
+class ConfigSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("S5: nested JSON config loads with explicit schema, optional sections null-safe") {
+    val dir = Files.createTempDirectory("graft-cfg")
+    val path = dir.resolve("config.json")
+    Files.writeString(path,
+      """{
+        |  "database": {"host": "db1", "name": "encode", "user": "u", "password": "p"},
+        |  "tmpfolder": "/tmp/encode/",
+        |  "mntfolder": "/mnt/video/",
+        |  "threads": 4,
+        |  "servername": "encsrv01"
+        |}""".stripMargin)
+    val cfg = GraftConfig.load(spark, path.toString)
+    assert(cfg.database.host == "db1")
+    assert(cfg.mail.isEmpty)
+    assert(cfg.threads == 4)
+    assert(cfg.servername == "encsrv01")
+  }
+}

@@ -70,6 +70,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.map(_.status) == Seq("encsrv01 - Error"))
   }
 
+  test("ST3: restart from checkpoint resumes at the committed offset, no re-dispatch") {
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("graft-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("priority", DoubleType)))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = batch.select("id").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids }
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    java.nio.file.Files.writeString(src.resolve("a.json"),
+      (1L to 3L).map(i => s"""{"id":$i,"priority":1.0}""").mkString("\n"))
+    runOnce()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L))
+    // "crash", new data arrives, restart from the same checkpoint:
+    java.nio.file.Files.writeString(src.resolve("b.json"),
+      (4L to 5L).map(i => s"""{"id":$i,"priority":1.0}""").mkString("\n"))
+    runOnce()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      s"restart re-processed committed offsets: ${seen.sorted}")
+  }
+
   test("streaming pipeline claims top-priority jobs once, dispatches, emits Done") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
