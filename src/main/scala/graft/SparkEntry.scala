@@ -16,14 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EncodeQueries.queries ++ AnalyticsQueries.queries ++ StatusQueries.queries ++
       ScalarQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ ApproxQueries.queries
+      VectorQueries.queries ++ ApproxQueries.queries ++ JoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EncodeQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ StatusQueries.oracleSql ++
       ScalarQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
-      VectorQueries.oracleSql
+      VectorQueries.oracleSql ++ JoinQueries.oracleSql
 
   /** Queries deliberately shipped WITHOUT an oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test

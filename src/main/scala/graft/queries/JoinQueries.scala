@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] temporal join operators Spark lacks as primitives (builder brief:
+  * "as-of join, range join" — preference (a): compose existing ops).
+  *
+  * - As-of join: union both sides, forward-fill the right side with a
+  *   `last(ignoreNulls)` running window, keep left rows. ONE shuffle by
+  *   key, no inequality join anywhere — the classic distributed as-of
+  *   shape. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the
+  *   composition is verified against a first-class implementation.
+  * - Range join: bucket the time axis into grid cells sized to the range
+  *   predicate, explode each probe row to its cell±1, equi-join on the
+  *   cell, then apply the exact range filter — candidate set is bounded by
+  *   cell occupancy instead of |L|x|R| (PlanSpec-style: no cartesian).
+  */
+object JoinQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+
+  /** Each purchase matched to the user's latest view at-or-before it.
+    * Right side deduped to one view per (user, instant) so as-of tie
+    * semantics are deterministic in both engines. */
+  def a1AsofViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+    val tagged = views.select(col("user_id"), col("ts_us"),
+        lit(0).as("side"), col("view_id"), lit(null).cast("long").as("purchase_id"))
+      .unionByName(purchases.select(col("user_id"), col("ts_us"),
+        lit(1).as("side"), lit(null).cast("long").as("view_id"), col("purchase_id")))
+    // views sort before purchases at equal ts → at-or-before semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("matched_view"))
+      .orderBy("purchase_id")
+  }
+
+  private val DayUs = 86400L * 1000000L
+
+  /** Error events paired with every purchase within ±1 day (no shared key
+    * — a pure range join). Grid cell = 1 day; probe explodes to 3 cells. */
+  def a2RangePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("err_ts"))
+      .withColumn("cell",
+        explode(array((-1 to 1).map(d => expr("err_ts div 86400000000") + d): _*)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("pur_ts"))
+      .withColumn("cell", expr("pur_ts div 86400000000"))
+    errors.join(purchases, "cell")
+      .filter(abs(col("err_ts") - col("pur_ts")) <= DayUs)
+      .select(col("error_id"), col("purchase_id"),
+        (col("pur_ts") - col("err_ts")).as("delta_us"))
+      .distinct()
+      .orderBy("error_id", "purchase_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_asof_view_purchase" -> a1AsofViewBeforePurchase,
+    "a2_range_pairs" -> a2RangePairs)
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_asof_view_purchase" ->
+      """SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+        |       v.view_id AS matched_view
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts_us, max(event_id) AS view_id
+        |                FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |                      FROM events WHERE event_type = 'view')
+        |                GROUP BY user_id, ts_us) v
+        |  ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
+        |ORDER BY p.purchase_id""".stripMargin,
+    "a2_range_pairs" ->
+      """SELECT DISTINCT e.event_id AS error_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(e.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 86400000000
+        |ORDER BY error_id, purchase_id""".stripMargin)
+}

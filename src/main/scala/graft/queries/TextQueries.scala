@@ -233,6 +233,24 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d7 — the user-facing dedup operator: the KEEP set after applying both
+    * exact dedup (drop all but the min doc_id of each content group) and
+    * near dedup (drop the greater id of every LSH-verified Jaccard≥0.5
+    * pair). Composes d1 and d4's cached pipeline — the complete
+    * "deduplicate my corpus" pass a training-data pipeline runs. */
+  def d7DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val fps = corpus(spark, dir)
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .select("doc_id", "fp")
+    val keeps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val exactRemoved = fps.join(keeps, "fp")
+      .filter(col("doc_id") > col("keep_id")).select("doc_id")
+    val nearRemoved = d4JaccardVerify(spark, dir).select(col("doc_b").as("doc_id"))
+    fps.select("doc_id")
+      .except(exactRemoved.unionByName(nearRemoved))
+      .orderBy("doc_id")
+  }
+
   /** Token statistics: whitespace tokens + a BPE-ish ≤4-char alnum piece
     * count (greedy regex — same segmentation in both engines). */
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -309,6 +327,7 @@ object TextQueries {
     "d4_jaccard_verify" -> d4JaccardVerify,
     "d5_simhash_sig" -> d5SimhashSig,
     "d6_simhash_dup_pairs" -> d6SimhashDupPairs,
+    "d7_dedup_keep" -> d7DedupKeep,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
@@ -373,6 +392,37 @@ object TextQueries {
            |FROM simhashes a JOIN simhashes b
            |  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin),
+      "d7_dedup_keep" -> oracle(
+        s""", $sigsCte,
+           |$bandsCte,
+           |$candCte,
+           |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN dsh sa ON c.doc_a = sa.doc_id
+           |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jpairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT s.doc_a, s.doc_b,
+           |           round(CAST(s.shared AS DOUBLE) /
+           |                 CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
+           |    FROM shared s
+           |    JOIN sizes na ON s.doc_a = na.doc_id
+           |    JOIN sizes nb ON s.doc_b = nb.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |fps AS (SELECT doc_id,
+           |               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           |        FROM corpus),
+           |keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp)
+           |SELECT doc_id FROM fps
+           |EXCEPT
+           |(SELECT f.doc_id FROM fps f JOIN keeps k ON f.fp = k.fp AND f.doc_id > k.keep_id
+           | UNION
+           | SELECT doc_b FROM jpairs)
+           |ORDER BY doc_id""".stripMargin),
       "t1_token_stats" -> oracle(
         """SELECT t.doc_id, len(t.toks) AS n_tokens, length(c.text) AS n_chars,
           |       len(regexp_extract_all(c.text, '[A-Za-z0-9]{1,4}')) AS n_bpe_pieces
