@@ -49,24 +49,26 @@ object JoinQueries {
       .orderBy("purchase_id")
   }
 
-  private val DayUs = 86400L * 1000000L
+  private val HourUs = 3600L * 1000000L
 
-  /** Error events paired with every purchase within ±1 day (no shared key
-    * — a pure range join). Grid cell = 1 day; probe explodes to 3 cells. */
+  /** Error events paired with every purchase within ±1 hour (no shared key
+    * — a pure range join). Grid cell = 1 hour; probe explodes to 3 cells.
+    * Each (error, purchase) pair emerges at most once (one cell per
+    * purchase, three distinct cells per error), so no dedup pass is
+    * needed — the output is exactly the range predicate's matches. */
   def a2RangePairs(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts_us").as("err_ts"))
       .withColumn("cell",
-        explode(array((-1 to 1).map(d => expr("err_ts div 86400000000") + d): _*)))
+        explode(array((-1 to 1).map(d => expr("err_ts div 3600000000") + d): _*)))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts_us").as("pur_ts"))
-      .withColumn("cell", expr("pur_ts div 86400000000"))
+      .withColumn("cell", expr("pur_ts div 3600000000"))
     errors.join(purchases, "cell")
-      .filter(abs(col("err_ts") - col("pur_ts")) <= DayUs)
+      .filter(abs(col("err_ts") - col("pur_ts")) <= HourUs)
       .select(col("error_id"), col("purchase_id"),
         (col("pur_ts") - col("err_ts")).as("delta_us"))
-      .distinct()
       .orderBy("error_id", "purchase_id")
   }
 
@@ -87,10 +89,10 @@ object JoinQueries {
         |  ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
         |ORDER BY p.purchase_id""".stripMargin,
     "a2_range_pairs" ->
-      """SELECT DISTINCT e.event_id AS error_id, p.event_id AS purchase_id,
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id,
         |       epoch_us(p.ts) - epoch_us(e.ts) AS delta_us
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 86400000000
+        |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 3600000000
         |ORDER BY error_id, purchase_id""".stripMargin)
 }

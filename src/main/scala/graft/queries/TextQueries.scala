@@ -54,9 +54,14 @@ object TextQueries {
 
   // ---- tokens & shingles ----
 
+  /** Tokenized corpus, cached serialized: six queries (signatures, simhash,
+    * token stats, quality, lang-id) branch off this exact plan, and Spark's
+    * cache manager dedupes by analyzed plan — one tokenization pass per
+    * session instead of one per query. */
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks",
-      filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
@@ -225,7 +230,9 @@ object TextQueries {
   /** SimHash duplicate pairs: identical 16-bit signature (hamming 0) via
     * value equi-join — the degenerate-but-scalable bucket join. */
   def d6SimhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = d5SimhashSig(spark, dir)
+    // tiny result, heavy lineage; cached so the self-join's two sides (and
+    // a prior d5 run) share one computation
+    val sig = d5SimhashSig(spark, dir).cache()
     sig.as("a").join(sig.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
