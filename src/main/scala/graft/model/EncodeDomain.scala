@@ -41,6 +41,21 @@ case class EncodeFormat(
     ef_priority: Int,
     pass: Option[Int])
 
+/** Typed row of `encode_jobs` (schema.sql:235-245) for the Dataset API
+  * surface: use where per-row logic wants compile-time safety (the
+  * dispatch path); the Column API stays the hot path — typed lambdas are
+  * opaque to Catalyst, so they cost pushdown (PlanSpec's concern). */
+case class EncodeJob(
+    id: Long,
+    source_file: String,
+    destination_file: String,
+    format_id: Int,
+    status: String,
+    video_id: Option[Long],
+    working_directory: Option[String],
+    user_id: Int,
+    priority: BigDecimal)
+
 object EncodeDomain {
 
   /** Literal format rows covering {1,2}-pass x mp4box on/off x normalise
@@ -148,6 +163,13 @@ object EncodeDomain {
       lit(null).cast("string").as("working_directory"),
       (id % 50).cast("int").as("user_id"),
       (lit(5) + id % 10).cast("decimal(10,2)").as("priority"))
+  }
+
+  /** P10 — row → named-record binding (`dict(zip(columns, row))`,
+    * __init__.py:107) as a typed Dataset. */
+  def jobsDS(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[EncodeJob] = {
+    import spark.implicits._
+    jobsDF(spark, dir).as[EncodeJob]
   }
 
   val jobsCte: String =

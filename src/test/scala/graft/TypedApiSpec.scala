@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.EncodeDomain
+import graft.streaming.JobStream
+import graft.streaming.JobStream.StatusEvent
+
+class TypedApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("P10: jobsDS binds rows to the typed EncodeJob record") {
+    val ds = EncodeDomain.jobsDS(spark, sf)
+    val one = ds.head()
+    assert(one.source_file.endsWith(".mov"))
+    assert(one.priority >= BigDecimal(5))
+    // typed filter/map compose with the untyped plan
+    val notEncoding = ds.filter(_.status == "Not Encoding").map(_.id)(
+      org.apache.spark.sql.Encoders.scalaLong).count()
+    assert(notEncoding ==
+      ds.toDF().filter(org.apache.spark.sql.functions.col("status") === "Not Encoding").count())
+  }
+
+  test("latestStatus holds keyed state ACROSS micro-batches (update mode)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StatusEvent]
+    val q = JobStream.latestStatus(ms.toDS())
+      .toDF("job_id", "status")
+      .writeStream.format("memory").queryName("latest_updates")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val t0 = 1756684800000L
+    ms.addData(
+      StatusEvent(1, "Not Encoding", new Timestamp(t0), 0),
+      StatusEvent(1, "encsrv01 - Encoding Pass 1", new Timestamp(t0 + 1000), 0))
+    q.processAllAvailable()
+    // second batch: a regression event for job 1 — state from batch 1 must
+    // survive and refuse it; job 2 advances normally
+    ms.addData(
+      StatusEvent(1, "Not Encoding", new Timestamp(t0 + 2000), 1),
+      StatusEvent(2, "Done", new Timestamp(t0 + 2000), 1))
+    q.processAllAvailable()
+    val updates = spark.table("latest_updates").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // last emitted update per key
+    val latest = updates.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    assert(latest(1L) == "encsrv01 - Encoding Pass 1",
+      s"cross-batch state lost: $latest")
+    assert(latest(2L) == "Done")
+    q.stop()
+  }
+}
