@@ -64,6 +64,8 @@ object CommandCompiler {
       else {
         if (open > i) out += Left(t.substring(i, open))
         val close = t.indexOf('}', open)
+        require(close >= 0,
+          s"unmatched '{' in slot template: $t (literal braces are not supported)")
         out += Right(t.substring(open + 1, close))
         i = close + 1
       }
@@ -92,14 +94,14 @@ object CommandCompiler {
   def compile(resolve: String => Column): Column =
     concat_ws(" ", slots.map {
       case Slot(t, None) => lit(t)
-      case Slot(t, Some(g)) =>
-        when(truthy(g, resolve), render(t, resolve))
-          .otherwise(lit(null).cast("string"))
+      // no otherwise(): a non-matching when() is already NULL, which
+      // concat_ws skips — mirrors the SQL twin's CASE-without-ELSE
+      case Slot(t, Some(g)) => when(truthy(g, resolve), render(t, resolve))
     }: _*)
 
   // ---- SQL (DuckDB oracle) rendering of the exact same table ----
 
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def sqlLit(s: String): String = SqlText.lit(s)
 
   private def truthySql(field: String, resolve: String => String): String =
     if (intFields(field)) s"COALESCE(${resolve(field)}, 0) <> 0"

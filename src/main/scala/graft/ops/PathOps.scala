@@ -15,7 +15,11 @@ object PathOps {
   /** os.path.basename: everything after the last '/'. */
   def pathBasename(c: Column): Column = regexp_replace(c, "^.*/", "")
 
-  /** os.path.dirname: everything before the last '/' (no trailing slash). */
+  /** Everything before the last '/' (no trailing slash). Matches
+    * os.path.dirname for the absolute multi-segment paths the engine
+    * processes; deliberately NOT for slashless inputs (returns the input,
+    * not "") or root-level files ("/f" → "", not "/") — both impossible
+    * for encode_jobs paths (always '/vids/...'-shaped, EncodeDomain). */
   def pathDirname(c: Column): Column = regexp_replace(c, "/[^/]*$", "")
 
   /** os.path.splitext()[1]: the final extension including the dot, "" when
@@ -39,6 +43,12 @@ object PathOps {
     regexp_replace(c, "%[0-9]+d", "\\\\d+")
 }
 
+/** SQL-literal helpers shared by the oracle-twin builders. */
+object SqlText {
+  /** Single-quoted SQL string literal with '' escaping. */
+  def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+}
+
 /** DuckDB SQL twins of [[PathOps]], as expression-text builders. */
 object PathOpsSql {
   def pathBasename(c: String): String = s"regexp_replace($c, '^.*/', '')"
@@ -46,8 +56,10 @@ object PathOpsSql {
   def pathExt(c: String): String = s"regexp_extract($c, '(\\.[^./]*)$$', 1)"
   def lstripSlashes(c: String): String = s"regexp_replace($c, '^/+', '')"
   def mountRewrite(c: String, mnt: String): String =
-    s"'$mnt' || ${lstripSlashes(c)}"
+    s"${SqlText.lit(mnt)} || ${lstripSlashes(c)}"
   def isFrameSequence(c: String): String = s"regexp_matches($c, '%[0-9]+d')"
+  // RE2 rewrite syntax: a literal backslash in the replacement must itself
+  // be escaped ('\\d+'), else DuckDB silently returns the input unchanged.
   def framePatternToRegex(c: String): String =
-    s"regexp_replace($c, '%[0-9]+d', '\\d+')"
+    s"regexp_replace($c, '%[0-9]+d', '\\\\d+')"
 }
