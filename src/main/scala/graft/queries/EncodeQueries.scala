@@ -22,12 +22,17 @@ object EncodeQueries {
     * shuffle of the whole table — each partition keeps k rows, the driver
     * merges. That property is what makes the dequeue viable at 100 TB. */
   def s1Dequeue(spark: SparkSession, dir: String): DataFrame =
-    EncodeDomain.jobsDF(spark, dir)
+    dequeue(EncodeDomain.jobsDF(spark, dir)
       .select("id", "source_file", "destination_file", "format_id", "status",
-        "video_id", "priority")
-      .filter(col("status") === "Not Encoding")
+        "video_id", "priority"), 10)
+
+  /** THE dequeue policy (S1+W1+W2) — single definition shared by the s1
+    * query, the claim upsert (StatusQueries.st2) and the batch pipeline,
+    * so the claim set can never drift from the dequeue. */
+  def dequeue(jobs: DataFrame, k: Int): DataFrame =
+    jobs.filter(col("status") === "Not Encoding")
       .orderBy(col("priority").desc, col("id").asc)
-      .limit(10)
+      .limit(k)
 
   /** S2+J2 — format-name lookup for a dequeued job (job.py:84-86). Expressed
     * as the join it really is, not an N+1 point lookup: broadcast the

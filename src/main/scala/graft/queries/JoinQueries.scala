@@ -61,10 +61,10 @@ object JoinQueries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts_us").as("err_ts"))
       .withColumn("cell",
-        explode(array((-1 to 1).map(d => expr("err_ts div 3600000000") + d): _*)))
+        explode(array((-1 to 1).map(d => expr(s"err_ts div $HourUs") + d): _*)))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts_us").as("pur_ts"))
-      .withColumn("cell", expr("pur_ts div 3600000000"))
+      .withColumn("cell", expr(s"pur_ts div $HourUs"))
     errors.join(purchases, "cell")
       .filter(abs(col("err_ts") - col("pur_ts")) <= HourUs)
       .select(col("error_id"), col("purchase_id"),

@@ -56,9 +56,10 @@ object StatusQueries {
 
   /** SQL twin of [[statusEventsDF]] as a CTE (zipped unnest = posexplode). */
   private val eventsCte: String = {
-    def arr(w: Seq[String]) = w.map(s => s"'$s'").mkString("[", ", ", "]")
-    val cases = walks.tail.map { case (s, w) => s"WHEN status = '$s' THEN ${arr(w)}" }
-      .mkString(" ")
+    def arr(w: Seq[String]) =
+      w.map(graft.ops.SqlText.lit).mkString("[", ", ", "]")
+    val cases = walks.tail.map { case (s, w) =>
+      s"WHEN status = ${graft.ops.SqlText.lit(s)} THEN ${arr(w)}" }.mkString(" ")
     s"""status_events AS (
        |  SELECT job_id, seq, epoch_ms($base + job_id*100000 + seq*10000) AS ts, status
        |  FROM (
@@ -79,13 +80,18 @@ object StatusQueries {
     * row (window rank over the log; at scale this is one shuffle by job_id,
     * and Spark 4 pushes the rank-1 filter into the window via
     * WindowGroupLimit, so no full materialisation per key). */
-  def stLatestStatus(spark: SparkSession, dir: String): DataFrame = {
+  def stLatestStatus(spark: SparkSession, dir: String): DataFrame =
+    latestEventsDF(spark, dir)
+      .select("job_id", "status", "ts")
+      .orderBy("job_id")
+
+  /** The rank-1 latest-event view every status reader shares (stLatest,
+    * f14) — one definition so "latest" can't mean two things. */
+  private def latestEventsDF(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
     statusEventsDF(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("job_id", "status", "ts")
-      .orderBy("job_id")
   }
 
   /** A3+J2 — the running-jobs roster (common.py:59-64, __init__.py:47-52):
@@ -111,8 +117,7 @@ object StatusQueries {
   def st2ClaimUpsert(spark: SparkSession, dir: String): DataFrame = {
     val jobs = EncodeDomain.jobsDF(spark, dir)
       .select("id", "status", "format_id", "priority")
-    val claimed = jobs.filter(col("status") === "Not Encoding")
-      .orderBy(col("priority").desc, col("id").asc).limit(10)
+    val claimed = EncodeQueries.dequeue(jobs, 10)
       .withColumn("status", lit("encsrv01 - Waiting"))
     jobs.join(claimed.select("id"), Seq("id"), "left_anti")
       .unionByName(claimed)
@@ -155,10 +160,7 @@ object StatusQueries {
     * time, with ISO-formatted age cutoff semantics. */
   def f14StaleFailures(spark: SparkSession, dir: String): DataFrame = {
     val now = base + 400000000L // fixed "now": base + 400,000s
-    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
-    statusEventsDF(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    latestEventsDF(spark, dir)
       .filter(col("status").like("%Error%") &&
         col("ts") < timestamp_millis(lit(now - 86400000L)))
       .select(col("job_id"), col("status"), col("ts"),
@@ -208,7 +210,7 @@ object StatusQueries {
         |  FROM (
         |    SELECT id AS job_id,
         |           regexp_replace(destination_file, '%[0-9]+d',
-        |                          lpad(CAST(frame_no AS VARCHAR), 5, '0')) AS frame_file
+        |                          lpad(CAST(frame_no AS VARCHAR), 5, '0'), 'g') AS frame_file
         |    FROM (SELECT id, destination_file,
         |                 unnest(generate_series(1, 5)) AS frame_no
         |          FROM encode_jobs

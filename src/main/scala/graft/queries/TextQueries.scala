@@ -85,6 +85,14 @@ object TextQueries {
   private def oracle(body: String): String =
     s"WITH $corpusCte,\n$shinglesCte\n$body"
 
+  /** Normalised-content fingerprint — ONE definition feeding d1/d7/t4 and
+    * their oracle twins, so the dedup keep-set, duplicate groups and
+    * fingerprint query can never disagree on what "same content" means. */
+  private def fpCol: org.apache.spark.sql.Column =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+  private val fpSql: String =
+    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
   // ---- MinHash signature (shared by d2/d3/d4) ----
 
   private def sigFrom(sh: DataFrame): DataFrame =
@@ -143,7 +151,7 @@ object TextQueries {
     * — the shape that holds at any scale. */
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
-      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("fp", fpCol)
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
@@ -213,7 +221,12 @@ object TextQueries {
 
   /** SimHash (16-bit, md5-derived token hashes): per-bit weighted vote over
     * tokens, then bit-pack. Pure explode + groupBy — one shuffle. */
-  def d5SimhashSig(spark: SparkSession, dir: String): DataFrame = {
+  def d5SimhashSig(spark: SparkSession, dir: String): DataFrame =
+    simhashSigDF(spark, dir).orderBy("doc_id")
+
+  /** Unordered signature base shared by d5 (which orders at the edge) and
+    * d6's self-join (which must not pay a global sort before joining). */
+  private def simhashSigDF(spark: SparkSession, dir: String): DataFrame = {
     val tokens = withToks(corpus(spark, dir))
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .withColumn("h16", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int"))
@@ -222,17 +235,16 @@ object TextQueries {
         (1 until 16).map(b =>
           sum(when(shiftright(col("h16"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
     bitSums.select(col("doc_id"),
-        (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
-          .reduce(_ + _).cast("int").as("simhash"))
-      .orderBy("doc_id")
+      (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
+        .reduce(_ + _).cast("int").as("simhash"))
   }
 
   /** SimHash duplicate pairs: identical 16-bit signature (hamming 0) via
     * value equi-join — the degenerate-but-scalable bucket join. */
   def d6SimhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // tiny result, heavy lineage; cached so the self-join's two sides (and
-    // a prior d5 run) share one computation
-    val sig = d5SimhashSig(spark, dir).cache()
+    // tiny result, heavy lineage; cached so the self-join's two sides share
+    // one computation (unordered base: no global sort before the join)
+    val sig = simhashSigDF(spark, dir).cache()
     sig.as("a").join(sig.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -246,9 +258,7 @@ object TextQueries {
     * pair). Composes d1 and d4's cached pipeline — the complete
     * "deduplicate my corpus" pass a training-data pipeline runs. */
   def d7DedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val fps = corpus(spark, dir)
-      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
-      .select("doc_id", "fp")
+    val fps = corpus(spark, dir).withColumn("fp", fpCol).select("doc_id", "fp")
     val keeps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     val exactRemoved = fps.join(keeps, "fp")
       .filter(col("doc_id") > col("keep_id")).select("doc_id")
@@ -287,7 +297,8 @@ object TextQueries {
         size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
         floor(
-          (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
+          (col("n_stop").cast("double") /
+            greatest(col("n_tokens").cast("double"), lit(1.0)) * 0.5 +
             (lit(1.0) - least(col("n_punct").cast("double") /
               greatest(length(col("text")).cast("double"), lit(1.0)), lit(1.0))) * 0.3 +
             least(length(col("text")).cast("double"), lit(500.0)) / 500.0 * 0.2) *
@@ -318,8 +329,7 @@ object TextQueries {
   /** Document fingerprints: whole-content md5 + winnowing-style min-shingle
     * hash (= MinHash seed 0) for robust-to-reorder matching. */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = corpus(spark, dir)
-      .withColumn("fp_md5", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val fp = corpus(spark, dir).withColumn("fp_md5", fpCol)
     val winnow = shingles(spark, dir).groupBy(col("doc_id"))
       .agg(min(md5(col("shingle"))).as("fp_winnow"))
     fp.join(winnow, Seq("doc_id"), "left")
@@ -356,11 +366,11 @@ object TextQueries {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
     Map(
       "d1_exact_dedup" -> oracle(
-        """SELECT fp, keep_id, n_copies FROM (
-          |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
-          |         min(doc_id) AS keep_id, count(*) AS n_copies
-          |  FROM corpus GROUP BY 1)
-          |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
+        s"""SELECT fp, keep_id, n_copies FROM (
+           |  SELECT $fpSql AS fp,
+           |         min(doc_id) AS keep_id, count(*) AS n_copies
+           |  FROM corpus GROUP BY 1)
+           |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
       "d2_minhash_sig" -> oracle(
         s""", $sigsCte
            |SELECT doc_id, ${(0 until NumHashes).map(j => s"h$j").mkString(" || '|' || ")} AS signature
@@ -420,9 +430,7 @@ object TextQueries {
            |    JOIN sizes na ON s.doc_a = na.doc_id
            |    JOIN sizes nb ON s.doc_b = nb.doc_id)
            |  WHERE jaccard >= 0.5),
-           |fps AS (SELECT doc_id,
-           |               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-           |        FROM corpus),
+           |fps AS (SELECT doc_id, $fpSql AS fp FROM corpus),
            |keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp)
            |SELECT doc_id FROM fps
            |EXCEPT
@@ -437,7 +445,7 @@ object TextQueries {
           |ORDER BY t.doc_id""".stripMargin),
       "t2_quality_score" -> oracle(
         s"""SELECT doc_id, n_tokens, n_stop, n_punct,
-           |       CAST(floor((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
+           |       CAST(floor((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 0.5 +
            |             (1.0 - least(CAST(n_punct AS DOUBLE) /
            |                          greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
            |             least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2)
@@ -463,8 +471,8 @@ object TextQueries {
           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
           |ORDER BY doc_id""".stripMargin),
       "t4_fingerprint" -> oracle(
-        """SELECT c.doc_id,
-          |  md5(lower(trim(regexp_replace(c.text, '\s+', ' ', 'g')))) AS fp_md5,
+        s"""SELECT c.doc_id,
+           |  ${fpSql.replace("(text", "(c.text")} AS fp_md5,
           |  w.fp_winnow
           |FROM corpus c LEFT JOIN (
           |  SELECT doc_id, min(md5(shingle)) AS fp_winnow
