@@ -26,8 +26,16 @@ object ProcessRunner extends CommandRunner {
     val pb = new ProcessBuilder(cmd: _*)
     cwd.foreach(pb.directory)
     val p = pb.start()
+    // Drain both pipes concurrently: ffmpeg writes verbose logs to stderr
+    // while stdout is open; a sequential stdout-then-stderr read deadlocks
+    // once the 64 KB stderr pipe buffer fills.
+    val errFut = new java.util.concurrent.FutureTask[String](
+      () => new String(p.getErrorStream.readAllBytes()))
+    val t = new Thread(errFut, "proc-stderr-drain")
+    t.setDaemon(true)
+    t.start()
     val out = new String(p.getInputStream.readAllBytes())
-    val err = new String(p.getErrorStream.readAllBytes())
+    val err = errFut.get()
     val code = p.waitFor()
     RunResult(code, out, err)
   }
@@ -44,8 +52,10 @@ object MockRunner extends CommandRunner {
       RunResult(1, "", s"pv: $src: No such file or directory")
     case Seq("pv", _*) => RunResult(0, "0\n25\n50\n75\n100\n", "")
     case c if c.headOption.contains("ffmpeg") && c.contains("ebur128") =>
-      // loudness derived from the last arg's hash → stable per input
-      val l = -16 - math.abs(cmd.last.hashCode % 15)
+      // loudness derived from the SOURCE FILE's hash (the arg after -i)
+      // → stable per input, varies across inputs
+      val src = c.drop(c.indexOf("-i") + 1).headOption.getOrElse("")
+      val l = -16 - math.abs(src.hashCode % 15)
       RunResult(0, "", s"[Parsed_ebur128_0]\n  Integrated loudness:\n    I:         $l.0 LUFS\n    Threshold: -33.0 LUFS\n")
     case _ => RunResult(0, "", "")
   }
@@ -57,13 +67,27 @@ object MockRunner extends CommandRunner {
 object Loudness {
   private val IPattern: Regex = """(?m)I:\s*(-?\d+(?:\.\d+)?) LUFS""".r
 
+  /** The LAST match wins: ffmpeg's ebur128 filter prints running per-frame
+    * `I:` values from t=0; only the final one is the integrated summary. */
   def integratedLufs(ffmpegStderr: String): Option[Double] =
-    IPattern.findFirstMatchIn(ffmpegStderr).map(_.group(1).toDouble)
+    IPattern.findAllMatchIn(ffmpegStderr).toSeq.lastOption
+      .map(_.group(1).toDouble)
 
   def gainFactor(targetLufs: Double, measuredLufs: Double): Double =
     math.pow(10, (targetLufs - measuredLufs) / 20)
 
-  def volumeArg(factor: Double): String = f"-af volume=$factor%.6f"
+  /** Display/compile form (one string — the reference splices it into a
+    * command STRING, job.py:211). Locale-pinned so "0.5" never becomes
+    * "0,5". */
+  def volumeArg(factor: Double): String =
+    String.format(java.util.Locale.ROOT, "-af volume=%.6f",
+      java.lang.Double.valueOf(factor))
+
+  /** argv form for ProcessBuilder — flag and value are separate elements
+    * (a single "-af volume=x" argv entry is an unrecognized option). */
+  def volumeArgv(factor: Double): Seq[String] =
+    Seq("-af", String.format(java.util.Locale.ROOT, "volume=%.6f",
+      java.lang.Double.valueOf(factor)))
 }
 
 /** F13 — pv progress parsing (job.py:74-77): digit lines are percent

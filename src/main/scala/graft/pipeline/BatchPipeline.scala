@@ -29,27 +29,39 @@ object BatchPipeline {
     val jobs = EncodeDomain.jobsDF(spark, dir)
     val formats = EncodeDomain.formatsDF(spark)
 
-    // S1+W1 dequeue joined to its format config (J1)
-    val dequeued = jobs.filter(col("status") === "Not Encoding")
-      .orderBy(col("priority").desc, col("id").asc)
-      .limit(JobStream.dequeueLimit(capacity, 0))
-    val picked = dequeued
-      .join(broadcast(formats), dequeued("format_id") === formats("id"))
+    // S1+W1 dequeue (the shared policy) joined to its format config (J1).
+    // LEFT join: a dangling format_id must surface as an Error event, not
+    // silently drop the row — an inner join would leave high-priority
+    // dangling jobs 'Not Encoding' forever while eating a capacity slot
+    // every round.
+    val dequeued = graft.queries.EncodeQueries.dequeue(
+      jobs, JobStream.dequeueLimit(capacity, 0))
+    val joined = dequeued
+      .join(broadcast(formats), dequeued("format_id") === formats("id"), "left")
       .select(dequeued("id").cast("long").as("id"), col("source_file"),
         col("destination_file"), col("format_id"),
         col("priority").cast("double").as("priority"),
         col("normalise_level"), coalesce(col("pass"), lit(2)).as("passes"),
-        col("apply_mp4box"))
-      .as[JobRequest]
+        coalesce(col("apply_mp4box"), lit(false)).as("apply_mp4box"),
+        formats("id").isNull.as("format_missing"))
+    val badFk = joined.filter(col("format_missing"))
+      .select("id").as[Long].collect()
+    val picked = joined.filter(!col("format_missing"))
+      .drop("format_missing").as[JobRequest]
 
-    // ST2 claim events + U1 dispatch (stage walk per job, jobs in parallel)
+    // ST2 claim events + U1 dispatch (stage walk per job, jobs in parallel);
+    // dangling-FK jobs go straight to Error (the reference crashes on them,
+    // SURVEY §2.3 J1 — intended semantics: per-job failure)
     val claimTs = new Timestamp(0L) // deterministic; real deployments stamp now()
+    val fkErrors = badFk.toSeq.map(id =>
+      StatusEvent(id, "encsrv01 - Error", claimTs, batchId))
     val events: Dataset[StatusEvent] = picked
       .repartition(8)
       .mapPartitions(_.flatMap { j =>
         StatusEvent(j.id, "encsrv01 - Waiting", claimTs, batchId) +:
           JobStream.runJob(j, runner, batchId, () => 0L)
       })
+      .union(spark.createDataset(fkErrors))
       // consumed by the latest-view AND returned to the caller: cache so
       // the side-effecting dispatch runs once, not once per downstream action
       .cache()

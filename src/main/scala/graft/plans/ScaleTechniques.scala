@@ -27,9 +27,13 @@ object ScaleTechniques {
     * key. With matching bucket counts Spark plans SortMergeJoin with NO
     * Exchange on either side. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      col(leftKey) === col(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    // qualify through each table's own plan: with leftKey == rightKey (the
+    // common bucketed-join case) bare col() would be AMBIGUOUS_REFERENCE
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Layout for selective time/status predicates: partition directories by
     * the filter column so the scan lists only matching directories
@@ -42,11 +46,14 @@ object ScaleTechniques {
   /** Salted aggregation for skewed keys: two-phase — first aggregate on
     * (key, salt) spreading a hot key over `salts` reducers, then combine
     * per key. Correct for any associative aggregate; shown for sum/count.
+    * The salt must be ROW-derived (round-robin on a per-row id), never
+    * value-derived: a hot key whose values are constant would hash every
+    * row into one salt bucket and the straggler survives.
     * (AQE's skew-join handling covers JOIN skew; aggregation skew still
     * needs explicit salting.) */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salts)))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))

@@ -50,9 +50,14 @@ object JobStream {
     "Moving files" -> 5, "Done" -> 6, "Error" -> 7, "Encoded" -> 7)
 
   private[graft] def rank(status: String): Int = {
-    val s = status.replaceFirst("^[^-]+ - ", "") // strip "<server> - "
+    // strip "<server> - " non-greedily: server names may contain hyphens
+    // ("enc-01 - Waiting"); phases never contain " - "
+    val s = status.replaceFirst("^.*? - ", "")
     stageRank.collectFirst { case (k, r) if s.startsWith(k) => r }.getOrElse(-1)
   }
+
+  /** Done / Error / Encoded — no further transitions are legal. */
+  private[graft] def isTerminal(r: Int): Boolean = r >= 6
 
   case class JobState(status: String, rank: Int, updatedMs: Long)
 
@@ -76,7 +81,14 @@ object JobStream {
             case _ => Some(JobState(e.status, r, e.ts.getTime))
           }
         }
-        next.foreach(state.update)
+        // terminal jobs evict their state: unbounded job streams would
+        // otherwise grow the state store forever (a late event for an
+        // evicted key restarts from scratch, which forward-only absorbs)
+        next match {
+          case Some(s) if isTerminal(s.rank) => state.remove()
+          case Some(s) => state.update(s)
+          case None => ()
+        }
         (id, next.map(_.status).getOrElse("Not Encoding"))
     }
   }
@@ -91,7 +103,11 @@ object JobStream {
     private val claims = scala.collection.mutable.Map[Long, Long]()
     def tryClaim(jobId: Long, batchId: Long): Boolean = synchronized {
       claims.get(jobId) match {
-        case Some(_) => false
+        // replay of the SAME batch re-grants (Spark retries a failed
+        // micro-batch under the same batchId; dropping the claim would
+        // strand the job claimed-but-never-run); later batches never
+        // re-claim
+        case Some(b) => b == batchId
         case None => claims(jobId) = batchId; true
       }
     }
@@ -116,20 +132,20 @@ object JobStream {
     Progress.percents(copy.stdout).lastOption
       .foreach(p => emit(s"$srv - Copying Source $p%"))
 
-    val volume: Option[String] = job.normalise_level match {
+    val volume: Option[Seq[String]] = job.normalise_level match {
       case Some(target) =>
         emit(s"$srv - Analysing audio")
         val an = runner.run(Seq("ffmpeg", "-i", job.source_file, "-af", "ebur128", "-f", "null", "-"))
         if (an.exitCode != 0) return fail()
         Loudness.integratedLufs(an.stderr)
-          .map(m => Loudness.volumeArg(Loudness.gainFactor(target.toDouble, m)))
+          .map(m => Loudness.volumeArgv(Loudness.gainFactor(target.toDouble, m)))
       case None => None
     }
 
     for (p <- 1 to job.passes) {
       emit(s"$srv - Encoding Pass $p")
       val enc = runner.run(Seq("ffmpeg", "-i", job.source_file, "-pass", p.toString) ++
-        volume.toSeq :+ job.destination_file)
+        volume.getOrElse(Seq.empty) :+ job.destination_file)
       if (enc.exitCode != 0) return fail()
     }
 

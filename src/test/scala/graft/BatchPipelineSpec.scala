@@ -38,4 +38,21 @@ class BatchPipelineSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(doneIds == expected)
   }
+
+  test("dangling-FK jobs surface as Error events, not silent drops") {
+    // capacity large enough to dequeue every 'Not Encoding' job, including
+    // the planted format_id=99 rows (id%97==0, EncodeDomain)
+    val r = BatchPipeline.runRound(spark, sf, capacity = 100000, MockRunner)
+    val byStatus = r.events.collect().groupBy(_.status)
+    val errorIds = byStatus.getOrElse("encsrv01 - Error", Array()).map(_.job_id).toSet
+    val dangling = graft.model.EncodeDomain.jobsDF(spark, sf)
+      .filter(col("status") === "Not Encoding" && col("format_id") === 99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dangling.nonEmpty, "fixture should plant dangling FKs")
+    assert(dangling.subsetOf(errorIds),
+      s"dangling jobs missing from Error events: ${dangling -- errorIds}")
+    // and they never produce a Done
+    val doneIds = byStatus.getOrElse("Done", Array()).map(_.job_id).toSet
+    assert((dangling & doneIds).isEmpty)
+  }
 }

@@ -45,13 +45,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("claim ledger: each job claimed at most once across any claim sequence (ST2)") {
+  test("claim ledger: one owning batch per job; only same-batch replay re-grants (ST2)") {
     val seqGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 5L)))
     check(Prop.forAll(seqGen) { claims =>
       val ledger = new JobStream.ClaimLedger
       val granted = claims.filter { case (j, b) => ledger.tryClaim(j, b) }
-      granted.map(_._1).distinct.size == granted.size &&
-        ledger.claimed.keySet == claims.map(_._1).toSet
+      // every grant for a job carries the SAME batch id (first owner wins;
+      // replays of that batch re-grant, later batches never do)
+      granted.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1) &&
+        ledger.claimed.keySet == claims.map(_._1).toSet &&
+        granted.groupBy(_._1).forall { case (j, g) =>
+          ledger.claimed(j) == g.head._2
+        }
     })
   }
 
