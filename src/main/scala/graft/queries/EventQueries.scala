@@ -122,7 +122,32 @@ object EventQueries {
       .orderBy("user_id", "day")
   }
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type counts as columns. Spark's native
+    * `pivot(col, values)` with the value list pinned (never inferred — an
+    * inference pass is an extra job and nondeterministic column order). */
+  def e9PivotUserType(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy("user_id")
+
+  /** ntile(4) by value within each event type — the quantile-bucket window. */
+  def e10ValueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_pivot_user_type" -> e9PivotUserType,
+    "e10_value_quartiles" -> e10ValueQuartiles,
     "e7_trailing_hour" -> e7TrailingHour,
     "e8_engaged_days" -> e8EngagedDays,
     "e1_hourly_rollup" -> e1HourlyRollup,
@@ -133,6 +158,18 @@ object EventQueries {
     "e6_viewers_no_error" -> e6ViewersNoError)
 
   val oracleSql: Map[String, String] = Map(
+    "e9_pivot_user_type" -> {
+      val cols = eventTypes.map(t =>
+        s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n        |       ")
+      s"""SELECT user_id,
+         |       $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "e10_value_quartiles" ->
+      """SELECT event_id, event_type, value,
+        |       ntile(4) OVER (PARTITION BY event_type
+        |                      ORDER BY value, event_id) AS quartile
+        |FROM events ORDER BY event_type, event_id""".stripMargin,
     "e7_trailing_hour" ->
       """SELECT event_id, user_id,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2)))
