@@ -111,10 +111,63 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
+  /** v4 — IVF-style ANN: the per-label centroids (v2, rounded to 6 so both
+    * engines quantize identically) act as the coarse quantizer; every
+    * vector is assigned to its nearest centroid cell (argmax of rounded
+    * cosine, label-asc tie-break), and each query probes only its own cell.
+    * Complements v3's LSH buckets with the data-dependent partitioning of
+    * a real IVF index; at scale the quantizer is k-means instead of labels,
+    * but the plan shape — tiny broadcast centroids, one assignment pass,
+    * cell equi-join — is exactly this. */
+  def v4IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    // centroids as arrays, positions ordered (tiny: labels x dims)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("label"), expr("transform(pcs, x -> x.cv)").as("cvec"))
+    // float-array x double-array dot (centroids are rounded doubles; a cast
+    // to float would lose the quantizer's 6-decimal precision)
+    def dotFD(f: Column, d: Column): Column =
+      aggregate(zip_with(f, d, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+    def normD(d: Column): Column =
+      sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    // assign every vector to its nearest centroid cell
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        round(dotFD(col("embedding"), col("cvec")) /
+          (norm(col("embedding")) * normD(col("cvec"))), 6).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("label").asc)
+    val assigned = scored.withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+    // probe: exact cosine within the query's cell only
+    val q = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("cell"))
+    val probed = c.join(broadcast(q), Seq("cell"))
+      .select(col("qid"), col("vid"), col("cell"),
+        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6)
+          .as("cosine"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
+    probed.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+      .select("qid", "vid", "cell", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
-    "v3_bucketed_ann" -> v3BucketedAnn)
+    "v3_bucketed_ann" -> v3BucketedAnn,
+    "v4_ivf_ann" -> v4IvfAnn)
 
   val oracleSql: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -140,6 +193,44 @@ object VectorQueries {
       s"""WITH $valsCte
          |SELECT label, pos, round(AVG(v), 6) AS centroid_v
          |FROM vals GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "v4_ivf_ann" ->
+      s"""WITH $valsCte,
+         |$normsCte,
+         |cent AS (SELECT label, pos, round(AVG(v), 6) AS cv
+         |         FROM vals GROUP BY label, pos),
+         |cnorm AS (SELECT label, sqrt(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
+         |cdots AS (
+         |  SELECT x.vec_id, c.label, SUM(x.v * c.cv) AS dp
+         |  FROM vals x JOIN cent c ON x.pos = c.pos
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, label AS cell FROM (
+         |    SELECT d.vec_id, d.label,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
+         |                                       d.label ASC) AS rk
+         |    FROM cdots d
+         |    JOIN norms n ON d.vec_id = n.vec_id
+         |    JOIN cnorm cn ON d.label = cn.label)
+         |  WHERE rk = 1),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid, aq.cell, SUM(q.v * c.v) AS dp
+         |  FROM vals q
+         |  JOIN assign aq ON q.vec_id = aq.vec_id AND q.vec_id < 3
+         |  JOIN assign ac ON ac.cell = aq.cell
+         |  JOIN vals c ON c.vec_id = ac.vec_id AND q.pos = c.pos
+         |  GROUP BY 1, 2, 3)
+         |SELECT qid, vid, cell, cosine, rk FROM (
+         |  SELECT qid, vid, cell, cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cosine DESC, vid ASC) AS rk
+         |  FROM (
+         |    SELECT d.qid, d.vid, d.cell,
+         |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
+         |    FROM dots d
+         |    JOIN norms nq ON d.qid = nq.vec_id
+         |    JOIN norms nc ON d.vid = nc.vec_id))
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "v3_bucketed_ann" ->
       s"""WITH $valsCte,
          |$normsCte,
