@@ -26,6 +26,18 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming face of TextQueries.d1: drop
+    * any document whose content fingerprint was already seen within the
+    * watermark horizon. State holds one row per distinct fingerprint and
+    * the watermark bounds it; at 100 TB/day this (plus a periodic batch
+    * compaction for cross-horizon dups) is the standard ingest-dedup
+    * topology. */
+  def dedupByFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+
   /** Session windows keyed by user with a 30-min inactivity gap — the
     * native streaming form of EventQueries.e2Sessionize. */
   def userSessions(events: DataFrame): DataFrame =

@@ -34,6 +34,26 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops same-fingerprint docs across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val df = ms.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStream.dedupByFingerprint(df).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    ms.addData((t(0), 1L, "hello world"), (t(1), 2L, "HELLO   world"), (t(2), 3L, "other"))
+    q.processAllAvailable()
+    // normalization folds case+whitespace: doc 2 is a dup of doc 1
+    assert(spark.table("deduped").select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    ms.addData((t(5), 4L, "hello world"), (t(6), 5L, "fresh"))
+    q.processAllAvailable()
+    // state persists across batches: doc 4 still a dup
+    assert(spark.table("deduped").select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L, 5L)))
+    q.stop()
+  }
+
   test("session windows split on the 30-min gap per user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

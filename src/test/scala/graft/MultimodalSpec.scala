@@ -41,6 +41,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_payload.length == 17))
   }
 
+  test("binary payloads round-trip through parquet intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val m = syntheticMedia(spark, 30)
+    m.write.mode("overwrite").parquet(dir)
+    val back = spark.read.schema(mediaSchema).parquet(dir)
+    assert(back.count() == 30)
+    import spark.implicits._
+    val orig = m.collect().map(r => r.media_id -> r.payload.toSeq).toMap
+    back.as[MediaRow].collect().foreach { r =>
+      assert(r.payload.toSeq == orig(r.media_id), s"payload corrupted for ${r.media_id}")
+    }
+  }
+
   test("metadata stats aggregate per kind") {
     val stats = mediaStats(syntheticMedia(spark, 30).toDF()).collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
