@@ -1,0 +1,19 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Normalised-content fingerprint — THE definition of "same content" for
+  * every dedup surface (batch d1/d7/t4, streaming dedupByFingerprint) and
+  * their DuckDB oracle twins. Lower-cased, whitespace-collapsed, md5-hex.
+  * One definition; if normalization ever changes (NFC, punctuation strip),
+  * every consumer moves together.
+  */
+object Fingerprint {
+  def col(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** DuckDB twin ('g' flag: DuckDB replaces first-only by default). */
+  def sql(textExpr: String): String =
+    s"md5(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))))"
+}

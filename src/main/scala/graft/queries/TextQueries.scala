@@ -85,13 +85,10 @@ object TextQueries {
   private def oracle(body: String): String =
     s"WITH $corpusCte,\n$shinglesCte\n$body"
 
-  /** Normalised-content fingerprint — ONE definition feeding d1/d7/t4 and
-    * their oracle twins, so the dedup keep-set, duplicate groups and
-    * fingerprint query can never disagree on what "same content" means. */
+  /** Normalised-content fingerprint (shared definition: ops/Fingerprint). */
   private def fpCol: org.apache.spark.sql.Column =
-    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-  private val fpSql: String =
-    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    graft.ops.Fingerprint.col(col("text"))
+  private val fpSql: String = graft.ops.Fingerprint.sql("text")
 
   // ---- MinHash signature (shared by d2/d3/d4) ----
 

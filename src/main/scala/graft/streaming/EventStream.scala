@@ -34,7 +34,7 @@ object EventStream {
     * topology. */
   def dedupByFingerprint(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("fp")
 
