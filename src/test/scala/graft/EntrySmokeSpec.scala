@@ -42,12 +42,19 @@ class EntrySmokeSpec extends AnyFunSuite {
     // rows-only queries must be a deliberate, documented set
     assert(missing.subsetOf(SparkEntry.rowsOnlyQueries),
       s"queries without oracle nor rows-only declaration: $missing")
+    // and symmetrically: no orphaned oracle keys (a renamed query leaving
+    // its old oracle behind would only fail at driver-gate time)
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle entries with no query: $orphaned")
   }
 
-  test("s1_dequeue returns a priority-descending prefix with id tie-break") {
-    val rows = graft.queries.EncodeQueries.s1Dequeue(spark, sf)
-      .select("priority", "id").collect()
-    val pairs = rows.map(r => (r.getDecimal(0).doubleValue(), r.getLong(1)))
-    assert(pairs.sameElements(pairs.sortBy { case (p, id) => (-p, id) }))
+  test("no module silently shadows another's query name (Map ++ drops dups)") {
+    import graft.queries._
+    val modules = Seq(EncodeQueries.queries, AnalyticsQueries.queries,
+      StatusQueries.queries, ScalarQueries.queries, EventQueries.queries,
+      TextQueries.queries, VectorQueries.queries, ApproxQueries.queries,
+      JoinQueries.queries)
+    assert(modules.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query key across modules — one implementation is shadowed")
   }
 }

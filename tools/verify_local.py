@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 gate: run each oracle SQL in DuckDB over
 the sf parquet tables and compare against the Spark parquet dumps produced by
-`graft.Verify`. Columns sorted by name, rows sorted, values compared exactly
-(floats with tiny ulp tolerance reported separately).
+`graft.Verify`. Columns sorted by name, rows sorted, values compared exactly;
+on an exact mismatch, floats are re-compared with 1e-9 relative tolerance and
+reported as "OK~" so a last-ulp accumulation difference is visible but not a
+hard failure. Output dirs with no oracle entry get the driver's weaker
+rows-only check (readable parquet, rows > 0).
 
 Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
 """
@@ -28,6 +31,19 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+def rows_close(a_rows, b_rows, rel=1e-9):
+    for a, b in zip(a_rows, b_rows):
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except (TypeError, ValueError):
+                return False
+            if not math.isclose(fx, fy, rel_tol=rel, abs_tol=1e-12):
+                return False
+    return True
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
@@ -56,6 +72,8 @@ def main():
             print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}"); n_bad += 1; continue
         if sr == dr:
             print(f"OK   {name} ({len(sr)} rows)"); n_ok += 1; continue
+        if rows_close(sr, dr):
+            print(f"OK~  {name} ({len(sr)} rows, float-tolerance)"); n_ok += 1; continue
         # find first diff
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
@@ -63,6 +81,19 @@ def main():
                 bad = (i, a, b); break
         print(f"FAIL {name}: first diff row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
         n_bad += 1
+    # rows-only check for dumps with no oracle (approx/sketch queries)
+    for d in sorted(os.listdir(out)):
+        path = os.path.join(out, d)
+        if not os.path.isdir(path) or d in oracle:
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{path}/*.parquet')").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {d} (rows-only): {e}"); n_bad += 1; continue
+        if n > 0:
+            print(f"OK   {d} (rows-only, {n} rows)"); n_ok += 1
+        else:
+            print(f"FAIL {d} (rows-only): 0 rows"); n_bad += 1
     print(f"== {n_ok} ok / {n_bad} fail ==")
     sys.exit(1 if n_bad else 0)
 
