@@ -81,13 +81,54 @@ object ScalarQueries {
         col("destination_file").contains("thumbs/").as("is_thumbs"))
       .orderBy("job_id")
 
+  /** F8+F9 — bot-command parsing (common.py:11, slack.py:68): the
+    * `^<?@?([^ \|^>]*)>?: *(.*)` regex splitting an IRC/Slack line into
+    * (addressee, command), then the command routed through the
+    * message-template MAP literal (messages.py:3-18, F9's element_at
+    * surface; unknown command → help, common.py:30-31). */
+  def f8BotCommandParse(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "^<?@?([^ \\|^>]*)>?: *(.*)"
+    val templates = map(
+      lit("status"), lit("Currently encoding: %s"),
+      lit("jobs"), lit("There are %s jobs waiting"),
+      lit("help"), lit("Commands: status, jobs, help"))
+    EncodeDomain.jobsDF(spark, dir)
+      .select(col("id").as("job_id"),
+        when(col("id") % 3 === 0, lit("<encodebot>: status"))
+          .when(col("id") % 3 === 1, lit("@encodebot: jobs"))
+          .otherwise(lit("encodebot: frobnicate")).as("line"))
+      .withColumn("addressee", regexp_extract(col("line"), pat, 1))
+      .withColumn("command", regexp_extract(col("line"), pat, 2))
+      .withColumn("reply_template",
+        coalesce(element_at(templates, col("command")),
+          element_at(templates, lit("help"))))
+      .orderBy("job_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f8_bot_command_parse" -> f8BotCommandParse,
     "f3_loudness_gain" -> f3LoudnessGain,
     "f13_digit_lines" -> f13DigitLines,
     "f11_temp_dir" -> f11TempDir,
     "f6_path_derive" -> f6PathDerive)
 
   val oracleSql: Map[String, String] = Map(
+    "f8_bot_command_parse" -> EncodeDomain.oracle(
+      """SELECT job_id, line,
+        |       regexp_extract(line, '^<?@?([^ \|^>]*)>?: *(.*)', 1) AS addressee,
+        |       regexp_extract(line, '^<?@?([^ \|^>]*)>?: *(.*)', 2) AS command,
+        |       CASE regexp_extract(line, '^<?@?([^ \|^>]*)>?: *(.*)', 2)
+        |         WHEN 'status' THEN 'Currently encoding: %s'
+        |         WHEN 'jobs' THEN 'There are %s jobs waiting'
+        |         WHEN 'help' THEN 'Commands: status, jobs, help'
+        |         ELSE 'Commands: status, jobs, help' END AS reply_template
+        |FROM (
+        |  SELECT id AS job_id,
+        |         CASE WHEN id % 3 = 0 THEN '<encodebot>: status'
+        |              WHEN id % 3 = 1 THEN '@encodebot: jobs'
+        |              ELSE 'encodebot: frobnicate' END AS line
+        |  FROM encode_jobs)
+        |ORDER BY job_id""".stripMargin),
     "f3_loudness_gain" -> EncodeDomain.oracle(
       """SELECT job_id, normalise_level, measured,
         |       round(pow(10.0, (normalise_level - measured) / 20.0), 6) AS factor,
