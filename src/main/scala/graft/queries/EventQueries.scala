@@ -145,7 +145,31 @@ object EventQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** Unpivot (the inverse of e9): wide per-user type counts back to long
+    * (user_id, event_type, n) rows via `stack` — the melt operation. */
+  def e11UnpivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val wide = e9PivotUserType(spark, dir)
+    val stackExpr = eventTypes.map(t => s"'$t', $t").mkString(", ")
+    wide.selectExpr("user_id",
+        s"stack(${eventTypes.size}, $stackExpr) AS (event_type, n)")
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Exact interpolated percentiles of value per event type — the exact
+    * twin of ApproxQueries.xPriceQuantiles (both engines use linear
+    * interpolation; rounded to 6 to absorb arithmetic-order ulps). */
+  def e12ValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_unpivot_counts" -> e11UnpivotCounts,
+    "e12_value_percentiles" -> e12ValuePercentiles,
     "e9_pivot_user_type" -> e9PivotUserType,
     "e10_value_quartiles" -> e10ValueQuartiles,
     "e7_trailing_hour" -> e7TrailingHour,
@@ -158,6 +182,15 @@ object EventQueries {
     "e6_viewers_no_error" -> e6ViewersNoError)
 
   val oracleSql: Map[String, String] = Map(
+    "e11_unpivot_counts" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "e12_value_percentiles" ->
+      """SELECT event_type,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+        |       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e9_pivot_user_type" -> {
       val cols = eventTypes.map(t =>
         s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n        |       ")

@@ -265,6 +265,21 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** d8 — edit-distance verify over LSH candidates: exact Levenshtein on
+    * the candidate pairs (the character-level complement of d4's set-based
+    * Jaccard — catches reorder-free edits Jaccard underweights). Same
+    * restriction discipline: O(len²) work runs ONLY on candidate pairs. */
+  def d8LevenshteinVerify(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).select(col("doc_id"), col("text"))
+    cachedCands(spark, dir)
+      .join(c.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(c.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ca.text"), col("cb.text")).as("edit_distance"))
+      .filter(col("edit_distance") <= 40)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token statistics: whitespace tokens + a BPE-ish ≤4-char alnum piece
     * count (greedy regex — same segmentation in both engines). */
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -342,6 +357,7 @@ object TextQueries {
     "d5_simhash_sig" -> d5SimhashSig,
     "d6_simhash_dup_pairs" -> d6SimhashDupPairs,
     "d7_dedup_keep" -> d7DedupKeep,
+    "d8_levenshtein_verify" -> d8LevenshteinVerify,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
@@ -435,6 +451,17 @@ object TextQueries {
            | UNION
            | SELECT doc_b FROM jpairs)
            |ORDER BY doc_id""".stripMargin),
+      "d8_levenshtein_verify" -> oracle(
+        s""", $sigsCte,
+           |$bandsCte,
+           |$candCte
+           |SELECT c.doc_a, c.doc_b,
+           |       levenshtein(ca.text, cb.text) AS edit_distance
+           |FROM cands c
+           |JOIN corpus ca ON c.doc_a = ca.doc_id
+           |JOIN corpus cb ON c.doc_b = cb.doc_id
+           |WHERE levenshtein(ca.text, cb.text) <= 40
+           |ORDER BY doc_a, doc_b""".stripMargin),
       "t1_token_stats" -> oracle(
         """SELECT t.doc_id, len(t.toks) AS n_tokens, length(c.text) AS n_chars,
           |       len(regexp_extract_all(c.text, '[A-Za-z0-9]{1,4}')) AS n_bpe_pieces
