@@ -212,6 +212,15 @@ object AnalyticsQueries {
         sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set combinations
+    * (completes the grouping-sets family next to q_rollup). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Anti-join: parts that never shipped a returned line (left_anti — the
     * complement of the semi-join surface; also the building block of the
     * S8 upsert rewrite). */
@@ -254,6 +263,7 @@ object AnalyticsQueries {
     "q18_large_orders" -> q18LargeOrders,
     "q19_brackets" -> q19Brackets,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_parts_no_returns" -> qPartsNoReturns,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue)
 
@@ -370,6 +380,12 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_parts_no_returns" ->
       """SELECT p_partkey, p_name, p_brand
