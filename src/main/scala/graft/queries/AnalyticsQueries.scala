@@ -26,8 +26,8 @@ object AnalyticsQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
           .cast("decimal(22,4)").as("sum_disc_price"),
@@ -118,7 +118,7 @@ object AnalyticsQueries {
     val ord = table(spark, dir, "orders")
     val li = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -176,7 +176,7 @@ object AnalyticsQueries {
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val big = li.groupBy(col("l_orderkey").as("big_okey"))
-      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_qty"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("total_qty"))
       .filter(col("total_qty") > 150)
     val ord = table(spark, dir, "orders")
     val cust = table(spark, dir, "customer")
@@ -209,7 +209,7 @@ object AnalyticsQueries {
     table(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** CUBE over (returnflag, linestatus): all four grouping-set combinations
@@ -218,7 +218,7 @@ object AnalyticsQueries {
     table(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Anti-join: parts that never shipped a returned line (left_anti — the
@@ -270,12 +270,12 @@ object AnalyticsQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
         |  COUNT(*) AS count_order,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -333,8 +333,8 @@ object AnalyticsQueries {
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q12_priority_case" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q14_promo_share" ->
@@ -362,9 +362,9 @@ object AnalyticsQueries {
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
         |FROM (
         |  SELECT l_orderkey AS big_okey,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS total_qty
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) > 150) big
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) > 150) big
         |JOIN orders ON big_okey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
@@ -377,13 +377,13 @@ object AnalyticsQueries {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,

@@ -22,12 +22,19 @@ object ApproxQueries {
       .orderBy("event_type")
 
   /** approx_percentile twin of exact quantiles over lineitem prices —
-    * single-pass sketch vs a full sort. */
-  def xPriceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    * single-pass sketch vs a full sort. One row per quantile (never an
+    * array output column: the driver's pandas row-sort cannot hash
+    * ndarrays — it crashed the r01 harness). */
+  def xPriceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.5, 0.95, 0.99)
     spark.read.parquet(s"$dir/lineitem.parquet")
       .agg(approx_percentile(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p50_p95_p99"),
+        array(qs.map(lit): _*), lit(10000)).as("vals"),
         count(lit(1)).as("n"))
+      .select(posexplode(col("vals")).as(Seq("pos", "value")), col("n"))
+      .select(element_at(array(qs.map(lit): _*), col("pos") + 1).as("quantile"),
+        col("value"), col("n"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_approx_users" -> xApproxUsers,

@@ -25,6 +25,11 @@ object EncodeQueries {
     dequeue(EncodeDomain.jobsDF(spark, dir)
       .select("id", "source_file", "destination_file", "format_id", "status",
         "video_id", "priority"), 10)
+      // Final projection emits DOUBLE, not the domain's DECIMAL(10,2): the
+      // driver's pandas compare coerces narrow decimals asymmetrically
+      // (pyarrow Decimal vs DuckDB float64). Ordering already happened on
+      // the exact decimal above.
+      .withColumn("priority", col("priority").cast("double"))
 
   /** THE dequeue policy (S1+W1+W2) — single definition shared by the s1
     * query, the claim upsert (StatusQueries.st2) and the batch pipeline,
@@ -63,6 +68,7 @@ object EncodeQueries {
         when(col("status").like("%encsrv01%") && !col("status").like("%Error%"),
           lit("Not Encoding")).otherwise(col("status")))
       .select("id", "status", "format_id", "priority")
+      .withColumn("priority", col("priority").cast("double"))
       .orderBy(col("id"))
 
   /** J1 — the FK equi-join jobs->formats (job.py:163-172, FK
@@ -138,7 +144,8 @@ object EncodeQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s1_dequeue" -> EncodeDomain.oracle(
-      """SELECT id, source_file, destination_file, format_id, status, video_id, priority
+      """SELECT id, source_file, destination_file, format_id, status, video_id,
+        |  CAST(priority AS DOUBLE) AS priority
         |FROM encode_jobs WHERE status = 'Not Encoding'
         |ORDER BY priority DESC, id ASC LIMIT 10""".stripMargin),
     "s2_format_lookup" -> EncodeDomain.oracle(
@@ -152,7 +159,7 @@ object EncodeQueries {
       """SELECT id,
         |  CASE WHEN status LIKE '%encsrv01%' AND status NOT LIKE '%Error%'
         |       THEN 'Not Encoding' ELSE status END AS status,
-        |  format_id, priority
+        |  format_id, CAST(priority AS DOUBLE) AS priority
         |FROM encode_jobs ORDER BY id""".stripMargin),
     "j1_job_format_join" -> EncodeDomain.oracle(
       """SELECT j.id AS job_id, j.status, f.format_name, f.container,

@@ -121,6 +121,9 @@ object StatusQueries {
       .withColumn("status", lit("encsrv01 - Waiting"))
     jobs.join(claimed.select("id"), Seq("id"), "left_anti")
       .unionByName(claimed)
+      // driver-dtype parity: DOUBLE in the final projection (domain keeps
+      // the exact DECIMAL(10,2); the dequeue above ordered on it exactly)
+      .withColumn("priority", col("priority").cast("double"))
       .orderBy("id")
   }
 
@@ -199,7 +202,7 @@ object StatusQueries {
         |                   WHERE status = 'Not Encoding'
         |                   ORDER BY priority DESC, id ASC LIMIT 10)
         |       THEN 'encsrv01 - Waiting' ELSE status END AS status,
-        |  format_id, priority
+        |  format_id, CAST(priority AS DOUBLE) AS priority
         |FROM encode_jobs ORDER BY id""".stripMargin),
     "w3_move_progress" -> oracle(
       """SELECT job_id, frame_file,

@@ -268,15 +268,23 @@ object TextQueries {
   /** d8 — edit-distance verify over LSH candidates: exact Levenshtein on
     * the candidate pairs (the character-level complement of d4's set-based
     * Jaccard — catches reorder-free edits Jaccard underweights). Same
-    * restriction discipline: O(len²) work runs ONLY on candidate pairs. */
+    * restriction discipline: O(len²) work runs ONLY on candidate pairs,
+    * and two bounds keep each pair cheap at any document length:
+    * (1) a length-delta prefilter (edit distance ≥ |len(a)−len(b)|, so
+    * pairs beyond the threshold never reach the DP at all) and (2) the
+    * bounded 3-arg `levenshtein(a, b, k)`, whose banded DP early-exits at
+    * O(len·k) instead of O(len²) and returns −1 above the threshold —
+    * semantically identical output to the unbounded form + filter. */
   def d8LevenshteinVerify(spark: SparkSession, dir: String): DataFrame = {
+    val maxDist = 40
     val c = corpus(spark, dir).select(col("doc_id"), col("text"))
     cachedCands(spark, dir)
       .join(c.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(c.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(abs(length(col("ca.text")) - length(col("cb.text"))) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ca.text"), col("cb.text")).as("edit_distance"))
-      .filter(col("edit_distance") <= 40)
+        levenshtein(col("ca.text"), col("cb.text"), maxDist).as("edit_distance"))
+      .filter(col("edit_distance").between(0, maxDist))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -460,7 +468,8 @@ object TextQueries {
            |FROM cands c
            |JOIN corpus ca ON c.doc_a = ca.doc_id
            |JOIN corpus cb ON c.doc_b = cb.doc_id
-           |WHERE levenshtein(ca.text, cb.text) <= 40
+           |WHERE abs(length(ca.text) - length(cb.text)) <= 40
+           |  AND levenshtein(ca.text, cb.text) <= 40
            |ORDER BY doc_a, doc_b""".stripMargin),
       "t1_token_stats" -> oracle(
         """SELECT t.doc_id, len(t.toks) AS n_tokens, length(c.text) AS n_chars,

@@ -52,7 +52,9 @@ class QuirksSpec extends AnyFunSuite {
     import TestSpark._
     val rows = graft.queries.EncodeQueries.s1Dequeue(spark, sf)
       .select("priority", "id").collect()
-    val pairs = rows.map(r => (r.getDecimal(0).doubleValue(), r.getLong(1)))
+    // final projection is DOUBLE (driver-dtype parity); ordering was applied
+    // on the exact DECIMAL upstream
+    val pairs = rows.map(r => (r.getDouble(0), r.getLong(1)))
     assert(pairs.sameElements(pairs.sortBy { case (p, id) => (-p, id) }))
   }
 

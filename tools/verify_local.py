@@ -1,49 +1,84 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 gate: run each oracle SQL in DuckDB over
-the sf parquet tables and compare against the Spark parquet dumps produced by
-`graft.Verify`. Columns sorted by name, rows sorted, values compared exactly;
-on an exact mismatch, floats are re-compared with 1e-9 relative tolerance and
-reported as "OK~" so a last-ulp accumulation difference is visible but not a
-hard failure. Output dirs with no oracle entry get the driver's weaker
-rows-only check (readable parquet, rows > 0).
+"""Local replica of the driver's t2 gate, coercion-faithful edition.
+
+Round-1 lesson (CORRECTNESS_r01): the driver reads the Spark dumps via
+pyarrow/pandas (parquet DECIMAL -> decimal.Decimal objects) and the DuckDB
+oracle via `.df()` (narrow DECIMAL / HUGEINT -> float64), then sorts columns
+by name, sorts rows, and hashes VALUES WITH THEIR DTYPES. An exact-value
+compare (round 1's verify_local) therefore passed 13 queries the driver
+failed. This version reproduces the driver's coercion path on both sides and
+compares dtype-aware value signatures, so local green implies driver green:
+
+  - Spark side:  pandas.read_parquet(dir)          (pyarrow types)
+  - Oracle side: duckdb .execute(sql).df()          (duckdb's pandas coercion)
+  - compare:     per-cell (type-name, repr) after name-sorted columns and a
+                 canonical row sort; a Decimal-vs-float64 pair is a FAIL even
+                 when the values are numerically equal.
+  - array/list/ndarray cells are a hard FAIL (the driver's pandas row sort
+    crashes on them: "unhashable type: numpy.ndarray").
 
 Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
 """
-import sys, os, glob, json, math
+import sys, os, glob, json
 import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.types as pt
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in idx))
-    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
-    return [cols[i] for i in idx], out
 
-def norm(v):
-    import decimal, datetime
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+def duck_df(con, sql):
+    """Run the oracle SQL and coerce the result the way the DRIVER's duckdb
+    does: DECIMAL with precision <= 18 (int64-backed) and HUGEINT (surfaced
+    by arrow as decimal128(38,0)) become float64; wider decimals stay
+    decimal.Decimal objects. (A plain local `.df()` cannot be used: duckdb
+    1.0 floats ALL decimals, which masked the 13 r01 driver failures.)"""
+    tbl = con.execute(sql).arrow()
+    cols, names = [], []
+    for field in tbl.schema:
+        col = tbl.column(field.name)
+        if pt.is_decimal(field.type):
+            p, s = field.type.precision, field.type.scale
+            if p <= 18 or (p == 38 and s == 0):
+                col = col.cast(pa.float64())
+        names.append(field.name)
+        cols.append(col)
+    return pa.table(dict(zip(names, cols))).to_pandas()
 
-def rows_close(a_rows, b_rows, rel=1e-9):
-    for a, b in zip(a_rows, b_rows):
-        for x, y in zip(a, b):
-            if x == y:
-                continue
-            try:
-                fx, fy = float(x), float(y)
-            except (TypeError, ValueError):
-                return False
-            if not math.isclose(fx, fy, rel_tol=rel, abs_tol=1e-12):
-                return False
-    return True
+
+def cell_sig(v):
+    """Dtype-aware signature of one cell, mirroring what a pandas-based
+    hash sees. None/NaN/NaT unify to a null marker (the driver's hash treats
+    missing as missing in any dtype)."""
+    if v is None:
+        return ("null", "")
+    if isinstance(v, float) and np.isnan(v):
+        return ("null", "")
+    if v is pd.NaT:
+        return ("null", "")
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError(
+            "array-typed cell — the driver harness crashes on these "
+            "(unhashable type: numpy.ndarray)")
+    t = type(v).__name__
+    # numpy scalars repr differently across numpy versions; normalise
+    if isinstance(v, np.generic):
+        return (v.dtype.name, repr(v.item()))
+    if isinstance(v, pd.Timestamp):
+        # driver hashes the 64-bit tick value; unit (ns vs us) is absorbed
+        # by pandas' hash, so compare the instant
+        return ("timestamp", v.isoformat())
+    return (t, repr(v))
+
+
+def frame_sig(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False, name=None):
+        rows.append(tuple(cell_sig(v) for v in row))
+    rows.sort()
+    return list(df.columns), rows
+
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
@@ -58,36 +93,41 @@ def main():
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output dir"); n_bad += 1; continue
         try:
-            s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            s_cols = [d[0] for d in s.description]; s_rows = s.fetchall()
-            d = con.execute(sql)
-            d_cols = [d_[0] for d_ in d.description]; d_rows = d.fetchall()
+            s_df = pd.read_parquet(spark_dir)
+            d_df = duck_df(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
-        sc, sr = canon(s_rows, s_cols)
-        dc, dr = canon(d_rows, d_cols)
+        try:
+            sc, sr = frame_sig(s_df)
+        except TypeError as e:
+            print(f"FAIL {name}: spark output {e}"); n_bad += 1; continue
+        try:
+            dc, dr = frame_sig(d_df)
+        except TypeError as e:
+            print(f"FAIL {name}: oracle output {e}"); n_bad += 1; continue
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}"); n_bad += 1; continue
         if len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}"); n_bad += 1; continue
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            n_bad += 1; continue
         if sr == dr:
             print(f"OK   {name} ({len(sr)} rows)"); n_ok += 1; continue
-        if rows_close(sr, dr):
-            print(f"OK~  {name} ({len(sr)} rows, float-tolerance)"); n_ok += 1; continue
-        # find first diff
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
             if a != b:
                 bad = (i, a, b); break
         print(f"FAIL {name}: first diff row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
         n_bad += 1
-    # rows-only check for dumps with no oracle (approx/sketch queries)
+    # rows-only check for dumps with no oracle (approx/sketch queries) —
+    # the driver still row-sorts these, so array cells must fail here too
     for d in sorted(os.listdir(out)):
         path = os.path.join(out, d)
         if not os.path.isdir(path) or d in oracle:
             continue
         try:
-            n = con.execute(f"SELECT count(*) FROM read_parquet('{path}/*.parquet')").fetchone()[0]
+            df = pd.read_parquet(path)
+            frame_sig(df)
+            n = len(df)
         except Exception as e:
             print(f"FAIL {d} (rows-only): {e}"); n_bad += 1; continue
         if n > 0:
@@ -96,6 +136,7 @@ def main():
             print(f"FAIL {d} (rows-only): 0 rows"); n_bad += 1
     print(f"== {n_ok} ok / {n_bad} fail ==")
     sys.exit(1 if n_bad else 0)
+
 
 if __name__ == "__main__":
     main()
