@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+/** ST4 — the reference's failure watermark (encodesrv/__init__.py:121-133):
+  * the poll loop catches every failure, logs, sleeps 300 s and retries — but
+  * if failures have persisted for more than one day since the last
+  * *successful* poll, the daemon crashes instead of retrying forever.
+  *
+  * Spark mapping: the "poll" is a micro-batch of a StreamingQuery, so
+  * - last-success is refreshed by a [[StreamingQueryListener]] on every
+  *   committed batch ([[FailureWatermark.listener]]), and
+  * - the retry loop is a driver-side guard ([[FailureWatermark.guard]]) that
+  *   restarts the failed query (from its checkpoint — same-data retry, like
+  *   the reference re-issuing the same poll) after the backoff, and rethrows
+  *   once the horizon is exceeded, stopping the stream for good.
+  *
+  * Clock and sleep are injectable so tests compress the 1-day horizon.
+  */
+final class FailureWatermark(
+    horizonMs: Long = FailureWatermark.DefaultHorizonMs,
+    backoffMs: Long = FailureWatermark.DefaultBackoffMs,
+    now: () => Long = () => System.currentTimeMillis(),
+    sleep: Long => Unit = Thread.sleep) extends Serializable {
+
+  @volatile private var lastSuccessMs: Long = now()
+  @volatile private var retryCount: Int = 0
+
+  def recordSuccess(): Unit = { lastSuccessMs = now(); retryCount = 0 }
+
+  def lastSuccess: Long = lastSuccessMs
+  def retries: Int = retryCount
+
+  /** True once failures have persisted past the horizon (reference:
+    * `if (datetime.now() - relativedelta(days=1)) > self.lastpoll`). */
+  def expired: Boolean = now() - lastSuccessMs > horizonMs
+
+  /** The reference's failure branch: expired → crash (rethrow to the
+    * caller, the query stays stopped); else log-equivalent backoff sleep
+    * and signal the caller to retry. */
+  def onFailure(e: Throwable): Unit = {
+    if (expired) throw e
+    retryCount += 1
+    sleep(backoffMs)
+  }
+
+  /** Driver retry loop: start the query, await termination; a clean stop
+    * ends the loop, a failure goes through [[onFailure]] (backoff + restart,
+    * or rethrow once expired). `startQuery` must create a NEW query each
+    * attempt — with a checkpoint the restart resumes the uncommitted batch,
+    * which is the reference's retry-the-same-poll semantics. */
+  def guard(startQuery: () => StreamingQuery): Unit = {
+    var running = true
+    while (running) {
+      val q = startQuery()
+      try { q.awaitTermination(); running = false }
+      catch { case e: Throwable => onFailure(e) }
+    }
+  }
+
+  /** Listener refreshing last-success on every committed micro-batch of the
+    * named query (null name = any query). Register on
+    * `spark.streams.addListener`. */
+  def listener(queryName: String = null): StreamingQueryListener =
+    new StreamingQueryListener {
+      override def onQueryStarted(
+          event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          event: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (queryName == null || queryName == event.progress.name)
+          recordSuccess()
+      override def onQueryTerminated(
+          event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+}
+
+object FailureWatermark {
+  /** Reference constants: 1-day tolerance horizon, 300 s retry backoff
+    * (__init__.py:123,132-133). */
+  val DefaultHorizonMs: Long = 86400000L
+  val DefaultBackoffMs: Long = 300000L
+}

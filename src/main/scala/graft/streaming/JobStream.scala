@@ -27,6 +27,20 @@ object JobStream {
 
   case class StatusEvent(job_id: Long, status: String, ts: Timestamp, batch_id: Long)
 
+  /** The reference's poll loop discovers NEW jobs by re-reading the jobs
+    * table (__init__.py:103-105); the cluster analogue is a file-arrival
+    * source — each parquet file dropped into `dir` is a batch of incoming
+    * job requests, offsets tracked per file by the checkpoint (so a restart
+    * never re-dispatches consumed arrivals: the snapshot-diff semantics the
+    * claim-by-update gave the reference). */
+  def fileSource(spark: SparkSession, dir: String): Dataset[JobRequest] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[JobRequest]].schema)
+      .parquet(dir)
+      .as[JobRequest]
+  }
+
   /** W1 with the reference's quirk fixed (SURVEY §2.5): the reference
     * computes `LIMIT 1-qsize()` — negative whenever anything is queued,
     * which Postgres rejects and a bare except swallows (__init__.py:103,
@@ -165,10 +179,11 @@ object JobStream {
   def start(requests: Dataset[JobRequest], runner: CommandRunner,
       ledger: ClaimLedger, capacity: Int,
       collect: Seq[StatusEvent] => Unit,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      checkpoint: Option[String] = None): StreamingQuery = {
     val spark = requests.sparkSession
     import spark.implicits._
-    requests.writeStream
+    val writer = requests.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[JobRequest], batchId: Long) =>
@@ -188,6 +203,6 @@ object JobStream {
         collect((claimEvents ++ runEvents).toSeq)
         ()
       }
-      .start()
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.io.File
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.{CommandRunner, ProcessRunner, RunResult}
+import graft.streaming.JobStream
+import graft.streaming.JobStream.JobRequest
+
+/** U1 with REAL subprocesses (no MockRunner anywhere on these paths): the
+  * reference's external-process stage (job.py:246-257,267-274) runs actual
+  * binaries; argv-splitting and pipe-drain bugs only surface against a real
+  * fork/exec (one such bug was caught in review once already). The shim
+  * below rewrites the pipeline's tool argv (pv/ffmpeg/MP4Box — not
+  * installed here) to `sh` equivalents producing the same output shapes,
+  * then delegates to ProcessRunner — the process handling under test is
+  * fully real. */
+object ShimShellRunner extends CommandRunner {
+  def run(cmd: Seq[String], cwd: Option[File]): RunResult = cmd match {
+    case Seq("pv", src, _*) if src.contains("missing") =>
+      ProcessRunner.run(Seq("sh", "-c", s"echo 'pv: $src: No such file' >&2; exit 1"), cwd)
+    case Seq("pv", _*) =>
+      // pv emits percent lines on stdout (job.py:70-78)
+      ProcessRunner.run(Seq("sh", "-c", "echo 50; echo 100"), cwd)
+    case c if c.headOption.contains("ffmpeg") && c.contains("ebur128") =>
+      // the R128 summary goes to STDERR (job.py:202-203)
+      ProcessRunner.run(Seq("sh", "-c",
+        "printf '  Integrated loudness:\\n    I:   -20.0 LUFS\\n' >&2"), cwd)
+    case c if c.headOption.contains("ffmpeg") =>
+      ProcessRunner.run(Seq("sh", "-c", "exit 0"), cwd)
+    case Seq("MP4Box", _*) =>
+      ProcessRunner.run(Seq("sh", "-c", "exit 0"), cwd)
+    case other => ProcessRunner.run(other, cwd)
+  }
+}
+
+class ExecSpec extends AnyFunSuite {
+
+  test("ProcessRunner: real exec, stdout/stderr split, exit codes, cwd") {
+    val ok = ProcessRunner.run(Seq("sh", "-c", "echo out; echo err >&2"))
+    assert(ok.exitCode == 0)
+    assert(ok.stdout == "out\n")
+    assert(ok.stderr == "err\n")
+    val bad = ProcessRunner.run(Seq("sh", "-c", "exit 3"))
+    assert(bad.exitCode == 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cwd")
+    val here = ProcessRunner.run(Seq("pwd"), Some(tmp.toFile))
+    assert(here.stdout.trim == tmp.toRealPath().toString)
+  }
+
+  test("ProcessRunner: concurrent pipe drain survives a stderr flood (no deadlock)") {
+    // 1 MB of stderr while stdout stays open — a sequential read deadlocks
+    // once the 64 KB pipe buffer fills (the reason for the drain thread)
+    val r = ProcessRunner.run(Seq("sh", "-c",
+      "head -c 1048576 /dev/zero | tr '\\0' 'x' >&2; echo 100"))
+    assert(r.exitCode == 0)
+    assert(r.stdout == "100\n")
+    assert(r.stderr.length == 1048576)
+  }
+
+  test("ProcessRunner: argv elements are NOT shell-split (shlex discipline)") {
+    // a single argv element with a space must arrive as one argument —
+    // the class of bug the reference avoids with shlex.split (job.py:247)
+    val r = ProcessRunner.run(Seq("printf", "%s\n", "two words"))
+    assert(r.stdout == "two words\n")
+  }
+
+  test("runJob end-to-end over real subprocesses: full walk and Error path") {
+    val now = { var t = 0L; () => { t += 1000; 1756684800000L + t } }
+    val ok = JobStream.runJob(
+      JobRequest(7, "/v/in.mov", "/v/out.mp4", 1, 5.0, Some(-16), 2, apply_mp4box = true),
+      ShimShellRunner, 0, now)
+    assert(ok.map(_.status) == Seq("encsrv01 - Copying Source 100%",
+      "encsrv01 - Analysing audio", "encsrv01 - Encoding Pass 1",
+      "encsrv01 - Encoding Pass 2", "encsrv01 - Moving File", "Done"))
+    val bad = JobStream.runJob(
+      JobRequest(8, "/v/missing.mov", "/v/out.mp4", 1, 5.0, None, 1, apply_mp4box = false),
+      ShimShellRunner, 0, now)
+    assert(bad.map(_.status) == Seq("encsrv01 - Error"))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.exec.{Loudness, MockRunner, Progress}
-import graft.streaming.JobStream
+import graft.streaming.{FailureWatermark, JobStream}
 import graft.streaming.JobStream.{JobRequest, StatusEvent}
 
 class StreamingSpec extends AnyFunSuite {
@@ -99,6 +99,105 @@ class StreamingSpec extends AnyFunSuite {
     runOnce()
     assert(seen.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
       s"restart re-processed committed offsets: ${seen.sorted}")
+  }
+
+  test("ST4: failure watermark backs off within the horizon, crashes past it") {
+    // compressed twin of __init__.py:121-133 (1 day → 1000 "ms", 300 s →
+    // 300 "ms") on an injected clock that only sleep advances
+    var clock = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val wm = new FailureWatermark(horizonMs = 1000L, backoffMs = 300L,
+      now = () => clock, sleep = ms => { sleeps += ms; clock += ms })
+    val boom = new RuntimeException("poll failed")
+    (1 to 4).foreach(_ => wm.onFailure(boom)) // t: 0→300→600→900→1200
+    assert(sleeps.toSeq == Seq(300L, 300L, 300L, 300L))
+    val e = intercept[RuntimeException](wm.onFailure(boom)) // t=1200 > horizon
+    assert(e eq boom, "past the horizon the ORIGINAL failure must surface")
+    wm.recordSuccess() // a good poll resets the horizon and retry counter
+    assert(wm.retries == 0)
+    wm.onFailure(boom) // tolerated again
+    assert(wm.retries == 1)
+  }
+
+  test("ST4: guard restarts a failing query with backoff, then stops for good") {
+    import org.apache.spark.sql.Dataset
+    import spark.implicits._
+    var clock = 0L
+    var attempts = 0
+    val wm = new FailureWatermark(horizonMs = 2500L, backoffMs = 1000L,
+      now = () => clock, sleep = ms => clock += ms)
+    implicit val sq = spark.sqlContext
+    intercept[Throwable] {
+      wm.guard { () =>
+        attempts += 1
+        val ms = MemoryStream[Long]
+        ms.addData(1L)
+        ms.toDS().writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (_: Dataset[Long], _: Long) =>
+            throw new RuntimeException("batch failed")
+          }
+          .start()
+      }
+    }
+    // fails at t=0,1000,2000 (each tolerated, +1000 backoff); the t=3000
+    // failure is past the 2500 horizon and rethrows
+    assert(attempts == 4, s"expected 3 tolerated retries + 1 crash, got $attempts")
+  }
+
+  test("ST4: listener refreshes last-success on every committed batch") {
+    import org.apache.spark.sql.Dataset
+    import spark.implicits._
+    var clock = 0L
+    val wm = new FailureWatermark(horizonMs = 1000000L, backoffMs = 1L,
+      now = () => clock, sleep = _ => ())
+    val listener = wm.listener()
+    spark.streams.addListener(listener)
+    try {
+      clock = 42L
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[Long]
+      ms.addData(1L, 2L)
+      val q = ms.toDS().writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: Dataset[Long], _: Long) => () }
+        .start()
+      q.awaitTermination(120000)
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 30000
+      while (wm.lastSuccess != 42L && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(wm.lastSuccess == 42L, "committed batch must refresh last-success")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("ST1/S12: file-arrival job source dispatches each arrival exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jobs")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jobs-ckpt")
+    val ledger = new JobStream.ClaimLedger
+    val events = scala.collection.mutable.ArrayBuffer[StatusEvent]()
+    def mkJobs(ids: Range) = ids.map(i => JobRequest(i.toLong, s"/v/$i.mov",
+      s"/v/$i.mp4", 1, priority = 5.0, normalise_level = None, passes = 1,
+      apply_mp4box = false))
+    def runOnce(): Unit = {
+      val q = JobStream.start(JobStream.fileSource(spark, dir.toString),
+        MockRunner, ledger, capacity = 10,
+        evs => events.synchronized { events ++= evs },
+        Trigger.AvailableNow(), Some(ckpt.toString))
+      q.awaitTermination(120000)
+    }
+    spark.createDataset(mkJobs(1 to 2)).write.mode("append").parquet(dir.toString)
+    runOnce()
+    assert(events.filter(_.status == "Done").map(_.job_id).toSet == Set(1L, 2L))
+    // new files arrive; restart from the checkpoint sees ONLY the new ones
+    spark.createDataset(mkJobs(3 to 4)).write.mode("append").parquet(dir.toString)
+    runOnce()
+    assert(ledger.claimed.keySet == Set(1L, 2L, 3L, 4L))
+    assert(events.filter(_.status == "Done").map(_.job_id).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    assert(events.count(e => e.job_id == 1L && e.status == "Done") == 1,
+      "restart must not re-dispatch committed arrivals")
   }
 
   test("streaming pipeline claims top-priority jobs once, dispatches, emits Done") {
