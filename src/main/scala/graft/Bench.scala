@@ -17,19 +17,29 @@ object Bench {
     // session-startup cost (touches no benchmark data).
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
+      try body
       catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // The text/dedup queries share cached bases (tokens, shingles, LSH
+    // candidates, SimHash signatures). Materialize them as ONE attributable
+    // entry so every d/t query below reports its marginal cost — otherwise
+    // whichever runs first silently absorbs the shared work.
+    val warm = timed("warm_text_caches") {
+      graft.queries.TextQueries.warmShared(spark, sfDir)
+    }
+    val results = warm +: SparkEntry.queries.toSeq.map { case (name, fn) =>
+      timed(name) { fn(spark, sfDir).count(); () }
+    }
     import JsonText.q
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)}}""")
     spark.stop()
   }

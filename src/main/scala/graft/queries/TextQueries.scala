@@ -28,6 +28,46 @@ object TextQueries {
   val Bands = 4
   val RowsPerBand = 4
 
+  // ---- cache lifecycle ----
+
+  /** Registry of every DataFrame this module persists. One-shot processes
+    * (Verify/Bench) can ignore it; a long-lived session calls
+    * [[releaseCaches]] when the text pipeline is done, or executor memory
+    * stays pinned forever. (Spark's CacheManager dedupes persist() by
+    * analyzed plan, so re-registering the same plan is harmless.) */
+  private val cacheRegistry =
+    scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def registered(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    cacheRegistry.synchronized {
+      val p = df.persist(level)
+      cacheRegistry += p
+      p
+    }
+
+  /** Unpersist every cache this module created (blocking=false: eviction
+    * proceeds in the background, callers don't wait). Idempotent. */
+  def releaseCaches(): Unit = cacheRegistry.synchronized {
+    cacheRegistry.foreach(_.unpersist(blocking = false))
+    cacheRegistry.clear()
+  }
+
+  /** Live registered-cache count (spec hook). */
+  def activeCacheCount: Int = cacheRegistry.synchronized(cacheRegistry.size)
+
+  /** Materialize the caches shared across the dedup/text queries (tokenized
+    * corpus -> distinct shingles -> LSH candidate pairs, plus the SimHash
+    * signature base) in one pass. Bench times this as its own entry so each
+    * d/t query then reports its MARGINAL cost — round 1 let whichever dedup
+    * query ran first absorb the whole shared materialization, which made
+    * per-query numbers lie. */
+  def warmShared(spark: SparkSession, dir: String): Unit = {
+    cachedCands(spark, dir).count() // forces toks + shingles + bands + cands
+    cachedSimhashSig(spark, dir).count()
+    ()
+  }
+
   // ---- corpus ----
 
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
@@ -59,9 +99,9 @@ object TextQueries {
     * cache manager dedupes by analyzed plan — one tokenization pass per
     * session instead of one per query. */
   private def withToks(df: DataFrame): DataFrame =
-    df.withColumn("toks",
-        filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    registered(df.withColumn("toks",
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
@@ -170,11 +210,12 @@ object TextQueries {
     * dedupes cache entries by analyzed plan, so d3 and d4 — and repeated
     * calls — share one materialization per session. */
   private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    registered(shingles(spark, dir).distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   private def cachedCands(spark: SparkSession, dir: String): DataFrame =
-    candsFrom(distinctShingles(spark, dir)).cache()
+    registered(candsFrom(distinctShingles(spark, dir)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def d3MinhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     cachedCands(spark, dir).orderBy("doc_a", "doc_b")
@@ -219,7 +260,13 @@ object TextQueries {
   /** SimHash (16-bit, md5-derived token hashes): per-bit weighted vote over
     * tokens, then bit-pack. Pure explode + groupBy — one shuffle. */
   def d5SimhashSig(spark: SparkSession, dir: String): DataFrame =
-    simhashSigDF(spark, dir).orderBy("doc_id")
+    cachedSimhashSig(spark, dir).orderBy("doc_id")
+
+  /** Cached signature base shared by d5/d6 (and warmed by [[warmShared]]):
+    * tiny result, heavy lineage. */
+  private def cachedSimhashSig(spark: SparkSession, dir: String): DataFrame =
+    registered(simhashSigDF(spark, dir),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Unordered signature base shared by d5 (which orders at the edge) and
     * d6's self-join (which must not pay a global sort before joining). */
@@ -239,9 +286,9 @@ object TextQueries {
   /** SimHash duplicate pairs: identical 16-bit signature (hamming 0) via
     * value equi-join — the degenerate-but-scalable bucket join. */
   def d6SimhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // tiny result, heavy lineage; cached so the self-join's two sides share
-    // one computation (unordered base: no global sort before the join)
-    val sig = simhashSigDF(spark, dir).cache()
+    // cached so the self-join's two sides share one computation (unordered
+    // base: no global sort before the join)
+    val sig = cachedSimhashSig(spark, dir)
     sig.as("a").join(sig.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -111,25 +111,23 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
-  /** v4 — IVF-style ANN: the per-label centroids (v2, rounded to 6 so both
-    * engines quantize identically) act as the coarse quantizer; every
-    * vector is assigned to its nearest centroid cell (argmax of rounded
-    * cosine, label-asc tie-break), and each query probes only its own cell.
-    * Complements v3's LSH buckets with the data-dependent partitioning of
-    * a real IVF index; at scale the quantizer is k-means instead of labels,
-    * but the plan shape — tiny broadcast centroids, one assignment pass,
-    * cell equi-join — is exactly this. */
+  /** k-means iteration/seed counts shared by the Spark plan and its oracle
+    * twin (the SQL is generated from the same constants). */
+  private val IvfCells = 8
+  private val LloydIters = 2
+
+  /** v4 — IVF ANN with a real k-means coarse quantizer: [[LloydIters]]
+    * Lloyd iterations over cosine similarity, deterministically initialised
+    * from fixed seed vectors (vec_id < [[IvfCells]] — reproducible, no RNG),
+    * every distance rounded to 6 decimals BEFORE the argmax (cell-asc
+    * tie-break) so both engines quantize identically. Each query then probes
+    * only its own cell. Plan shape at 100 TB: centroids are tiny (K x dims)
+    * and broadcast; each Lloyd pass is one broadcast join + one groupBy
+    * shuffle over the corpus, the probe is a cell equi-join — no cross join,
+    * no corpus shuffle beyond the per-pass aggregation. */
   def v4IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
-    // centroids as arrays, positions ordered (tiny: labels x dims)
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-      .select(col("label"), expr("transform(pcs, x -> x.cv)").as("cvec"))
     // float-array x double-array dot (centroids are rounded doubles; a cast
     // to float would lose the quantizer's 6-decimal precision)
     def dotFD(f: Column, d: Column): Column =
@@ -137,17 +135,33 @@ object VectorQueries {
         lit(0.0), (acc, x) => acc + x)
     def normD(d: Column): Column =
       sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-    // assign every vector to its nearest centroid cell
-    val scored = e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("label"),
-        round(dotFD(col("embedding"), col("cvec")) /
-          (norm(col("embedding")) * normD(col("cvec"))), 6).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label").asc)
-    val assigned = scored.withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+    // nearest-centroid assignment (argmax of rounded cosine, cell-asc ties)
+    def assign(cent: DataFrame): DataFrame = {
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          round(dotFD(col("embedding"), col("cvec")) /
+            (norm(col("embedding")) * normD(col("cvec"))), 6).as("ccos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+    // Lloyd: seeds -> (assign -> mean) x LloydIters; means rounded to 6 so
+    // the quantizer state is cross-engine identical after every pass
+    val seeds = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    val cent = (1 to LloydIters).foldLeft(seeds) { (c, _) =>
+      assign(c)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec"))
+    }
+    val assigned = assign(cent)
     // probe: exact cosine within the query's cell only
     val q = assigned.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
@@ -193,31 +207,42 @@ object VectorQueries {
       s"""WITH $valsCte
          |SELECT label, pos, round(AVG(v), 6) AS centroid_v
          |FROM vals GROUP BY label, pos ORDER BY label, pos""".stripMargin,
-    "v4_ivf_ann" ->
+    "v4_ivf_ann" -> {
+      // Lloyd CTE chain generated from the SAME IvfCells/LloydIters
+      // constants as the Spark plan — the two quantizers cannot drift
+      def assignCte(i: Int): String =
+        s"""assign$i AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT d.vec_id, d.cell,
+           |           row_number() OVER (PARTITION BY d.vec_id
+           |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
+           |                                       d.cell ASC) AS rk
+           |    FROM (SELECT x.vec_id, c.cell, SUM(x.v * c.cv) AS dp
+           |          FROM vals x JOIN cent${i - 1} c ON x.pos = c.pos
+           |          GROUP BY 1, 2) d
+           |    JOIN norms n ON d.vec_id = n.vec_id
+           |    JOIN cn${i - 1} cn ON d.cell = cn.cell)
+           |  WHERE rk = 1)""".stripMargin
+      def centCte(i: Int): String =
+        s"""cent$i AS (SELECT a.cell, x.pos, round(AVG(x.v), 6) AS cv
+           |          FROM vals x JOIN assign$i a ON x.vec_id = a.vec_id
+           |          GROUP BY 1, 2),
+           |cn$i AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent$i GROUP BY cell)""".stripMargin
+      val lloyd = (1 to LloydIters)
+        .map(i => s"${assignCte(i)},\n${centCte(i)}").mkString(",\n")
+      val fin = LloydIters + 1
       s"""WITH $valsCte,
          |$normsCte,
-         |cent AS (SELECT label, pos, round(AVG(v), 6) AS cv
-         |         FROM vals GROUP BY label, pos),
-         |cnorm AS (SELECT label, sqrt(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
-         |cdots AS (
-         |  SELECT x.vec_id, c.label, SUM(x.v * c.cv) AS dp
-         |  FROM vals x JOIN cent c ON x.pos = c.pos
-         |  GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, label AS cell FROM (
-         |    SELECT d.vec_id, d.label,
-         |           row_number() OVER (PARTITION BY d.vec_id
-         |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
-         |                                       d.label ASC) AS rk
-         |    FROM cdots d
-         |    JOIN norms n ON d.vec_id = n.vec_id
-         |    JOIN cnorm cn ON d.label = cn.label)
-         |  WHERE rk = 1),
+         |cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
+         |          WHERE vec_id < $IvfCells),
+         |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
+         |$lloyd,
+         |${assignCte(fin)},
          |dots AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vid, aq.cell, SUM(q.v * c.v) AS dp
          |  FROM vals q
-         |  JOIN assign aq ON q.vec_id = aq.vec_id AND q.vec_id < 3
-         |  JOIN assign ac ON ac.cell = aq.cell
+         |  JOIN assign$fin aq ON q.vec_id = aq.vec_id AND q.vec_id < 3
+         |  JOIN assign$fin ac ON ac.cell = aq.cell
          |  JOIN vals c ON c.vec_id = ac.vec_id AND q.pos = c.pos
          |  GROUP BY 1, 2, 3)
          |SELECT qid, vid, cell, cosine, rk FROM (
@@ -230,7 +255,8 @@ object VectorQueries {
          |    FROM dots d
          |    JOIN norms nq ON d.qid = nq.vec_id
          |    JOIN norms nc ON d.vid = nc.vec_id))
-         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
     "v3_bucketed_ann" ->
       s"""WITH $valsCte,
          |$normsCte,

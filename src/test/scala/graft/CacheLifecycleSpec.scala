@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextQueries
+
+/** Cache ownership for the text pipeline's shared persists (tokenized
+  * corpus, distinct shingles, LSH candidates, SimHash signatures): a
+  * one-shot Verify/Bench process can leak them to exit, but a long-lived
+  * engine session must be able to release them — otherwise every dedup run
+  * pins executor memory forever. */
+class CacheLifecycleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("TextQueries releases every cache it registered; pipeline survives release") {
+    TextQueries.releaseCaches() // clean slate: other suites share the session
+    assert(TextQueries.activeCacheCount == 0)
+
+    assert(TextQueries.queries("d3_minhash_lsh_pairs")(spark, sf).count() >= 0)
+    assert(TextQueries.activeCacheCount > 0,
+      "the dedup pipeline must register its shared caches")
+    val withCaches = spark.sparkContext.getPersistentRDDs.size
+    assert(withCaches > 0, "caches must actually be materialized")
+
+    TextQueries.releaseCaches()
+    assert(TextQueries.activeCacheCount == 0)
+    // unpersist(blocking=false): block eviction is async on executors but
+    // the persistent-RDD registry update is driver-side; poll briefly
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.sparkContext.getPersistentRDDs.size >= withCaches &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size < withCaches,
+      "released caches must leave the persistent-RDD registry")
+
+    // release is not poisoning: the pipeline re-materializes on demand
+    assert(TextQueries.queries("d1_exact_dedup")(spark, sf).count() > 0)
+    TextQueries.releaseCaches()
+  }
+}
