@@ -55,21 +55,27 @@ object BatchPipeline {
     val claimTs = new Timestamp(0L) // deterministic; real deployments stamp now()
     val fkErrors = badFk.toSeq.map(id =>
       StatusEvent(id, "encsrv01 - Error", claimTs, batchId))
-    val events: Dataset[StatusEvent] = picked
+    // seq = the event's index in ITS JOB's stage walk — ordering is a fact
+    // of the walk, never of partition layout (a monotonically_increasing_id
+    // here would survive only as long as each job's events happen to stay
+    // in one partition in emission order)
+    val walked: Dataset[(StatusEvent, Int)] = picked
       .repartition(8)
       .mapPartitions(_.flatMap { j =>
-        StatusEvent(j.id, "encsrv01 - Waiting", claimTs, batchId) +:
-          JobStream.runJob(j, runner, batchId, () => 0L)
+        (StatusEvent(j.id, "encsrv01 - Waiting", claimTs, batchId) +:
+          JobStream.runJob(j, runner, batchId, () => 0L)).zipWithIndex
       })
-      .union(spark.createDataset(fkErrors))
+      .union(spark.createDataset(fkErrors.map(e => (e, 0))))
       // consumed by the latest-view AND returned to the caller: cache so
       // the side-effecting dispatch runs once, not once per downstream action
       .cache()
+    val events: Dataset[StatusEvent] = walked.map(_._1)
 
     // S8 rewrite: latest event per job overrides the snapshot status
     val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
-    val latest = events.toDF()
-      .withColumn("seq", monotonically_increasing_id())
+    val latest = walked
+      .select(col("_1.job_id").as("job_id"), col("_1.status").as("status"),
+        col("_2").as("seq"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("job_id"), col("status").as("new_status"))
