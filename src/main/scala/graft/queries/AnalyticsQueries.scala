@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Numeric discipline for oracle parity: every SUM over a double column is
   * computed in DECIMAL (exact, order-independent — a float sum would differ
-  * between Spark's and DuckDB's reduction orders), and every ratio is an
-  * IEEE double division of exact inputs, which both engines evaluate
-  * identically.
+  * between Spark's and DuckDB's reduction orders), but every FINAL projection
+  * casts the exact decimal to DOUBLE: the driver's duck-side fetch normalizes
+  * decimal scale (strips trailing zeros) before hashing, so any decimal that
+  * survives to the output is repr-unstable. The decimal→double conversion is
+  * correctly-rounded and identical in both engines, so exact accumulation +
+  * double projection is bit-stable end to end.
   */
 object AnalyticsQueries {
 
@@ -26,14 +29,14 @@ object AnalyticsQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-          .cast("decimal(22,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty",
-        col("sum_qty").cast("double") / col("count_order").cast("double"))
+        col("sum_qty") / col("count_order").cast("double"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 shape: fact-fact join (orders x lineitem shuffle on the join
@@ -51,7 +54,7 @@ object AnalyticsQueries {
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-        .cast("decimal(22,4)").as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -79,7 +82,7 @@ object AnalyticsQueries {
       .groupBy(col("n_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-        .cast("decimal(22,4)").as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -95,7 +98,7 @@ object AnalyticsQueries {
         col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.08) && col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          col("l_discount").cast("decimal(12,2)")).cast("decimal(22,4)")
+          col("l_discount").cast("decimal(12,2)")).cast("double")
         .as("revenue"))
 
   /** TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (orders that
@@ -120,7 +123,7 @@ object AnalyticsQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("revenue"))
+      .agg(sum(disc(col("l_extendedprice"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }
@@ -150,12 +153,12 @@ object AnalyticsQueries {
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", disc(col("l_extendedprice")))
-          .otherwise(lit(0).cast("decimal(12,2)"))).cast("decimal(22,4)")
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
           .as("promo_revenue"),
-        sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("total_revenue"))
+        sum(disc(col("l_extendedprice"))).cast("double").as("total_revenue"))
       .select(col("promo_revenue"), col("total_revenue"),
-        round(lit(100.0) * col("promo_revenue").cast("double") /
-          col("total_revenue").cast("double"), 6).as("promo_pct"))
+        round(lit(100.0) * col("promo_revenue") /
+          col("total_revenue"), 6).as("promo_pct"))
   }
 
   /** TPC-H Q16 shape: distinct-count by part attributes with an exclusion
@@ -176,8 +179,9 @@ object AnalyticsQueries {
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val big = li.groupBy(col("l_orderkey").as("big_okey"))
-      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("total_qty"))
-      .filter(col("total_qty") > 150)
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("total_qty_dec"))
+      .filter(col("total_qty_dec") > 150)
+      .withColumn("total_qty", col("total_qty_dec").cast("double"))
     val ord = table(spark, dir, "orders")
     val cust = table(spark, dir, "customer")
     big.join(ord, col("big_okey") === ord("o_orderkey"))
@@ -200,7 +204,7 @@ object AnalyticsQueries {
           li("l_quantity").between(10, 30)) ||
          (part("p_brand") === "Brand#23" && part("p_size").between(1, 35) &&
           li("l_quantity").between(20, 40))))
-      .agg(sum(disc(col("l_extendedprice"))).cast("decimal(22,4)").as("revenue"))
+      .agg(sum(disc(col("l_extendedprice"))).cast("double").as("revenue"))
   }
 
   /** Grouped-set hierarchy: ROLLUP over (returnflag, linestatus) — the
@@ -209,7 +213,7 @@ object AnalyticsQueries {
     table(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** CUBE over (returnflag, linestatus): all four grouping-set combinations
@@ -218,7 +222,7 @@ object AnalyticsQueries {
     table(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Anti-join: parts that never shipped a returned line (left_anti — the
@@ -270,12 +274,12 @@ object AnalyticsQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS DOUBLE)
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -284,7 +288,7 @@ object AnalyticsQueries {
     "q3_top_unshipped" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -296,7 +300,7 @@ object AnalyticsQueries {
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -310,7 +314,7 @@ object AnalyticsQueries {
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |               CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS revenue
+        |               CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -324,7 +328,7 @@ object AnalyticsQueries {
     "q10_returns" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -339,16 +343,15 @@ object AnalyticsQueries {
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q14_promo_share" ->
       """SELECT promo_revenue, total_revenue,
-        |       round(100.0 * CAST(promo_revenue AS DOUBLE)
-        |             / CAST(total_revenue AS DOUBLE), 6) AS promo_pct
+        |       round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
         |FROM (
         |  SELECT
         |    CAST(SUM(CASE WHEN p_type = 'PROMO'
         |                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-        |                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(22,4)) AS promo_revenue,
+        |                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS total_revenue
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin,
@@ -359,31 +362,32 @@ object AnalyticsQueries {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q18_large_orders" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(total_qty_dec AS DOUBLE) AS total_qty
         |FROM (
         |  SELECT l_orderkey AS big_okey,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS total_qty
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty_dec
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) > 150) big
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
         |JOIN orders ON big_okey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q19_brackets" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+        |               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,

@@ -29,7 +29,7 @@ object EventQueries {
     events(spark, dir)
       .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(22,4)").as("sum_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("hour_start", "event_type")
@@ -84,7 +84,7 @@ object EventQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
       .withColumn("cum_value",
-        sum(col("value").cast("decimal(12,2)")).over(w).cast("decimal(22,4)"))
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
       .select(col("event_id"), col("user_id"), col("cum_value"))
       .orderBy("user_id", "event_id")
   }
@@ -109,7 +109,7 @@ object EventQueries {
       .rangeBetween(-3600L * 1000000L, Window.currentRow)
     events(spark, dir)
       .withColumn("trailing_1h",
-        sum(col("value").cast("decimal(12,2)")).over(w).cast("decimal(22,4)"))
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
       .select(col("event_id"), col("user_id"), col("trailing_1h"))
       .orderBy("user_id", "event_id")
   }
@@ -208,7 +208,7 @@ object EventQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(12,2)))
         |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(22,4)) AS trailing_1h
+        |            AS DOUBLE) AS trailing_1h
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "e8_engaged_days" ->
       """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
@@ -220,7 +220,7 @@ object EventQueries {
     "e1_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e2_sessionize" ->
       """SELECT event_id, user_id, ts, session_no FROM (
@@ -250,7 +250,7 @@ object EventQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(12,2)))
         |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(22,4)) AS cum_value
+        |            AS DOUBLE) AS cum_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "e6_viewers_no_error" ->
       """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

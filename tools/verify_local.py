@@ -16,10 +16,18 @@ compares dtype-aware value signatures, so local green implies driver green:
                  when the values are numerically equal.
   - array/list/ndarray cells are a hard FAIL (the driver's pandas row sort
     crashes on them: "unhashable type: numpy.ndarray").
+  - ANY decimal.Decimal cell surviving to either frame is a hard FAIL
+    (round-2 lesson: the driver's duck fetch normalizes decimal scale —
+    strips trailing zeros — so Decimal('138014.0000') != Decimal('138014.0')
+    under its repr-sensitive hash; no decimal width is driver-stable. Final
+    projections must be DOUBLE/BIGINT/string/date/timestamp.)
+  - timestamps compare by their 64-bit nanosecond tick value, not isoformat
+    (mirrors the driver's raw tick hash).
 
 Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
 """
 import sys, os, glob, json
+import decimal
 import duckdb
 import numpy as np
 import pandas as pd
@@ -40,6 +48,16 @@ def duck_df(con, sql):
         if pt.is_decimal(field.type):
             p, s = field.type.precision, field.type.scale
             if p <= 18 or (p == 38 and s == 0):
+                if p == 38 and s == 0:
+                    # HUGEINT (BIGINT sums): the float64 cast is exact only
+                    # below 2^53 — above that the driver would hash a rounded
+                    # value, so force the oracle SQL to CAST(... AS BIGINT)
+                    mx = pa.compute.max(pa.compute.abs(col)).as_py()
+                    if mx is not None and int(mx) >= 2 ** 53:
+                        raise TypeError(
+                            f"column {field.name}: HUGEINT value {mx} "
+                            ">= 2^53 would lose precision in float64 — "
+                            "cast the oracle column to BIGINT")
                 col = col.cast(pa.float64())
         names.append(field.name)
         cols.append(col)
@@ -60,14 +78,19 @@ def cell_sig(v):
         raise TypeError(
             "array-typed cell — the driver harness crashes on these "
             "(unhashable type: numpy.ndarray)")
+    if isinstance(v, decimal.Decimal):
+        raise TypeError(
+            "decimal-typed cell — the driver's duck fetch normalizes decimal "
+            "scale (strips trailing zeros) so NO decimal width hashes stably; "
+            "cast the final projection to DOUBLE or BIGINT on both sides")
     t = type(v).__name__
     # numpy scalars repr differently across numpy versions; normalise
     if isinstance(v, np.generic):
         return (v.dtype.name, repr(v.item()))
     if isinstance(v, pd.Timestamp):
-        # driver hashes the 64-bit tick value; unit (ns vs us) is absorbed
-        # by pandas' hash, so compare the instant
-        return ("timestamp", v.isoformat())
+        # driver hashes the 64-bit tick; compare the instant as ns ticks
+        # (.value is always nanoseconds regardless of the frame's unit)
+        return ("timestamp", v.value)
     return (t, repr(v))
 
 
