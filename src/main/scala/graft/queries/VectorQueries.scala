@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** Cache registry mirroring [[TextQueries]]' lifecycle contract: Bench
+    * (and any long-lived session) calls [[releaseCaches]] after the vector
+    * block so the assigned-corpus cache doesn't stay pinned. */
+  private val cacheRegistry =
+    scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def registered(df: DataFrame): DataFrame =
+    cacheRegistry.synchronized {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cacheRegistry += p
+      p
+    }
+
+  /** Unpersist every cache this module created. Idempotent. */
+  def releaseCaches(): Unit = cacheRegistry.synchronized {
+    cacheRegistry.foreach(_.unpersist(blocking = false))
+    cacheRegistry.clear()
+  }
+
+  /** Live registered-cache count (spec hook). */
+  def activeCacheCount: Int = cacheRegistry.synchronized(cacheRegistry.size)
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -148,20 +171,33 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), col("cell"))
     }
     // Lloyd: seeds -> (assign -> mean) x LloydIters; means rounded to 6 so
-    // the quantizer state is cross-engine identical after every pass
+    // the quantizer state is cross-engine identical after every pass.
+    // Each pass's centroid frame is K x dims — quantizer state, not data —
+    // so it is collected to a local relation between passes: without the
+    // cut, every assign() embeds the full prior-iteration lineage and the
+    // corpus gets re-scored once per downstream action per iteration
+    // (the round-2 v4 regression). This is the Spark analogue of
+    // broadcasting model state each iteration; the corpus itself never
+    // leaves the executors.
+    import spark.implicits._
+    def toLocal(c: DataFrame): DataFrame =
+      c.select(col("cell").cast("bigint"), col("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+        .toDF("cell", "cvec")
     val seeds = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-    val cent = (1 to LloydIters).foldLeft(seeds) { (c, _) =>
-      assign(c)
+    val cent = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
+      toLocal(assign(c)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("cv"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-        .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec"))
+        .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
     }
-    val assigned = assign(cent)
+    // cached: the probe reuses the assignment on BOTH join sides
+    val assigned = registered(assign(cent))
     // probe: exact cosine within the query's cell only
     val q = assigned.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))

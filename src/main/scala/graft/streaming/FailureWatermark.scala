@@ -48,13 +48,23 @@ final class FailureWatermark(
     * ends the loop, a failure goes through [[onFailure]] (backoff + restart,
     * or rethrow once expired). `startQuery` must create a NEW query each
     * attempt — with a checkpoint the restart resumes the uncommitted batch,
-    * which is the reference's retry-the-same-poll semantics. */
+    * which is the reference's retry-the-same-poll semantics.
+    *
+    * Only ordinary (non-fatal) failures enter the backoff/retry loop — the
+    * reference's bare `except` retries poll errors, not daemon death: a
+    * fatal JVM error (OutOfMemoryError & co.) propagates immediately, and
+    * an interrupt rethrows with the thread's interrupt status restored. */
   def guard(startQuery: () => StreamingQuery): Unit = {
     var running = true
     while (running) {
       val q = startQuery()
       try { q.awaitTermination(); running = false }
-      catch { case e: Throwable => onFailure(e) }
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) => onFailure(e)
+      }
     }
   }
 
