@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON; sbt's trailing "[success] Total time: …" line broke that three
+// rounds running. Suppress it, and pass the forked JVM's stdout through
+// unprefixed (the default logger strategy stamps every line with "[info] ",
+// which is not valid JSON either). Bench also writes bench_out.json as
+// belt-and-braces.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

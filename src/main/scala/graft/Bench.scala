@@ -74,8 +74,11 @@ object Bench {
     System.err.println(f"[bench] warm_text_caches             once  =$warmT%8.3f")
     val warm = "warm_text_caches" -> warmT
 
-    val textNames = all.keys.toSeq.filter(n => n.startsWith("d") || n.startsWith("t")).sorted
-    val vecNames = all.keys.toSeq.filter(_.startsWith("v")).sorted
+    // group membership comes from the module registries, not name prefixes:
+    // a future "top_sellers" query must not silently run in the text group
+    // against released caches (round-3 advice)
+    val textNames = all.keys.toSeq.filter(graft.queries.TextQueries.queries.keySet).sorted
+    val vecNames = all.keys.toSeq.filter(graft.queries.VectorQueries.queries.keySet).sorted
     val restNames = (all.keys.toSet -- textNames -- vecNames).toSeq.sorted
 
     val textRes = run(textNames)
@@ -86,12 +89,21 @@ object Bench {
 
     val results = warm +: (textRes ++ vecRes ++ restRes)
     import JsonText.q
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under e.g. de_DE renders "87,487" — invalid JSON (round-3 advice)
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"${q(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)},"reps":$reps}"""
+    // belt-and-braces: the same JSON to a well-known file, in case anything
+    // ever trails the stdout line again
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     // single compact line, printed last — nothing may follow on stdout
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)},"reps":$reps}""")
+    println(line)
     spark.stop()
   }
 }

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * statistics, quality scoring, language ID, and document fingerprinting
   * over the driver's `documents` table.
   *
-  * Portability backbone: every hash is md5-hex (identical in Spark and
+  * Portability backbone: every base hash is md5-hex (identical in Spark and
   * DuckDB), so MinHash minima, LSH band keys and SimHash bits are
-  * reproducible in the oracle. The corpus is `documents` augmented with
+  * reproducible in the oracle. MinHash hashes each shingle ONCE and derives
+  * its 16 seed values by integer mixing of digest slices — 16 md5 calls per
+  * shingle was 69% of the round-3 bench. The corpus is `documents` augmented with
   * deterministic mutants — a drop-first-word near-dup for doc_id%5==0
   * (+1,000,000) and an exact copy for doc_id%7==0 (+2,000,000) — so the
   * dedup queries have planted positives to find.
@@ -134,25 +136,59 @@ object TextQueries {
 
   // ---- MinHash signature (shared by d2/d3/d4) ----
 
-  private def sigFrom(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
-      .agg(min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-        (1 until NumHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
+  /** One md5 per distinct shingle, not [[NumHashes]]: the digest's 32 hex
+    * chars are sliced into four 32-bit values, and the 16 per-seed hashes
+    * are multiply-add-mod mixes of those slices (a universal-hash family).
+    * Round 3 spent 69% of the whole bench computing 16 md5s per shingle
+    * occurrence; this is the standard one-hash-plus-cheap-seed-mix MinHash.
+    * The mix constants are produced by [[mixA]]/[[mixB]] and inlined into
+    * BOTH the Column plan and the oracle SQL, so the twins cannot drift. */
+  private val MixMod = 4294967296L // 2^32
 
+  private def mixA(j: Int): Long = (((j + 1) * 2654435761L) % (1L << 30)) | 1L
+  private def mixB(j: Int): Long = ((j + 1) * 1013904223L) % MixMod
+
+  /** (doc_id, v0..v3): the four 32-bit digest slices per shingle. Max
+    * product v * mixA < 2^62 — no ANSI overflow. */
+  private def slicesFrom(sh: DataFrame): DataFrame = {
+    val hx = md5(col("shingle"))
+    sh.select(col("doc_id") +: (0 until 4).map(s =>
+      conv(substring(hx, 1 + 8 * s, 8), 16, 10).cast("bigint").as(s"v$s")): _*)
+  }
+
+  private def mixCol(j: Int): Column =
+    (col(s"v${j % 4}") * mixA(j) + mixB(j)) % MixMod
+
+  private def sigFrom(sh: DataFrame): DataFrame =
+    slicesFrom(sh).groupBy(col("doc_id"))
+      .agg(min(mixCol(0)).as("h0"),
+        (1 until NumHashes).map(j => min(mixCol(j)).as(s"h$j")): _*)
+
+  /** Signatures over the cached DISTINCT shingles: MinHash minima are
+    * set-semantic, and the distinct base is already materialized for the
+    * candidate join — round 3 ran the tokenize+explode pipeline a second
+    * time here. */
   private def sigDF(spark: SparkSession, dir: String): DataFrame =
-    sigFrom(shingles(spark, dir))
+    sigFrom(distinctShingles(spark, dir))
 
   private val sigsCte: String = {
+    val slices = (0 until 4).map(s =>
+      s"CAST(('0x' || substr(md5(shingle), ${1 + 8 * s}, 8)) AS BIGINT) AS v$s")
+      .mkString(", ")
     val aggs = (0 until NumHashes)
-      .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(", ")
-    s"sigs AS (SELECT doc_id, $aggs FROM shingles GROUP BY doc_id)"
+      .map(j => s"min((v${j % 4} * ${mixA(j)} + ${mixB(j)}) % $MixMod) AS h$j")
+      .mkString(", ")
+    s"""slices AS (SELECT doc_id, $slices FROM shingles),
+       |sigs AS (SELECT doc_id, $aggs FROM slices GROUP BY doc_id)""".stripMargin
   }
 
   private def bandsFrom(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
-      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => col(s"h$j").cast("string"))
+      // '|'-separated: h values are bigints now, and "1|23" vs "12|3"
+      // must not collide into one band key
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -161,7 +197,7 @@ object TextQueries {
   private val bandsCte: String = {
     val rows = (0 until Bands).map { b =>
       val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(j => s"h$j").mkString(" || ")
+        .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"bands AS (\n  $rows)"
@@ -208,7 +244,8 @@ object TextQueries {
   def d2MinhashSig(spark: SparkSession, dir: String): DataFrame =
     sigDF(spark, dir)
       .select(col("doc_id"),
-        concat_ws("|", (0 until NumHashes).map(j => col(s"h$j")): _*).as("signature"))
+        concat_ws("|",
+          (0 until NumHashes).map(j => col(s"h$j").cast("string")): _*).as("signature"))
       .orderBy("doc_id")
 
   /** LSH near-dup candidate pairs: 4 bands x 4 rows; pairs sharing any band
@@ -410,7 +447,9 @@ object TextQueries {
     * hash (= MinHash seed 0) for robust-to-reorder matching. */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fp = cachedFps(spark, dir).select(col("doc_id"), col("fp").as("fp_md5"))
-    val winnow = shingles(spark, dir).groupBy(col("doc_id"))
+    // distinct base: min over a set equals min over the bag, and the
+    // distinct shingles are already cached for the LSH pipeline
+    val winnow = distinctShingles(spark, dir).groupBy(col("doc_id"))
       .agg(min(md5(col("shingle"))).as("fp_winnow"))
     fp.join(winnow, Seq("doc_id"), "left")
       .select("doc_id", "fp_md5", "fp_winnow")
@@ -454,7 +493,7 @@ object TextQueries {
            |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
       "d2_minhash_sig" -> oracle(
         s""", $sigsCte
-           |SELECT doc_id, ${(0 until NumHashes).map(j => s"h$j").mkString(" || '|' || ")} AS signature
+           |SELECT doc_id, ${(0 until NumHashes).map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '|' || ")} AS signature
            |FROM sigs ORDER BY doc_id""".stripMargin),
       "d3_minhash_lsh_pairs" -> oracle(
         s""", $sigsCte,
