@@ -148,6 +148,31 @@ object StatusQueries {
       .orderBy("job_id", "frame_file")
   }
 
+  /** S10 — the video_files upsert (job.py:311-315): on job completion the
+    * reference runs `UPDATE video_files SET is_enabled = true, size = %s
+    * WHERE id = %s` keyed by the job's video_id. Fixture: one row per order
+    * (disabled, size 0). The output size is the per-order lineitem quantity
+    * sum (the A2 file-listing-sum shape), and the multi-column update is the
+    * same left-anti + unionByName snapshot rewrite every UPDATE sink uses
+    * (st2). Jobs with NULL video_id update nothing — the reference's
+    * `if job.video_id is not None` guard. */
+  def s10VideoEnable(spark: SparkSession, dir: String): DataFrame = {
+    val vf = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("id"), lit(false).as("is_enabled"),
+        lit(0L).as("size"))
+    val sizes = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("sz"))
+    val upd = EncodeDomain.jobsDF(spark, dir)
+      .filter(col("status") === "Done" && col("video_id").isNotNull)
+      .join(sizes, col("id") === col("l_orderkey"))
+      .select(col("video_id").as("id"), lit(true).as("is_enabled"),
+        col("sz").as("size"))
+    vf.join(upd.select("id"), Seq("id"), "left_anti")
+      .unionByName(upd)
+      .orderBy("id")
+  }
+
   /** F9+A1 — the bot reply (common.py:77-80, messages.py:12-18): waiting
     * count formatted through the message-template map with the
     * `"" if n==1 else "s"` pluralisation. */
@@ -176,6 +201,7 @@ object StatusQueries {
     "st_latest_status" -> stLatestStatus,
     "a3_roster" -> a3Roster,
     "st2_claim_upsert" -> st2ClaimUpsert,
+    "s10_video_enable" -> s10VideoEnable,
     "w3_move_progress" -> w3MoveProgress,
     "f9_status_message" -> f9StatusMessage,
     "f14_stale_failures" -> f14StaleFailures)
@@ -204,6 +230,22 @@ object StatusQueries {
         |       THEN 'encsrv01 - Waiting' ELSE status END AS status,
         |  format_id, CAST(priority AS DOUBLE) AS priority
         |FROM encode_jobs ORDER BY id""".stripMargin),
+    "s10_video_enable" -> (s"WITH ${EncodeDomain.formatsCte},\n${EncodeDomain.jobsCte},\n" +
+      """video_files AS (
+        |  SELECT o_orderkey AS id, FALSE AS is_enabled, CAST(0 AS BIGINT) AS size
+        |  FROM orders),
+        |sizes AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sz
+        |  FROM lineitem GROUP BY 1),
+        |upd AS (
+        |  SELECT j.video_id AS id, TRUE AS is_enabled, s.sz AS size
+        |  FROM encode_jobs j JOIN sizes s ON j.id = s.l_orderkey
+        |  WHERE j.status = 'Done' AND j.video_id IS NOT NULL)
+        |SELECT id, is_enabled, size FROM video_files
+        |WHERE id NOT IN (SELECT id FROM upd)
+        |UNION ALL
+        |SELECT id, is_enabled, size FROM upd
+        |ORDER BY id""".stripMargin),
     "w3_move_progress" -> oracle(
       """SELECT job_id, frame_file,
         |       printf('Moving files %d%%', CAST(idx * 100 / 5 AS INTEGER)) AS progress

@@ -134,6 +134,55 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Embeddings augmented with planted near-dups for v5: vec_id%5==0 gets
+    * a mutant (vec_id+1,000,000) whose first component is scaled by 1.01 —
+    * computed as a double multiply rounded back to float32, which is the
+    * same IEEE operation in both engines. The sign of every component is
+    * preserved, so each mutant lands in its source's sign-bucket and the
+    * LSH probe can find the planted pair (mirrors the text-corpus mutant
+    * scheme in TextQueries.corpus). */
+  private def augEmb(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.unionByName(
+      e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1).cast("double") * 1.01)
+              .cast("float")),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+            .as("embedding"),
+          col("label")))
+  }
+
+  private val augCte: String =
+    """aug AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |         [CAST(embedding[1] * 1.01 AS FLOAT)] || embedding[2:],
+      |         label
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
+  /** v5 — embedding near-dup pairs: the vector analogue of MinHash+verify
+    * dedup. Candidates come from the sign-bucket equi-join (never all
+    * pairs); the exact rounded cosine is the verify step; threshold 0.999
+    * keeps planted mutants and excludes every natural pair. At 100 TB the
+    * bucket join is the same plan as v3 — candidates per probe are bounded
+    * by the bucket population. */
+  def v5NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = augEmb(spark, dir).withColumn("bkt", bucket(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("bkt"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("bkt").as("bkt_b"))
+    a.join(b, col("bkt") === col("bkt_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.999)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** k-means iteration/seed counts shared by the Spark plan and its oracle
     * twin (the SQL is generated from the same constants). */
   private val IvfCells = 8
@@ -217,7 +266,8 @@ object VectorQueries {
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
-    "v4_ivf_ann" -> v4IvfAnn)
+    "v4_ivf_ann" -> v4IvfAnn,
+    "v5_near_dup_pairs" -> v5NearDupPairs)
 
   val oracleSql: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -293,6 +343,29 @@ object VectorQueries {
          |    JOIN norms nc ON d.vid = nc.vec_id))
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+    "v5_near_dup_pairs" ->
+      s"""WITH $augCte,
+         |avals AS (
+         |  SELECT vec_id,
+         |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         |         unnest(range(len(embedding))) AS pos
+         |  FROM aug),
+         |anorms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM avals GROUP BY vec_id),
+         |abkts AS (SELECT vec_id, ${bucketSql} AS bkt FROM aug),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(va.v * vb.v) AS dp
+         |  FROM abkts a
+         |  JOIN abkts b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |  JOIN avals va ON va.vec_id = a.vec_id
+         |  JOIN avals vb ON vb.vec_id = b.vec_id AND va.pos = vb.pos
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT d.vec_a, d.vec_b,
+         |         round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
+         |  FROM dots d
+         |  JOIN anorms na ON d.vec_a = na.vec_id
+         |  JOIN anorms nb ON d.vec_b = nb.vec_id)
+         |WHERE cosine >= 0.999 ORDER BY vec_a, vec_b""".stripMargin,
     "v3_bucketed_ann" ->
       s"""WITH $valsCte,
          |$normsCte,
