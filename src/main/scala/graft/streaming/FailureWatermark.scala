@@ -61,6 +61,9 @@ final class FailureWatermark(
       try { q.awaitTermination(); running = false }
       catch {
         case e: InterruptedException =>
+          // best-effort stop: without it the just-started query outlives
+          // the guard loop after an interrupt (round-3 advice)
+          try q.stop() catch { case _: Throwable => () }
           Thread.currentThread().interrupt()
           throw e
         case scala.util.control.NonFatal(e) => onFailure(e)

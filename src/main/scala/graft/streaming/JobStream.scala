@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.exec.{CommandRunner, Loudness, Progress}
 
@@ -105,6 +105,48 @@ object JobStream {
         }
         (id, next.map(_.status).getOrElse("Not Encoding"))
     }
+  }
+
+  /** [[latestStatus]] on the modern state API (Spark 4 `transformWithState`
+    * — the supported successor of mapGroupsWithState). Same forward-only
+    * transition semantics, plus what the hand-rolled eviction cannot
+    * express: non-terminal state carries a processing-time TTL, so a job
+    * abandoned mid-flight (worker died without emitting Error) stops
+    * pinning the state store after `ttl`. Terminal jobs still clear
+    * eagerly. Requires the RocksDB state store provider. The
+    * mapGroupsWithState twin stays for batch use and as a semantics pin. */
+  class LatestStatusProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, StatusEvent, (Long, String)] {
+    @transient private var state: ValueState[JobState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[JobState]("latest",
+        org.apache.spark.sql.Encoders.product[JobState], TTLConfig(ttl))
+    override def handleInputRows(id: Long, evs: Iterator[StatusEvent],
+        timers: TimerValues): Iterator[(Long, String)] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, rank(e.status)))
+      val init = if (state.exists()) Some(state.get()) else None
+      val next = sorted.foldLeft(init) { (cur, e) =>
+        val r = rank(e.status)
+        cur match {
+          case Some(s) if r < s.rank => cur // refuse regression
+          case _ => Some(JobState(e.status, r, e.ts.getTime))
+        }
+      }
+      next match {
+        case Some(s) if isTerminal(s.rank) => state.clear()
+        case Some(s) => state.update(s)
+        case None => ()
+      }
+      Iterator.single((id, next.map(_.status).getOrElse("Not Encoding")))
+    }
+  }
+
+  def latestStatusTws(events: Dataset[StatusEvent],
+      ttl: java.time.Duration = java.time.Duration.ofDays(7)): Dataset[(Long, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.job_id)
+      .transformWithState(new LatestStatusProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   // ---- dispatch (foreachBatch body) ----

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.exec.{Loudness, MockRunner, Progress}
-import graft.streaming.{FailureWatermark, JobStream}
+import graft.streaming.{AlertSink, FailureWatermark, JobStream}
 import graft.streaming.JobStream.{JobRequest, StatusEvent}
 
 class StreamingSpec extends AnyFunSuite {
@@ -169,6 +169,62 @@ class StreamingSpec extends AnyFunSuite {
         Thread.sleep(50)
       assert(wm.lastSuccess == 42L, "committed batch must refresh last-success")
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("error-alert sink captures each Error event exactly once across replays") {
+    import org.apache.spark.sql.Dataset
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1756684800000L
+    val evs = Seq(
+      StatusEvent(1, "encsrv01 - Copying Source 50%", new Timestamp(t0), 0),
+      StatusEvent(1, "encsrv01 - Error", new Timestamp(t0 + 1000), 0),
+      StatusEvent(2, "Done", new Timestamp(t0 + 2000), 0))
+    val table = new AlertSink.AlertTable
+    def deliver(): Unit = {
+      val ms = MemoryStream[StatusEvent]
+      ms.addData(evs: _*)
+      val q = AlertSink.start(ms.toDS(), table, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    deliver()
+    assert(table.alerts.map(a => (a.job_id, a.status)) ==
+      Seq((1L, "encsrv01 - Error")), "only the Error event alerts")
+    // a re-delivered batch restarts at the same batchId → same alert keys
+    deliver()
+    assert(table.alerts.size == 1, "replay must not duplicate alerts")
+  }
+
+  test("latestStatus on transformWithState (value state + TTL) matches the legacy twin") {
+    import org.apache.spark.sql.Dataset
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1756684800000L
+      val ms = MemoryStream[StatusEvent]
+      ms.addData(
+        StatusEvent(1, "Not Encoding", new Timestamp(t0), 0),
+        StatusEvent(1, "encsrv01 - Encoding Pass 1", new Timestamp(t0 + 2000), 0),
+        StatusEvent(1, "Not Encoding", new Timestamp(t0 + 3000), 0), // regression
+        StatusEvent(2, "Not Encoding", new Timestamp(t0), 0),
+        StatusEvent(2, "Done", new Timestamp(t0 + 1000), 0))
+      val out = scala.collection.mutable.Map[Long, String]()
+      val q = JobStream.latestStatusTws(ms.toDS()).writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[(Long, String)], _: Long) =>
+          b.collect().foreach { case (k, v) => out.synchronized { out(k) = v } }
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      assert(out(1L) == "encsrv01 - Encoding Pass 1", "regression must be refused")
+      assert(out(2L) == "Done")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
   test("ST1/S12: file-arrival job source dispatches each arrival exactly once") {
