@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
   * batch iteration, deterministic output contract — is real and tested.
-  * The codec itself is a STUB (`FakeCodec`): this container ships no
-  * image/audio libraries, so decode produces a deterministic payload-hash
-  * projection with the same shape a real decoder would emit. Swapping in a
-  * real codec is a one-object change behind [[MediaCodec]].
+  * The `image` path is ALSO real: [[MultimodalOps.ImageIoCodec]] decodes
+  * PNG/JPEG/BMP/GIF payloads with the JDK's javax.imageio into luminance
+  * histograms. Audio decode and video demux remain stubbed behind the same
+  * [[MediaCodec]] seam (`FakeCodec`, a deterministic payload-hash
+  * projection): this container ships no audio/container libraries.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect,
   * no row explosion before the sample step); feature extraction is
@@ -55,6 +56,44 @@ object MultimodalOps {
     }
     def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
       payload.take(16) :+ frameNo.toByte
+  }
+
+  /** Real pure-JVM image codec behind the [[MediaCodec]] seam: decodes
+    * `image` payloads with javax.imageio (PNG/JPEG/BMP/GIF readers ship in
+    * the JDK) into a dim-bucket luminance histogram — an actual content
+    * feature, deterministic across JVMs. Non-image kinds and undecodable
+    * payloads fall back to the [[FakeCodec]] projection so a mixed or
+    * partially-corrupt corpus keeps flowing (a training pipeline
+    * quarantines bad files, it doesn't crash the stage). Video frame
+    * extraction stays stubbed — the JDK ships no container demuxer. */
+  object ImageIoCodec extends MediaCodec {
+    def features(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "image") return FakeCodec.features(kind, payload, dim)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return FakeCodec.features(kind, payload, dim)
+      val hist = new Array[Float](dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          hist(lum * dim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { hist(i) /= n; i += 1 }
+      hist
+    }
+    def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
+      FakeCodec.frame(payload, frameNo)
   }
 
   /** Deterministic synthetic media table (payload bytes derived from

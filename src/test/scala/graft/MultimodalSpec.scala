@@ -41,6 +41,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_payload.length == 17))
   }
 
+  test("ImageIoCodec decodes real PNG bytes into a luminance histogram") {
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val f = ImageIoCodec.features("image", png, 16)
+    assert(math.abs(f(0) - 0.5f) < 1e-6f, "black half → lowest bucket")
+    assert(math.abs(f(15) - 0.5f) < 1e-6f, "white half → highest bucket")
+    assert(f.slice(1, 15).forall(_ == 0f))
+    // corrupt payloads and non-image kinds fall back to the stub projection
+    assert(ImageIoCodec.features("image", Array[Byte](1, 2, 3), 8)
+      .sameElements(FakeCodec.features("image", Array[Byte](1, 2, 3), 8)))
+    assert(ImageIoCodec.features("audio", png, 8)
+      .sameElements(FakeCodec.features("audio", png, 8)))
+    // the distributed path runs the real decode inside mapPartitions
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", png, MediaMeta(Some(8), Some(4), None, None))).toDS()
+    val out = extractFeatures(media, ImageIoCodec, 16).collect()
+    assert(out.head.features.sameElements(f), "Spark path must match local decode")
+  }
+
   test("binary payloads round-trip through parquet intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     val m = syntheticMedia(spark, 30)
