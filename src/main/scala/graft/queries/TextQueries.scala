@@ -65,11 +65,17 @@ object TextQueries {
     * query ran first absorb the whole shared materialization, which made
     * per-query numbers lie. */
   def warmShared(spark: SparkSession, dir: String): Unit = {
-    cachedCands(spark, dir).count() // forces toks + shingles + bands + cands
-    cachedJpairs(spark, dir).count() // forces the verify pipeline (d4/d7)
-    cachedSimhashSig(spark, dir).count()
-    cachedFps(spark, dir).count()
-    ()
+    // per-stage attribution to stderr: when warm regresses, the next round
+    // should see WHICH cache moved without re-instrumenting
+    def t(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime(); body
+      System.err.println(
+        f"[warm] $name%-8s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+    t("cands")(cachedCands(spark, dir).count()) // toks + shingles + bands + cands
+    t("jpairs")(cachedJpairs(spark, dir).count()) // verify pipeline (d4/d7)
+    t("simhash")(cachedSimhashSig(spark, dir).count())
+    t("fps")(cachedFps(spark, dir).count())
   }
 
   // ---- corpus ----

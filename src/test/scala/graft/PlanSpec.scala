@@ -89,4 +89,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("v5 near-dup: pairing is a bucket equi-join, never a cartesian product") {
+    val p = planOf(VectorQueries.v5NearDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s10 upsert: lineitem size aggregation combines map-side before the exchange") {
+    val p = planOf(StatusQueries.s10VideoEnable(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
