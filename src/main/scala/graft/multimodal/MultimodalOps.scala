@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
   * batch iteration, deterministic output contract — is real and tested.
-  * The `image` path is ALSO real: [[MultimodalOps.ImageIoCodec]] decodes
-  * PNG/JPEG/BMP/GIF payloads with the JDK's javax.imageio into luminance
-  * histograms. Audio decode and video demux remain stubbed behind the same
-  * [[MediaCodec]] seam (`FakeCodec`, a deterministic payload-hash
-  * projection): this container ships no audio/container libraries.
+  * The `image` and `audio` paths are ALSO real: [[MultimodalOps.JdkMediaCodec]]
+  * decodes PNG/JPEG/BMP/GIF payloads with javax.imageio into luminance
+  * histograms and WAV/AIFF/AU payloads with javax.sound.sampled into
+  * RMS-energy envelopes — both pure-JVM, no native libraries. Only video
+  * demux remains stubbed behind the same [[MediaCodec]] seam (`FakeCodec`,
+  * a deterministic payload-hash projection): the JDK ships no container
+  * demuxer.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect,
   * no row explosion before the sample step); feature extraction is
@@ -92,6 +94,61 @@ object MultimodalOps {
       while (i < dim) { hist(i) /= n; i += 1 }
       hist
     }
+    def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
+      FakeCodec.frame(payload, frameNo)
+  }
+
+  /** Full pure-JVM codec: image via [[ImageIoCodec]], audio via
+    * javax.sound.sampled (the JDK ships WAV/AIFF/AU readers — no native
+    * audio device is touched, decode is pure stream parsing) into a
+    * dim-bucket RMS-energy envelope over the PCM samples. Video demux
+    * remains the one genuinely stubbed kind. Undecodable payloads fall
+    * back to the stub projection, same quarantine discipline as images. */
+  object JdkMediaCodec extends MediaCodec {
+    def features(kind: String, payload: Array[Byte], dim: Int): Array[Float] =
+      kind match {
+        case "image" => ImageIoCodec.features(kind, payload, dim)
+        case "audio" => audioFeatures(payload, dim)
+          .getOrElse(FakeCodec.features(kind, payload, dim))
+        case _ => FakeCodec.features(kind, payload, dim)
+      }
+
+    /** RMS energy per time bucket over 16-bit PCM frames (first channel),
+      * normalized to [0,1] by the int16 range. */
+    private def audioFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) return None
+          val bytes = in.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val n = bytes.length / frameSize
+          if (n == 0) return None
+          val big = fmt.isBigEndian
+          val sumSq = new Array[Double](dim)
+          val cnt = new Array[Long](dim)
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize
+            val s =
+              if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+              else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            val b = (i.toLong * dim / n).toInt
+            sumSq(b) += s.toDouble * s.toDouble
+            cnt(b) += 1
+            i += 1
+          }
+          Some(Array.tabulate(dim)(b =>
+            if (cnt(b) == 0) 0f
+            else (math.sqrt(sumSq(b) / cnt(b)) / 32768.0).toFloat))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
     def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
       FakeCodec.frame(payload, frameNo)
   }

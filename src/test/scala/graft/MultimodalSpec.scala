@@ -66,6 +66,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.head.features.sameElements(f), "Spark path must match local decode")
   }
 
+  test("JdkMediaCodec decodes real WAV bytes into an RMS-energy envelope") {
+    import javax.sound.sampled._
+    // 800 mono 16-bit frames: first half silence, second half full-scale
+    // square wave → buckets (0,1) ≈ 0, buckets (2,3) ≈ 1
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val f = JdkMediaCodec.features("audio", wav, 4)
+    assert(f(0) == 0f && f(1) == 0f, s"silent half must be zero-energy: ${f.toSeq}")
+    assert(f(2) > 0.99f && f(3) > 0.99f, s"square-wave half must be ~1: ${f.toSeq}")
+    // undecodable audio falls back to the stub projection
+    assert(JdkMediaCodec.features("audio", Array[Byte](1, 2, 3), 8)
+      .sameElements(FakeCodec.features("audio", Array[Byte](1, 2, 3), 8)))
+    // image kind delegates to the ImageIO path
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val ibos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibos)
+    assert(JdkMediaCodec.features("image", ibos.toByteArray, 8)
+      .sameElements(ImageIoCodec.features("image", ibos.toByteArray, 8)))
+    // and the distributed path matches the local decode
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(2L, "audio", wav, MediaMeta(None, None, Some(8000), None))).toDS()
+    val out = extractFeatures(media, JdkMediaCodec, 4).collect()
+    assert(out.head.features.sameElements(f))
+  }
+
   test("binary payloads round-trip through parquet intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     val m = syntheticMedia(spark, 30)
