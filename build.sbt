@@ -18,6 +18,7 @@ run / fork := true
 // which is not valid JSON either). Bench also writes bench_out.json as
 // belt-and-braces.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command loop, not a task
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
