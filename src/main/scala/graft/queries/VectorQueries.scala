@@ -92,12 +92,17 @@ object VectorQueries {
     * corpus. */
   def v1CosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // norms are per-VECTOR, so compute them before the pairing join — the
+    // oracle's norms CTE shape; computing them per candidate pair would
+    // triple the per-pair array passes at any scale
     val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
     val scored = c.join(broadcast(q))
       .select(col("qid"), col("vid"),
-        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6)
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
           .as("cosine"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
@@ -120,12 +125,15 @@ object VectorQueries {
     * on bucket is the plan that survives at 100 TB. */
   def v3BucketedAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bkt", bucket(col("embedding")))
+      .withColumn("nrm", norm(col("embedding"))) // per-vector, pre-join
     val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt"))
-    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ce"), col("bkt"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ce"),
+      col("bkt"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .select(col("qid"), col("vid"), col("bkt"),
-        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6)
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
           .as("cosine"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
@@ -171,13 +179,14 @@ object VectorQueries {
     * by the bucket population. */
   def v5NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = augEmb(spark, dir).withColumn("bkt", bucket(col("embedding")))
+      .withColumn("nrm", norm(col("embedding"))) // per-vector, pre-join
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("bkt"))
+      col("bkt"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("bkt").as("bkt_b"))
+      col("bkt").as("bkt_b"), col("nrm").as("nb"))
     a.join(b, col("bkt") === col("bkt_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6)
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("cosine"))
       .filter(col("cosine") >= 0.999)
       .orderBy("vec_a", "vec_b")
@@ -209,11 +218,15 @@ object VectorQueries {
       sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
     // nearest-centroid assignment (argmax of rounded cosine, cell-asc ties)
     def assign(cent: DataFrame): DataFrame = {
+      // norms are per-vector / per-centroid — compute them once before the
+      // K-way pairing, not once per (vector, cell) pair
+      val cn = cent.withColumn("cn", normD(col("cvec")))
       val scored = e.select(col("vec_id"), col("embedding"))
-        .join(broadcast(cent))
+        .withColumn("nrm", norm(col("embedding")))
+        .join(broadcast(cn))
         .select(col("vec_id"), col("embedding"), col("cell"),
           round(dotFD(col("embedding"), col("cvec")) /
-            (norm(col("embedding")) * normD(col("cvec"))), 6).as("ccos"))
+            (col("nrm") * col("cn")), 6).as("ccos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cell").asc)
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -245,16 +258,20 @@ object VectorQueries {
         .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
         .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
     }
-    // cached: the probe reuses the assignment on BOTH join sides
-    val assigned = registered(assign(cent))
+    // cached: the probe reuses the assignment (and per-vector norm) on BOTH
+    // join sides
+    val assigned = registered(
+      assign(cent).withColumn("nrm", norm(col("embedding"))))
     // probe: exact cosine within the query's cell only
     val q = assigned.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
+        col("nrm").as("qn"))
     val c = assigned
-      .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("cell"))
+      .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("cell"),
+        col("nrm").as("cn"))
     val probed = c.join(broadcast(q), Seq("cell"))
       .select(col("qid"), col("vid"), col("cell"),
-        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6)
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
           .as("cosine"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
     probed.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
