@@ -182,6 +182,38 @@ object MultimodalOps {
     }
   }
 
+  /** Image resize (the brief's third multimodal operator): decode → bilinear
+    * Graphics2D scale to (w, h) → re-encode PNG, all pure-JVM. Non-image and
+    * undecodable payloads pass through UNCHANGED — the same
+    * quarantine-not-crash discipline as feature extraction, so a mixed
+    * corpus keeps flowing. mapPartitions, partition-preserving, payloads
+    * never leave the executors. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) m
+        else {
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          MediaRow(m.media_id, m.kind, bos.toByteArray,
+            m.meta.copy(width = Some(w), height = Some(h)))
+        }
+      }
+    })
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame up to the
     * metadata frame count — row explosion happens AFTER the kind filter,
     * never on the full corpus. */

@@ -104,6 +104,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.head.features.sameElements(f))
   }
 
+  test("resizeImages rescales decodable images, passes everything else through") {
+    import spark.implicits._
+    // 8x4 image: left half black, right half white
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(
+      MediaRow(1L, "image", png, MediaMeta(Some(8), Some(4), None, None)),
+      MediaRow(2L, "image", Array[Byte](9, 9), MediaMeta(None, None, None, None)),
+      MediaRow(3L, "audio", Array[Byte](1, 2), MediaMeta(None, None, Some(8000), None)))
+    val out = resizeImages(rows.toDS(), 4, 2).collect().sortBy(_.media_id)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert(resized.getWidth == 4 && resized.getHeight == 2)
+    assert(out(0).meta == MediaMeta(Some(4), Some(2), None, None))
+    // corners survive the bilinear scale: left dark, right bright
+    assert((resized.getRGB(0, 0) & 0xff) < 64)
+    assert((resized.getRGB(3, 1) & 0xff) > 192)
+    // undecodable image and non-image rows pass through untouched
+    assert(out(1).payload.toSeq == Seq[Byte](9, 9))
+    assert(out(2).payload.toSeq == Seq[Byte](1, 2) && out(2).kind == "audio")
+  }
+
   test("binary payloads round-trip through parquet intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     val m = syntheticMedia(spark, 30)
