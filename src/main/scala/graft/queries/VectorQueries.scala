@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** [EXT] similarity search over the `embeddings` table (builder brief):
   * brute-force cosine top-k as the correctness baseline, a sign-bit
-  * bucketed variant as the 100 TB path, and per-label centroids.
+  * bucketed variant and an IVF k-means quantizer as the 100 TB paths,
+  * per-label centroids, and embedding near-dup pairing over planted float
+  * mutants (v5 — the vector analogue of MinHash+verify dedup).
   *
   * Numeric discipline: embeddings are float32; every product/sum is
   * computed element-wise in DOUBLE in deterministic list order
