@@ -149,10 +149,10 @@ object TextQueries {
     * occurrence; this is the standard one-hash-plus-cheap-seed-mix MinHash.
     * The mix constants are produced by [[mixA]]/[[mixB]] and inlined into
     * BOTH the Column plan and the oracle SQL, so the twins cannot drift. */
-  private val MixMod = 4294967296L // 2^32
+  private[graft] val MixMod = 4294967296L // 2^32
 
-  private def mixA(j: Int): Long = (((j + 1) * 2654435761L) % (1L << 30)) | 1L
-  private def mixB(j: Int): Long = ((j + 1) * 1013904223L) % MixMod
+  private[graft] def mixA(j: Int): Long = (((j + 1) * 2654435761L) % (1L << 30)) | 1L
+  private[graft] def mixB(j: Int): Long = ((j + 1) * 1013904223L) % MixMod
 
   /** (doc_id, v0..v3): the four 32-bit digest slices per shingle. Max
     * product v * mixA < 2^62 — no ANSI overflow. */
@@ -165,7 +165,7 @@ object TextQueries {
   private def mixCol(j: Int): Column =
     (col(s"v${j % 4}") * mixA(j) + mixB(j)) % MixMod
 
-  private def sigFrom(sh: DataFrame): DataFrame =
+  private[graft] def sigFrom(sh: DataFrame): DataFrame =
     slicesFrom(sh).groupBy(col("doc_id"))
       .agg(min(mixCol(0)).as("h0"),
         (1 until NumHashes).map(j => min(mixCol(j)).as(s"h$j")): _*)

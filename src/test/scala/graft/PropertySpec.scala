@@ -128,4 +128,39 @@ class PropertySpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("MinHash signature is set-semantic and matches a local mix recomputation (Spark batch)") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    // random shingle bag with forced duplicates across 5 docs
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val bag = (0 until 300).map { _ =>
+      val d = rnd.nextInt(5).toLong
+      val s = Seq.fill(3)(words(rnd.nextInt(words.length))).mkString(" ")
+      (d, s)
+    }
+    val df = bag.toDF("doc_id", "shingle")
+    def sigs(in: org.apache.spark.sql.DataFrame): Map[Long, Seq[Any]] =
+      TextQueries.sigFrom(in).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaBag = sigs(df)
+    // MinHash minima must ignore duplicate shingles entirely
+    assert(viaBag == sigs(df.distinct()))
+    // and equal a from-first-principles local recomputation of
+    // md5 → 4 hex slices → (v * A_j + B_j) % 2^32 → min per seed
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want: Map[Long, Seq[Any]] = bag.distinct.groupBy(_._1).map {
+      case (d, rows) =>
+        d -> (0 until TextQueries.NumHashes).map { j =>
+          rows.map { case (_, s) =>
+            val v = java.lang.Long.parseLong(
+              md5hex(s).substring(8 * (j % 4), 8 * (j % 4) + 8), 16)
+            (v * TextQueries.mixA(j) + TextQueries.mixB(j)) % TextQueries.MixMod
+          }.min: Any
+        }
+    }
+    assert(viaBag == want)
+  }
 }
