@@ -40,6 +40,64 @@ object TextQueries {
   private val cacheRegistry =
     scala.collection.mutable.ArrayBuffer[DataFrame]()
 
+  // ---- shared-base checkpointing ----
+
+  /** The five shared bases below are CHECKPOINTED to local parquet rather
+    * than persist()ed: round 4's driver bench ran 2.11x of the recorded
+    * baseline because the RAM caches did not stay resident under the
+    * driver environment's heap pressure — warm paid 34 s and the d-block
+    * re-ran lineage anyway (d6 0.3 s -> 4.2 s on an unchanged query). A
+    * parquet checkpoint costs one deterministic write in [[warmShared]]
+    * and makes every downstream read a plain (OS-page-cached) scan that
+    * no GC or eviction can invalidate. This is also the honest 100 TB
+    * shape: multi-pass dedup pipelines checkpoint the shingle/candidate
+    * tables between passes (the comment at [[cachedJpairs]] always said
+    * so); a 1000-executor job would use HDFS/S3 where this uses
+    * target/graft-ckpt. Keyed by (sfDir, name): one snapshot per input
+    * dataset per JVM. */
+  private val ckptRegistry =
+    scala.collection.mutable.Map[(String, String), DataFrame]()
+
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt",
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(p)
+    sys.addShutdownHook { // best-effort cleanup; stale dirs are harmless
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    p
+  }
+
+  /** Build-once parquet snapshot of a shared base. The build itself runs
+    * distributed; only the resulting table is written. Subsequent calls —
+    * including self-joins reading the frame twice — scan the files. */
+  private def checkpointed(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = ckptRegistry.synchronized {
+    ckptRegistry.getOrElseUpdate((dir, name), {
+      val path = ckptRoot.resolve(
+        s"$name-${Integer.toHexString(dir.hashCode)}").toString
+      build.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+  }
+
+  /** Bytes on disk under this module's checkpoint root (bench evidence:
+    * a nonzero size proves the d/t block reads files, not evictable RAM). */
+  def checkpointBytes: Long = ckptRegistry.synchronized {
+    if (ckptRegistry.isEmpty) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptRoot).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+  }
+
   private def registered(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel): DataFrame =
     cacheRegistry.synchronized {
@@ -66,11 +124,15 @@ object TextQueries {
     * per-query numbers lie. */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     // per-stage attribution to stderr: when warm regresses, the next round
-    // should see WHICH cache moved without re-instrumenting
-    def t(name: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime(); body
+    // should see WHICH base moved without re-instrumenting. Row count and
+    // cumulative checkpoint bytes per stage are the residency evidence the
+    // round-4 verdict asked for: files on disk cannot be evicted, so a
+    // future d-block spike cannot be a cache-residency regression.
+    def t(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = body
       System.err.println(
-        f"[warm] $name%-8s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        f"[warm] $name%-8s ${(System.nanoTime() - t0) / 1e9}%7.3f s  " +
+          f"rows=$rows%-9d ckptBytes=$checkpointBytes%d")
     }
     t("cands")(cachedCands(spark, dir).count()) // toks + shingles + bands + cands
     t("jpairs")(cachedJpairs(spark, dir).count()) // verify pipeline (d4/d7)
@@ -227,12 +289,12 @@ object TextQueries {
 
   // ---- queries ----
 
-  /** Cached (doc_id, fp) base shared by d1/d7 (and t4's fp_md5 lineage):
-    * one corpus scan + md5 per session instead of one per consumer. */
+  /** Checkpointed (doc_id, fp) base shared by d1/d7 (and t4's fp_md5
+    * lineage): one corpus scan + md5 per session instead of one per
+    * consumer. */
   private def cachedFps(spark: SparkSession, dir: String): DataFrame =
-    registered(corpus(spark, dir).withColumn("fp", fpCol)
-        .select("doc_id", "fp"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    checkpointed(spark, dir, "fps")(
+      corpus(spark, dir).withColumn("fp", fpCol).select("doc_id", "fp"))
 
   /** Exact dedup: hash-groupBy on normalised content; emit duplicate groups
     * (canonical = min doc_id). One shuffle keyed by the 128-bit fingerprint
@@ -256,17 +318,15 @@ object TextQueries {
 
   /** LSH near-dup candidate pairs: 4 bands x 4 rows; pairs sharing any band
     * key. Equi-join on (band, bkey) — never a cross join. */
-  /** Shared cached base for d3/d4: distinct shingles (set semantics; MinHash
-    * minima are unaffected) and the candidate pairs derived from them. Spark
-    * dedupes cache entries by analyzed plan, so d3 and d4 — and repeated
-    * calls — share one materialization per session. */
+  /** Shared checkpointed base for d3/d4: distinct shingles (set semantics;
+    * MinHash minima are unaffected) and the candidate pairs derived from
+    * them. One materialization per (sfDir, JVM); every consumer — including
+    * the verify join that reads the shingle table twice — scans parquet. */
   private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
-    registered(shingles(spark, dir).distinct(),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    checkpointed(spark, dir, "shingles")(shingles(spark, dir).distinct())
 
   private def cachedCands(spark: SparkSession, dir: String): DataFrame =
-    registered(candsFrom(distinctShingles(spark, dir)),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    checkpointed(spark, dir, "cands")(candsFrom(distinctShingles(spark, dir)))
 
   def d3MinhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     cachedCands(spark, dir).orderBy("doc_a", "doc_b")
@@ -277,11 +337,11 @@ object TextQueries {
   def d4JaccardVerify(spark: SparkSession, dir: String): DataFrame =
     cachedJpairs(spark, dir).orderBy("doc_a", "doc_b")
 
-  /** The LSH-verified Jaccard≥0.5 pair set, cached: d4 emits it ordered,
-    * d7's near-dedup drop set reuses it without recomputing the verify
-    * pipeline (round-2 lesson: d7 silently re-ran the whole shared/sizes
-    * join chain). At cluster scale this is the frame one would checkpoint
-    * between the verify pass and the keep-set pass. */
+  /** The LSH-verified Jaccard≥0.5 pair set, checkpointed: d4 emits it
+    * ordered, d7's near-dedup drop set reuses it without recomputing the
+    * verify pipeline (round-2 lesson: d7 silently re-ran the whole
+    * shared/sizes join chain). This IS the frame one checkpoints between
+    * the verify pass and the keep-set pass at cluster scale. */
   private def cachedJpairs(spark: SparkSession, dir: String): DataFrame = {
     // The shingle explode feeds signatures AND the verify join; cache it
     // once (at cluster scale: checkpoint the shingle table — the standard
@@ -294,23 +354,24 @@ object TextQueries {
     // buys nothing locally and costs a second candidate computation — the
     // cached single-use shape below wins; swap in the prune when candidate
     // density is low.
-    val dsh = distinctShingles(spark, dir)
-    val cands = cachedCands(spark, dir)
-    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = cands
-      .join(dsh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(dsh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-    registered(shared
+    checkpointed(spark, dir, "jpairs") {
+      val dsh = distinctShingles(spark, dir)
+      val cands = cachedCands(spark, dir)
+      val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = cands
+        .join(dsh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(dsh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      shared
         .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
         .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           round(col("shared").cast("double") /
             (col("na.n") + col("nb.n") - col("shared")).cast("double"), 6)
             .as("jaccard"))
-        .filter(col("jaccard") >= 0.5),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .filter(col("jaccard") >= 0.5)
+    }
   }
 
   /** SimHash (16-bit, md5-derived token hashes): per-bit weighted vote over
@@ -318,11 +379,10 @@ object TextQueries {
   def d5SimhashSig(spark: SparkSession, dir: String): DataFrame =
     cachedSimhashSig(spark, dir).orderBy("doc_id")
 
-  /** Cached signature base shared by d5/d6 (and warmed by [[warmShared]]):
-    * tiny result, heavy lineage. */
+  /** Checkpointed signature base shared by d5/d6 (and warmed by
+    * [[warmShared]]): tiny result, heavy lineage. */
   private def cachedSimhashSig(spark: SparkSession, dir: String): DataFrame =
-    registered(simhashSigDF(spark, dir),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    checkpointed(spark, dir, "simhash")(simhashSigDF(spark, dir))
 
   /** Unordered signature base shared by d5 (which orders at the edge) and
     * d6's self-join (which must not pay a global sort before joining). */
