@@ -30,6 +30,11 @@ object TextQueries {
   val Bands = 4
   val RowsPerBand = 4
 
+  /** d6 near-dup threshold: with 4 hamming bands over 64 bits, any pair
+    * within this distance shares ≥ 1 band (exact as long as it stays
+    * < [[Bands]]). */
+  val SimhashMaxHamming = 3
+
   // ---- cache lifecycle ----
 
   /** Registry of every DataFrame this module persists. One-shot processes
@@ -374,41 +379,80 @@ object TextQueries {
     }
   }
 
-  /** SimHash (16-bit, md5-derived token hashes): per-bit weighted vote over
-    * tokens, then bit-pack. Pure explode + groupBy — one shuffle. */
+  /** SimHash signatures (64-bit, md5-derived token hashes): per-bit
+    * weighted vote over tokens, then bit-pack. Pure explode + groupBy —
+    * one shuffle. The 64-bit signature is emitted as two sign-safe 32-bit
+    * halves (`sim_hi`, `sim_lo`): one packed BIGINT would put vote 63 in
+    * the two's-complement sign bit, whose shift/xor behavior is the kind
+    * of cross-engine edge the oracle discipline avoids; hamming distance
+    * composes exactly over the halves. (Round-4 verdict: the old 16-bit
+    * signature capped at 65 536 buckets — at 100 TB every bucket holds
+    * millions of docs and the within-bucket pairing goes quadratic.) */
   def d5SimhashSig(spark: SparkSession, dir: String): DataFrame =
-    cachedSimhashSig(spark, dir).orderBy("doc_id")
+    cachedSimhashSig(spark, dir)
+      .select("doc_id", "sim_hi", "sim_lo").orderBy("doc_id")
 
-  /** Checkpointed signature base shared by d5/d6 (and warmed by
-    * [[warmShared]]): tiny result, heavy lineage. */
+  /** Checkpointed signature+band base shared by d5/d6 (and warmed by
+    * [[warmShared]]): tiny result, heavy lineage. Carries the four 16-bit
+    * band keys (= signature quarters) so the hamming-band join never
+    * re-derives them. */
   private def cachedSimhashSig(spark: SparkSession, dir: String): DataFrame =
     checkpointed(spark, dir, "simhash")(simhashSigDF(spark, dir))
 
-  /** Unordered signature base shared by d5 (which orders at the edge) and
-    * d6's self-join (which must not pay a global sort before joining). */
+  /** Unordered signature base: 64 per-bit votes from the two 32-bit halves
+    * of the token md5, packed into 16-bit quarters; sim_lo/sim_hi are
+    * quarter-composed, so every packed value stays in [0, 2^32). */
   private def simhashSigDF(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = withToks(corpus(spark, dir))
+    val hx = md5(col("token"))
+    val hashed = withToks(corpus(spark, dir))
       .select(col("doc_id"), explode(col("toks")).as("token"))
-      .withColumn("h16", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int"))
-    val bitSums = tokens.groupBy(col("doc_id"))
-      .agg(sum(when(shiftright(col("h16"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-        (1 until 16).map(b =>
-          sum(when(shiftright(col("h16"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+      .select(col("doc_id"),
+        conv(substring(hx, 1, 8), 16, 10).cast("bigint").as("hhi"),
+        conv(substring(hx, 9, 8), 16, 10).cast("bigint").as("hlo"))
+    def bit(b: Int): Column =
+      (if (b < 32) shiftright(col("hlo"), b)
+       else shiftright(col("hhi"), b - 32)).bitwiseAND(1)
+    val bitSums = hashed.groupBy(col("doc_id"))
+      .agg(sum(when(bit(0) === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 64).map(b =>
+          sum(when(bit(b) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+    // 16-bit quarter starting at vote `lo` — doubles as the band key
+    def quarter(lo: Int): Column =
+      (0 until 16).map(j =>
+        when(col(s"s${lo + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
     bitSums.select(col("doc_id"),
-      (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
-        .reduce(_ + _).cast("int").as("simhash"))
+      (quarter(32) + quarter(48) * lit(65536L)).as("sim_hi"),
+      (quarter(0) + quarter(16) * lit(65536L)).as("sim_lo"),
+      quarter(0).as("b0"), quarter(16).as("b1"),
+      quarter(32).as("b2"), quarter(48).as("b3"))
   }
 
-  /** SimHash duplicate pairs: identical 16-bit signature (hamming 0) via
-    * value equi-join — the degenerate-but-scalable bucket join. */
+  /** SimHash near-dup pairs: hamming distance ≤ [[SimhashMaxHamming]] over
+    * the 64-bit signatures, found via hamming-band candidate tables — each
+    * doc emits its four 16-bit signature quarters as band keys, candidates
+    * equi-join on (band, key), and the xor/bit_count verify runs only on
+    * candidates. With 4 bands and threshold 3 the scheme is EXACT by
+    * pigeonhole (≤3 differing bits leave at least one quarter identical),
+    * and it survives a billion-doc corpus where a whole-signature value
+    * join degenerates: band buckets subdivide the key space 4×2^16 ways
+    * and no all-pairs surface exists outside a bucket. */
   def d6SimhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // cached so the self-join's two sides share one computation (unordered
-    // base: no global sort before the join)
     val sig = cachedSimhashSig(spark, dir)
-    sig.as("a").join(sig.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+    val bands = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("simhash"))
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi"))))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct() // a close pair shares several bands; emit it once
       .orderBy("doc_a", "doc_b")
   }
 
@@ -538,16 +582,32 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
-      val bitAggs = (0 until 16).map(b =>
-        s"SUM(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
-      val pack = (0 until 16).map(b =>
-        s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+      // 64 per-bit votes from the two 32-bit md5 halves — the generated SQL
+      // mirrors simhashSigDF's bit()/quarter() construction exactly
+      val bitAggs = (0 until 64).map { b =>
+        val src = if (b < 32) s"(hlo >> $b)" else s"(hhi >> ${b - 32})"
+        s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(", ")
+      def quarter(lo: Int): String =
+        (0 until 16).map(j =>
+          s"CASE WHEN s${lo + j} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString("CAST(", " + ", " AS BIGINT)")
       s"""tok1 AS (SELECT doc_id, unnest(toks) AS token FROM toks),
          |th AS (SELECT doc_id,
-         |              CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) AS h16
+         |              CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hhi,
+         |              CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS hlo
          |       FROM tok1),
          |bitsums AS (SELECT doc_id, $bitAggs FROM th GROUP BY doc_id),
-         |simhashes AS (SELECT doc_id, CAST($pack AS INTEGER) AS simhash FROM bitsums)""".stripMargin
+         |simhashes AS (SELECT doc_id,
+         |                     ${quarter(32)} + ${quarter(48)} * 65536 AS sim_hi,
+         |                     ${quarter(0)} + ${quarter(16)} * 65536 AS sim_lo,
+         |                     ${quarter(0)} AS b0, ${quarter(16)} AS b1,
+         |                     ${quarter(32)} AS b2, ${quarter(48)} AS b3
+         |              FROM bitsums),
+         |simbands AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, sim_hi, sim_lo, $b AS band, b$b AS bkey FROM simhashes")
+              .mkString("\n  UNION ALL\n  ")})""".stripMargin
     }
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
     Map(
@@ -588,12 +648,16 @@ object TextQueries {
            |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
       "d5_simhash_sig" -> oracle(
         s""", $simhashCte
-           |SELECT doc_id, simhash FROM simhashes ORDER BY doc_id""".stripMargin),
+           |SELECT doc_id, sim_hi, sim_lo FROM simhashes ORDER BY doc_id""".stripMargin),
       "d6_simhash_dup_pairs" -> oracle(
         s""", $simhashCte
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
-           |FROM simhashes a JOIN simhashes b
-           |  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+           |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+           |              bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+           |  FROM simbands a JOIN simbands b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |WHERE hamming <= $SimhashMaxHamming
            |ORDER BY doc_a, doc_b""".stripMargin),
       "d7_dedup_keep" -> oracle(
         s""", $sigsCte,
