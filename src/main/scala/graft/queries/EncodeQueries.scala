@@ -71,6 +71,24 @@ object EncodeQueries {
       .withColumn("priority", col("priority").cast("double"))
       .orderBy(col("id"))
 
+  /** S6 — the filesystem-listing source as a first-class query
+    * (job.py:53-57: the reference walks a directory and sums file sizes to
+    * drive its copy-progress percentage). Spark's binaryFile source lists
+    * and stats the same parquet files every other query reads; `content`
+    * is never projected, so the scan is metadata-only. Emits the per-file
+    * listing plus the directory total the reference computes.
+    *
+    * The oracle twin (DuckDB `read_blob`) must name the directory inside
+    * static SQL, so it pins the driver's documented verify scale
+    * (TESTDATA.md: correctness runs at sf0.01); the Spark side uses the
+    * runtime `dir` like every other query. */
+  def s6ListingSum(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(s"$dir/*.parquet")
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+        col("length").as("file_size"))
+      .withColumn("dir_total", sum(col("file_size")).over())
+      .orderBy("file_name")
+
   /** J1 — the FK equi-join jobs->formats (job.py:163-172, FK
     * schema.sql:327-328). The reference runs one point SELECT per job (N+1);
     * here it is a single broadcast hash join per batch: the dimension is
@@ -138,6 +156,7 @@ object EncodeQueries {
     "s1_dequeue" -> s1Dequeue,
     "s2_format_lookup" -> s2FormatLookup,
     "s4_count_waiting" -> s4CountWaiting,
+    "s6_listing_sum" -> s6ListingSum,
     "s9_crash_reset" -> s9CrashReset,
     "j1_job_format_join" -> j1JobFormatJoin,
     "f1_command_compile" -> f1CommandCompile)
@@ -155,6 +174,15 @@ object EncodeQueries {
     "s4_count_waiting" -> EncodeDomain.oracle(
       """SELECT COUNT(*) AS n_waiting FROM encode_jobs
         |WHERE status IN ('Not Encoding', 'encsrv01 - Waiting')""".stripMargin),
+    // path literal: static oracle SQL cannot receive the runtime dir; the
+    // driver's correctness gate is documented as sf0.01 (TESTDATA.md)
+    "s6_listing_sum" ->
+      """SELECT file_name, file_size,
+        |       CAST(sum(file_size) OVER () AS BIGINT) AS dir_total
+        |FROM (SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |             size AS file_size
+        |      FROM read_blob('/root/testdata/sf0.01/*.parquet'))
+        |ORDER BY file_name""".stripMargin,
     "s9_crash_reset" -> EncodeDomain.oracle(
       """SELECT id,
         |  CASE WHEN status LIKE '%encsrv01%' AND status NOT LIKE '%Error%'
