@@ -160,9 +160,13 @@ object StatusQueries {
     val vf = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("id"), lit(false).as("is_enabled"),
         lit(0L).as("size"))
+    // floor BEFORE the bigint cast: Spark's decimal->bigint cast truncates
+    // toward zero, DuckDB's rounds to nearest — floor of the same decimal
+    // is identical everywhere (the repo-wide parity rule); l_quantity is
+    // integral today, but the twins must not depend on that
     val sizes = spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).cast("bigint").as("sz"))
+      .agg(floor(sum(col("l_quantity"))).cast("bigint").as("sz"))
     val upd = EncodeDomain.jobsDF(spark, dir)
       .filter(col("status") === "Done" && col("video_id").isNotNull)
       .join(sizes, col("id") === col("l_orderkey"))
@@ -235,7 +239,7 @@ object StatusQueries {
         |  SELECT o_orderkey AS id, FALSE AS is_enabled, CAST(0 AS BIGINT) AS size
         |  FROM orders),
         |sizes AS (
-        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sz
+        |  SELECT l_orderkey, CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sz
         |  FROM lineitem GROUP BY 1),
         |upd AS (
         |  SELECT j.video_id AS id, TRUE AS is_enabled, s.sz AS size
