@@ -2,14 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Σ a_i·b_i over two float32 arrays, double-accumulated left-to-right —
+/** Σ a_i·b_i over two numeric arrays, double-accumulated left-to-right —
   * the hot inner loop of every embedding-similarity operator
-  * (VectorQueries v1/v3).
+  * (VectorQueries v1/v3/v4/v5).
   *
   * Why a custom Expression (builder brief, preference (b)): the
   * `aggregate(zip_with(...))` higher-order form allocates a zipped array
@@ -19,14 +20,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * order), so oracle parity is unaffected. At 100 TB the dot product runs
   * O(corpus × dims) times; this is the single hottest scalar in the
   * pipeline.
-  */
+  *
+  * Each side independently accepts array<float> or array<double> (round-4
+  * verdict ask): v4's IVF quantizer scores float32 embeddings against
+  * double centroids (the 6-decimal quantizer state must not be narrowed to
+  * float), and the widened expression gives that mixed loop the same
+  * codegen'd form as the pure-float paths. A float element is widened to
+  * double exactly as the HOF `x.cast("double")` does — same IEEE value. */
 case class FloatDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  // (AbstractDataType is private[sql]; the inferred Seq[ArrayType] conforms)
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(elemType(_).isDefined)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+
+  private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right).contains(FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -35,7 +54,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -46,11 +67,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, isFloat: Boolean) =
+        if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  $acc += ${get(x, leftIsFloat)} * ${get(y, rightIsFloat)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -25,6 +25,61 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("float_dot mixed float x double equals the HOF fold bit-for-bit (v4's centroid loop)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = e.select(col("vec_id"), col("embedding").as("x"))
+    // double side built the way v4 builds centroids: rounded doubles
+    val b = e.select(col("vec_id"),
+      expr("transform(embedding, v -> round(CAST(v AS DOUBLE), 6))").as("y"))
+    val hof = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
+        lit(0.0), (acc, v) => acc + v)
+    val both = a.join(b, "vec_id")
+      .select(col("vec_id"),
+        call_function("float_dot", col("x"), col("y")).as("native"),
+        hof(col("x"), col("y")).as("hof"),
+        call_function("float_dot", col("y"), col("y")).as("native_dd"),
+        hof(col("y"), col("y")).as("hof_dd"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"fd vec ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), s"dd vec ${r.getLong(0)}")
+    }
+  }
+
+  test("ANN recall@5 against the exhaustive baseline") {
+    // v1 is the exhaustive ground truth; v3/v4 trade recall for the
+    // bucketed/IVF candidate cut. Hash-match correctness pins determinism;
+    // this pins that the ANN variants actually FIND neighbors. The floors
+    // are empirical for the fixture corpus minus slack — a regression that
+    // breaks bucketing or the quantizer drops recall to ~1/256 of corpus,
+    // far below any floor.
+    def top5(name: String): Map[Long, Set[Long]] =
+      VectorQueries.queries(name)(spark, sf)
+        .filter(col("rk") <= 5).select("qid", "vid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = top5("v1_cosine_topk")
+    def recall(name: String): Double = {
+      val got = top5(name)
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val r3 = recall("v3_bucketed_ann")
+    val r4 = recall("v4_ivf_ann")
+    info(f"recall@5: v3=$r3%.2f v4=$r4%.2f")
+    // measured on the fixture: v3=0.20, v4=0.93. v3's single-probe
+    // sign-bucket is recall-starved at 670 vectors / 256 buckets (~3
+    // candidates per probe — it cannot even fill a top-5); that is the
+    // documented trade, and the floor pins it from degrading further.
+    // v4's 8-cell IVF probes ~1/8 of the corpus and should stay high.
+    assert(r3 >= 0.15, s"v3 sign-bucket recall@5 collapsed: $r3")
+    assert(r4 >= 0.80, s"v4 IVF recall@5 collapsed: $r4")
+  }
+
   test("float_dot null/edge semantics") {
     import spark.implicits._
     val df = Seq(
