@@ -71,9 +71,13 @@ object MultimodalOps {
   object ImageIoCodec extends MediaCodec {
     def features(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
       if (kind != "image") return FakeCodec.features(kind, payload, dim)
+      // NonFatal, not just IOException: JDK image readers throw unchecked
+      // exceptions on malformed payloads (IllegalArgumentException,
+      // IndexOutOfBoundsException, CMMException) — quarantine-not-crash
+      // must cover those or one corrupt file fails the whole task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return FakeCodec.features(kind, payload, dim)
       val hist = new Array[Float](dim)
       val w = img.getWidth
@@ -121,7 +125,12 @@ object MultimodalOps {
           new java.io.ByteArrayInputStream(payload))
         try {
           val fmt = in.getFormat
-          if (fmt.getSampleSizeInBits != 16) return None
+          // signed 16-bit PCM only: decoding PCM_UNSIGNED (or μ-law etc.)
+          // as signed would silently produce garbage features instead of
+          // the documented fallback-to-stub
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return None
           val bytes = in.readAllBytes()
           val frameSize = fmt.getFrameSize
           val n = bytes.length / frameSize
@@ -145,8 +154,10 @@ object MultimodalOps {
             else (math.sqrt(sumSq(b) / cnt(b)) / 32768.0).toFloat))
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // NonFatal (covers UnsupportedAudioFileException, IOException, and
+        // the unchecked parse errors malformed headers can raise): same
+        // quarantine discipline as the image path
+        case scala.util.control.NonFatal(_) => None
       }
 
     def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
@@ -193,9 +204,9 @@ object MultimodalOps {
     media.mapPartitions(_.map { m =>
       if (m.kind != "image") m
       else {
-        val img =
+        val img = // NonFatal: same quarantine rationale as ImageIoCodec
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) m
         else {
           val dst = new java.awt.image.BufferedImage(w, h,
