@@ -229,7 +229,12 @@ object JobStream {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[JobRequest], batchId: Long) =>
-        // ST2 claim: top-priority fill of free capacity, idempotent per job
+        // ST2 claim: top-priority fill of free capacity, idempotent per job.
+        // `queued = 0` is deliberate: capacity refills every trigger (this
+        // synchronous foreachBatch finishes the previous batch's jobs before
+        // the next fires), and the ledger — not a queued-count — prevents
+        // re-claims of already-dispatched jobs, so trigger N+1 claims
+        // exactly the unclaimed remainder (StreamingSpec pins this).
         val picked = batch
           .orderBy(col("priority").desc, col("id").asc)
           .limit(dequeueLimit(capacity, 0))

@@ -256,6 +256,39 @@ class StreamingSpec extends AnyFunSuite {
       "restart must not re-dispatch committed arrivals")
   }
 
+  test("capacity refills per trigger: trigger 2 claims exactly the unclaimed remainder") {
+    // pins the `queued = 0` contract in JobStream.start: the synchronous
+    // foreachBatch finishes a batch's jobs before the next trigger, so free
+    // capacity is `capacity` every trigger and the LEDGER (not a
+    // queued-count) is what prevents re-claims. A future "fix" that
+    // subtracts prior claims from capacity would dispatch nothing here.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[JobRequest]
+    val ledger = new JobStream.ClaimLedger
+    val events = scala.collection.mutable.ArrayBuffer[StatusEvent]()
+    val jobs = (1 to 3).map(i =>
+      JobRequest(i.toLong, s"/v/$i.mov", s"/v/$i.mp4", 1, priority = i.toDouble,
+        normalise_level = None, passes = 1, apply_mp4box = false))
+    val q = JobStream.start(ms.toDS(), MockRunner, ledger, capacity = 2,
+      evs => events.synchronized { events ++= evs },
+      Trigger.ProcessingTime("0 seconds"))
+    try {
+      ms.addData(jobs: _*) // trigger 1: 3 waiting jobs, capacity 2
+      q.processAllAvailable()
+      assert(ledger.claimed.keySet == Set(3L, 2L),
+        "trigger 1 claims the two highest-priority jobs")
+      ms.addData(jobs(0)) // re-poll surfaces the unclaimed remainder (job 1)
+      q.processAllAvailable()
+      assert(ledger.claimed.keySet == Set(3L, 2L, 1L),
+        "trigger 2 must refill to full capacity and claim the remainder")
+      assert(ledger.claimed(1L) > ledger.claimed(3L),
+        "the remainder is claimed by a LATER batch")
+      val done = events.filter(_.status == "Done").map(_.job_id)
+      assert(done.sorted == Seq(1L, 2L, 3L), s"each job runs exactly once: $done")
+    } finally q.stop()
+  }
+
   test("streaming pipeline claims top-priority jobs once, dispatches, emits Done") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
