@@ -163,4 +163,29 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(viaBag == want)
   }
+
+  test("hamming-band join is exact: d6 equals brute-force hamming<=3 over d5 signatures") {
+    import graft.queries.TextQueries
+    // the pigeonhole claim in d6's scaladoc, checked end-to-end: with 4
+    // bands over 64 bits, every pair within hamming 3 shares >=1 band, so
+    // the band-join candidates + bit_count verify must equal the O(n^2)
+    // scan they replace (on the fixture corpus where n^2 is affordable)
+    val sigs = TextQueries.queries("d5_simhash_sig")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val want = (for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+      h = ham(sigs(i), sigs(j)) if h <= TextQueries.SimhashMaxHamming
+    } yield {
+      val (x, y) =
+        if (sigs(i)._1 < sigs(j)._1) (sigs(i), sigs(j)) else (sigs(j), sigs(i))
+      (x._1, y._1, h.toLong)
+    }).toSet
+    val got = TextQueries.queries("d6_simhash_dup_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture corpus must plant at least one near-dup pair")
+    assert(got == want)
+  }
 }
