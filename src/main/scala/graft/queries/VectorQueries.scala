@@ -199,6 +199,9 @@ object VectorQueries {
   private val IvfCells = 8
   private val LloydIters = 2
 
+  /** Cells each query probes in v6 (v4 is the nprobe=1 special case). */
+  private val IvfProbes = 2
+
   /** v4 — IVF ANN with a real k-means coarse quantizer: [[LloydIters]]
     * Lloyd iterations over cosine similarity, deterministically initialised
     * from fixed seed vectors (vec_id < [[IvfCells]] — reproducible, no RNG),
@@ -208,7 +211,21 @@ object VectorQueries {
     * and broadcast; each Lloyd pass is one broadcast join + one groupBy
     * shuffle over the corpus, the probe is a cell equi-join — no cross join,
     * no corpus shuffle beyond the per-pass aggregation. */
-  def v4IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def v4IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, nprobe = 1)
+
+  /** v6 — multi-probe IVF: each query probes its [[IvfProbes]] nearest
+    * cells instead of one. The standard scale answer to single-probe
+    * recall starvation (the recall spec measures v3's single sign-bucket
+    * at 0.20 on the fixture): candidate volume grows linearly with nprobe
+    * while the plan shape — broadcast quantizer, cell equi-join — is
+    * unchanged, so the recall/cost dial turns without touching the index.
+    * Candidate cells are disjoint (a corpus vector lives in exactly one
+    * cell), so no dedup surface exists. */
+  def v6IvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, nprobe = IvfProbes)
+
+  private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
     // float-array x double-array dot (centroids are rounded doubles; a cast
@@ -218,12 +235,13 @@ object VectorQueries {
     // measured the HOF form at 2.2 s of the driver's v4 time.
     def dotFD(f: Column, d: Column): Column = dot(f, d)
     def normD(d: Column): Column = sqrt(dot(d, d))
-    // nearest-centroid assignment (argmax of rounded cosine, cell-asc ties)
-    def assign(cent: DataFrame): DataFrame = {
+    // k-nearest-centroid assignment (rounded-cosine rank, cell-asc ties);
+    // k=1 is the Lloyd/corpus assignment, k=nprobe the query probe set
+    def assign(cent: DataFrame, src: DataFrame, k: Int): DataFrame = {
       // norms are per-vector / per-centroid — compute them once before the
       // K-way pairing, not once per (vector, cell) pair
       val cn = cent.withColumn("cn", normD(col("cvec")))
-      val scored = e.select(col("vec_id"), col("embedding"))
+      val scored = src.select(col("vec_id"), col("embedding"))
         .withColumn("nrm", norm(col("embedding")))
         .join(broadcast(cn))
         .select(col("vec_id"), col("embedding"), col("cell"),
@@ -231,7 +249,7 @@ object VectorQueries {
             (col("nrm") * col("cn")), 6).as("ccos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cell").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(col("vec_id"), col("embedding"), col("cell"))
     }
     // Lloyd: seeds -> (assign -> mean) x LloydIters; means rounded to 6 so
@@ -252,7 +270,7 @@ object VectorQueries {
       .select(col("vec_id").as("cell"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
     val cent = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
-      toLocal(assign(c)
+      toLocal(assign(c, e, 1)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("cv"))
@@ -260,14 +278,14 @@ object VectorQueries {
         .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
         .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
     }
-    // cached: the probe reuses the assignment (and per-vector norm) on BOTH
-    // join sides
+    // cached: the probe reuses the corpus assignment (and per-vector norm);
+    // the tiny query side gets its own k=nprobe assignment
     val assigned = registered(
-      assign(cent).withColumn("nrm", norm(col("embedding"))))
-    // probe: exact cosine within the query's cell only
-    val q = assigned.filter(col("vec_id") < 3)
+      assign(cent, e, 1).withColumn("nrm", norm(col("embedding"))))
+    // probe: exact cosine within the query's nprobe nearest cells only
+    val q = assign(cent, e.filter(col("vec_id") < 3), nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
-        col("nrm").as("qn"))
+        norm(col("embedding")).as("qn"))
     val c = assigned
       .select(col("vec_id").as("vid"), col("embedding").as("ce"), col("cell"),
         col("nrm").as("cn"))
@@ -286,7 +304,62 @@ object VectorQueries {
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
     "v4_ivf_ann" -> v4IvfAnn,
-    "v5_near_dup_pairs" -> v5NearDupPairs)
+    "v5_near_dup_pairs" -> v5NearDupPairs,
+    "v6_ivf_multiprobe" -> v6IvfMultiprobe)
+
+  /** Lloyd CTE chain generated from the SAME IvfCells/LloydIters/IvfProbes
+    * constants as the Spark plan — the two quantizers cannot drift. The
+    * corpus assignment is always rk=1; the query side probes rk<=nprobe
+    * cells (disjoint by construction, so no (qid, vid) dedup is needed). */
+  private def ivfOracle(nprobe: Int): String = {
+    def assignCte(i: Int, name: String, k: Int): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
+         |                                       d.cell ASC) AS rk
+         |    FROM (SELECT x.vec_id, c.cell, SUM(x.v * c.cv) AS dp
+         |          FROM vals x JOIN cent${i - 1} c ON x.pos = c.pos
+         |          GROUP BY 1, 2) d
+         |    JOIN norms n ON d.vec_id = n.vec_id
+         |    JOIN cn${i - 1} cn ON d.cell = cn.cell)
+         |  WHERE rk <= $k)""".stripMargin
+    def centCte(i: Int): String =
+      s"""cent$i AS (SELECT a.cell, x.pos, round(AVG(x.v), 6) AS cv
+         |          FROM vals x JOIN assign$i a ON x.vec_id = a.vec_id
+         |          GROUP BY 1, 2),
+         |cn$i AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent$i GROUP BY cell)""".stripMargin
+    val lloyd = (1 to LloydIters)
+      .map(i => s"${assignCte(i, s"assign$i", 1)},\n${centCte(i)}").mkString(",\n")
+    val fin = LloydIters + 1
+    s"""WITH $valsCte,
+       |$normsCte,
+       |cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
+       |          WHERE vec_id < $IvfCells),
+       |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
+       |$lloyd,
+       |${assignCte(fin, s"assign$fin", 1)},
+       |${assignCte(fin, "qassign", nprobe)},
+       |dots AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vid, ac.cell, SUM(q.v * c.v) AS dp
+       |  FROM vals q
+       |  JOIN qassign aq ON q.vec_id = aq.vec_id AND q.vec_id < 3
+       |  JOIN assign$fin ac ON ac.cell = aq.cell
+       |  JOIN vals c ON c.vec_id = ac.vec_id AND q.pos = c.pos
+       |  GROUP BY 1, 2, 3)
+       |SELECT qid, vid, cell, cosine, rk FROM (
+       |  SELECT qid, vid, cell, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cosine DESC, vid ASC) AS rk
+       |  FROM (
+       |    SELECT d.qid, d.vid, d.cell,
+       |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
+       |    FROM dots d
+       |    JOIN norms nq ON d.qid = nq.vec_id
+       |    JOIN norms nc ON d.vid = nc.vec_id))
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -312,56 +385,8 @@ object VectorQueries {
       s"""WITH $valsCte
          |SELECT label, pos, round(AVG(v), 6) AS centroid_v
          |FROM vals GROUP BY label, pos ORDER BY label, pos""".stripMargin,
-    "v4_ivf_ann" -> {
-      // Lloyd CTE chain generated from the SAME IvfCells/LloydIters
-      // constants as the Spark plan — the two quantizers cannot drift
-      def assignCte(i: Int): String =
-        s"""assign$i AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT d.vec_id, d.cell,
-           |           row_number() OVER (PARTITION BY d.vec_id
-           |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
-           |                                       d.cell ASC) AS rk
-           |    FROM (SELECT x.vec_id, c.cell, SUM(x.v * c.cv) AS dp
-           |          FROM vals x JOIN cent${i - 1} c ON x.pos = c.pos
-           |          GROUP BY 1, 2) d
-           |    JOIN norms n ON d.vec_id = n.vec_id
-           |    JOIN cn${i - 1} cn ON d.cell = cn.cell)
-           |  WHERE rk = 1)""".stripMargin
-      def centCte(i: Int): String =
-        s"""cent$i AS (SELECT a.cell, x.pos, round(AVG(x.v), 6) AS cv
-           |          FROM vals x JOIN assign$i a ON x.vec_id = a.vec_id
-           |          GROUP BY 1, 2),
-           |cn$i AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent$i GROUP BY cell)""".stripMargin
-      val lloyd = (1 to LloydIters)
-        .map(i => s"${assignCte(i)},\n${centCte(i)}").mkString(",\n")
-      val fin = LloydIters + 1
-      s"""WITH $valsCte,
-         |$normsCte,
-         |cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
-         |          WHERE vec_id < $IvfCells),
-         |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
-         |$lloyd,
-         |${assignCte(fin)},
-         |dots AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS vid, aq.cell, SUM(q.v * c.v) AS dp
-         |  FROM vals q
-         |  JOIN assign$fin aq ON q.vec_id = aq.vec_id AND q.vec_id < 3
-         |  JOIN assign$fin ac ON ac.cell = aq.cell
-         |  JOIN vals c ON c.vec_id = ac.vec_id AND q.pos = c.pos
-         |  GROUP BY 1, 2, 3)
-         |SELECT qid, vid, cell, cosine, rk FROM (
-         |  SELECT qid, vid, cell, cosine,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY cosine DESC, vid ASC) AS rk
-         |  FROM (
-         |    SELECT d.qid, d.vid, d.cell,
-         |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
-         |    FROM dots d
-         |    JOIN norms nq ON d.qid = nq.vec_id
-         |    JOIN norms nc ON d.vid = nc.vec_id))
-         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-    },
+    "v4_ivf_ann" -> ivfOracle(nprobe = 1),
+    "v6_ivf_multiprobe" -> ivfOracle(nprobe = IvfProbes),
     "v5_near_dup_pairs" ->
       s"""WITH $augCte,
          |avals AS (

@@ -70,7 +70,13 @@ class VectorSpec extends AnyFunSuite {
     }
     val r3 = recall("v3_bucketed_ann")
     val r4 = recall("v4_ivf_ann")
-    info(f"recall@5: v3=$r3%.2f v4=$r4%.2f")
+    val r6 = recall("v6_ivf_multiprobe")
+    info(f"recall@5: v3=$r3%.2f v4=$r4%.2f v6=$r6%.2f")
+    // multi-probe candidates are a superset of single-probe candidates,
+    // and any global-top-5 member present in a candidate pool always makes
+    // that pool's top-5 (at most 4 vectors rank above it anywhere) — so
+    // v6's recall can never fall below v4's
+    assert(r6 >= r4, s"multi-probe recall $r6 fell below single-probe $r4")
     // measured on the fixture: v3=0.20, v4=0.93. v3's single-probe
     // sign-bucket is recall-starved at 670 vectors / 256 buckets (~3
     // candidates per probe — it cannot even fill a top-5); that is the
