@@ -96,6 +96,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d6 simhash: hamming-band candidates are an equi-join, never a cartesian product") {
+    val p = planOf(TextQueries.d6SimhashDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v6 multi-probe: probe is a cell hash join; only the K-way centroid scoring broadcasts") {
+    val p = planOf(VectorQueries.v6IvfMultiprobe(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // BroadcastNestedLoopJoin appears ONLY as the deliberate vector x K
+    // centroid scoring (K = 8 rows of broadcast quantizer state); the
+    // corpus-vs-corpus probe itself must be a hash join on the cell key
+    assert(p.contains("BroadcastHashJoin"), s"cell probe not a hash join:\n$p")
+  }
+
   test("s10 upsert: lineitem size aggregation combines map-side before the exchange") {
     val p = planOf(StatusQueries.s10VideoEnable(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
