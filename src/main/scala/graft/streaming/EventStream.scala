@@ -28,15 +28,20 @@ object EventStream {
 
   /** Streaming exact dedup — the streaming face of TextQueries.d1: drop
     * any document whose content fingerprint was already seen within the
-    * watermark horizon. State holds one row per distinct fingerprint and
-    * the watermark bounds it; at 100 TB/day this (plus a periodic batch
-    * compaction for cross-horizon dups) is the standard ingest-dedup
-    * topology. */
+    * watermark horizon. `dropDuplicatesWithinWatermark`, NOT
+    * `dropDuplicates`: the classic operator only evicts dedup state when
+    * the event-time column is part of the key, so keying by fingerprint
+    * alone would grow state forever — the silent 100 TB/day killer. The
+    * within-watermark form keeps one row per distinct fingerprint and
+    * evicts it once the watermark passes; a fingerprint recurring past the
+    * horizon re-emits (spec-pinned), which is why the standard ingest
+    * topology pairs this with a periodic batch compaction (d1) for
+    * cross-horizon dups. */
   def dedupByFingerprint(docs: DataFrame): DataFrame =
     docs
       .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Session windows keyed by user with a 30-min inactivity gap — the
     * native streaming form of EventQueries.e2Sessionize. */

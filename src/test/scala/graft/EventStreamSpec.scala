@@ -48,9 +48,20 @@ class EventStreamSpec extends AnyFunSuite {
       .sameElements(Array(1L, 3L)))
     ms.addData((t(5), 4L, "hello world"), (t(6), 5L, "fresh"))
     q.processAllAvailable()
-    // state persists across batches: doc 4 still a dup
+    // state persists across batches within the horizon: doc 4 still a dup
     assert(spark.table("deduped").select("doc_id").collect().map(_.getLong(0)).sorted
       .sameElements(Array(1L, 3L, 5L)))
+    // advance the watermark past doc 1's horizon (1 h lateness): its
+    // fingerprint state is EVICTED — bounded state is the point of
+    // dropDuplicatesWithinWatermark — so a cross-horizon recurrence
+    // re-emits (the documented batch-compaction seam)
+    ms.addData((t(130), 6L, "watermark mover"))
+    q.processAllAvailable()
+    ms.addData((t(131), 7L, "hello world"))
+    q.processAllAvailable()
+    assert(spark.table("deduped").select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L, 5L, 6L, 7L)),
+      "cross-horizon duplicate must re-emit after state eviction")
     q.stop()
   }
 
