@@ -566,6 +566,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // PII patterns shared verbatim by the Column plan and the oracle (RE2-
+  // and java.util.regex-compatible subset: no lookarounds, no \b)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** t5 — PII redaction (the scrub pass every pretraining pipeline runs
+    * before anything else): count and mask emails and URLs. The corpus has
+    * no natural PII, so docs with doc_id%11==0 get a deterministic planted
+    * contact line (same string built by both engines) — the redactor has
+    * real positives to find. Emails are replaced before URLs so the two
+    * patterns cannot interact. Pure regexp_replace/extract_all Column
+    * expressions — codegen'd, no UDF, embarrassingly parallel at any
+    * scale. */
+  def t5RedactPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" contact bob"),
+      col("doc_id").cast("string"), lit("@example.com via https://example.com/d/"),
+      col("doc_id").cast("string"))
+    corpus(spark, dir)
+      .withColumn("t", when(col("doc_id") % 11 === 0, planted).otherwise(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(UrlRe), lit(0))).as("n_urls"),
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** t6 — top corpus terms (length ≥ 4 to skip particles): the classic
+    * distributed wordcount with a deterministic (count desc, token asc)
+    * top-k. One shuffle on token; the k-row result plans as
+    * TakeOrderedAndProject — no global sort at any corpus size. */
+  def t6TopTerms(spark: SparkSession, dir: String): DataFrame =
+    withToks(corpus(spark, dir))
+      .select(explode(col("toks")).as("token"))
+      .filter(length(col("token")) >= 4)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -578,7 +617,9 @@ object TextQueries {
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
-    "t4_fingerprint" -> t4Fingerprint)
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_redact_pii" -> t5RedactPii,
+    "t6_top_terms" -> t6TopTerms)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -732,6 +773,25 @@ object TextQueries {
           |         len(list_filter(t.toks, x -> x IN ('le','la','et','est'))) AS c_fr
           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
           |ORDER BY doc_id""".stripMargin),
+      "t5_redact_pii" -> oracle(
+        s"""SELECT doc_id,
+           |       len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+           |       len(regexp_extract_all(t, '$UrlRe')) AS n_urls,
+           |       regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+           |                      '$UrlRe', '<URL>', 'g') AS redacted
+           |FROM (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 11 = 0
+           |              THEN text || ' contact bob' || doc_id ||
+           |                   '@example.com via https://example.com/d/' || doc_id
+           |              ELSE text END AS t
+           |  FROM corpus)
+           |ORDER BY doc_id""".stripMargin),
+      "t6_top_terms" -> oracle(
+        """SELECT token, count(*) AS n
+          |FROM (SELECT unnest(toks) AS token FROM toks)
+          |WHERE length(token) >= 4
+          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
       "t4_fingerprint" -> oracle(
         s"""SELECT c.doc_id,
            |  ${fpSql.replace("(text", "(c.text")} AS fp_md5,
