@@ -96,6 +96,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t6 top terms: global top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = planOf(TextQueries.t6TopTerms(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t5 redaction: pure regexp Column expressions, no UDF") {
+    val p = planOf(TextQueries.t5RedactPii(spark, sf))
+    assert(!p.contains("ScalaUDF"), s"UDF crept into the redaction path:\n$p")
+  }
+
   test("d6 simhash: hamming-band candidates are an equi-join, never a cartesian product") {
     val p = planOf(TextQueries.d6SimhashDupPairs(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
