@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ApproxQueries
+
+/** The approx sketches are rows-only at the driver gate (approximate
+  * answers are engine-specific by design) — this spec is their accuracy
+  * contract instead: each sketch must land within its configured error of
+  * the exact twin, so "approximate" can never silently decay into
+  * "wrong". */
+class ApproxSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("HLL++ distinct-user counts within 5% of exact per event_type") {
+    val approx = ApproxQueries.xApproxUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // rsd=0.01 requested; 5% is a generous stability band on top
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("approx price percentiles within 1% of exact") {
+    val approx = ApproxQueries.xPriceQuantiles(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))"))
+      .collect()(0).getSeq[Double](0)
+    val pairs = Seq(0.5, 0.95, 0.99).zip(exact)
+    pairs.foreach { case (q, e) =>
+      val a = approx(q)
+      // accuracy=10000 → rank error ≤ n/10000; 1% value slack covers it
+      assert(math.abs(a - e) / e <= 0.01, s"q=$q: approx $a vs exact $e")
+    }
+  }
+}
