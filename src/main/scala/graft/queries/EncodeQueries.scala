@@ -15,6 +15,12 @@ import graft.ops.{CommandCompiler, PathOps, PathOpsSql}
   */
 object EncodeQueries {
 
+  /** The driver's documented correctness-gate scale (TESTDATA.md): the one
+    * place the verify directory is named, referenced by s6's oracle twin —
+    * DuckDB `read_blob` needs a literal path, so a future sf change is this
+    * one-line edit instead of a silently hash-mismatching s6. */
+  val VerifyDir = "/root/testdata/sf0.01"
+
   /** S1+W1+W2 — the dequeue: projection + equality filter + priority-desc
     * top-k with a deterministic id tie-break (reference: one SQL statement,
     * __init__.py:92,103-105; the tie-break is our addition per SURVEY §2.5
@@ -174,15 +180,15 @@ object EncodeQueries {
     "s4_count_waiting" -> EncodeDomain.oracle(
       """SELECT COUNT(*) AS n_waiting FROM encode_jobs
         |WHERE status IN ('Not Encoding', 'encsrv01 - Waiting')""".stripMargin),
-    // path literal: static oracle SQL cannot receive the runtime dir; the
-    // driver's correctness gate is documented as sf0.01 (TESTDATA.md)
+    // path literal: static oracle SQL cannot receive the runtime dir, so
+    // the twin pins [[VerifyDir]] — the Spark side uses the runtime dir
     "s6_listing_sum" ->
-      """SELECT file_name, file_size,
-        |       CAST(sum(file_size) OVER () AS BIGINT) AS dir_total
-        |FROM (SELECT regexp_extract(filename, '[^/]+$') AS file_name,
-        |             size AS file_size
-        |      FROM read_blob('/root/testdata/sf0.01/*.parquet'))
-        |ORDER BY file_name""".stripMargin,
+      s"""SELECT file_name, file_size,
+         |       CAST(sum(file_size) OVER () AS BIGINT) AS dir_total
+         |FROM (SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+         |             size AS file_size
+         |      FROM read_blob('$VerifyDir/*.parquet'))
+         |ORDER BY file_name""".stripMargin,
     "s9_crash_reset" -> EncodeDomain.oracle(
       """SELECT id,
         |  CASE WHEN status LIKE '%encsrv01%' AND status NOT LIKE '%Error%'

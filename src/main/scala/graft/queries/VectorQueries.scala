@@ -228,12 +228,10 @@ object VectorQueries {
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
-    // float-array x double-array dot (centroids are rounded doubles; a cast
-    // to float would lose the quantizer's 6-decimal precision). Since round
-    // 5 float_dot accepts mixed float/double sides, so the K-per-row
-    // centroid scoring runs the same codegen'd loop as v1/v3 — the verdict
-    // measured the HOF form at 2.2 s of the driver's v4 time.
-    def dotFD(f: Column, d: Column): Column = dot(f, d)
+    // centroids stay rounded DOUBLES (a cast to float would lose the
+    // quantizer's 6-decimal precision); float_dot accepts mixed
+    // float/double sides since round 5, so the K-per-row centroid scoring
+    // runs the same codegen'd loop as v1/v3
     def normD(d: Column): Column = sqrt(dot(d, d))
     // k-nearest-centroid assignment (rounded-cosine rank, cell-asc ties);
     // k=1 is the Lloyd/corpus assignment, k=nprobe the query probe set
@@ -245,7 +243,7 @@ object VectorQueries {
         .withColumn("nrm", norm(col("embedding")))
         .join(broadcast(cn))
         .select(col("vec_id"), col("embedding"), col("cell"),
-          round(dotFD(col("embedding"), col("cvec")) /
+          round(dot(col("embedding"), col("cvec")) /
             (col("nrm") * col("cn")), 6).as("ccos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cell").asc)
