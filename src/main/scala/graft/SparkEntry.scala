@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EncodeQueries.queries ++ AnalyticsQueries.queries ++ StatusQueries.queries ++
       ScalarQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ ApproxQueries.queries ++ JoinQueries.queries
+      VectorQueries.queries ++ ApproxQueries.queries ++ JoinQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
   /** Queries deliberately shipped WITHOUT an oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test
     * suite can flag accidental omissions. */
-  def rowsOnlyQueries: Set[String] = ApproxQueries.rowsOnly
+  def rowsOnlyQueries: Set[String] =
+    ApproxQueries.rowsOnly ++ MultimodalQueries.rowsOnly
 }

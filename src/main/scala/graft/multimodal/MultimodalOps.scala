@@ -236,6 +236,137 @@ object MultimodalOps {
     }
   }
 
+  // ---- perceptual hashing (m1/m2 near-dup signatures) ----
+
+  /** splitmix-style integer mix — pure long arithmetic, deterministic
+    * across JVMs (the fixture generators and nothing else depend on it). */
+  private def mix(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic 18x16 grayscale PNG for media `id` — the image-corpus
+    * generator behind m1 (this container ships no image files; payloads
+    * are still REAL PNGs round-tripped through javax.imageio, so the
+    * decode step exercises the production path). `perturbPixel >= 0`
+    * nudges that pixel's luminance by +16 (clamped): the 1-pixel mutant
+    * of the near-dup fixture. One pixel lands in exactly one pooled dHash
+    * cell, which participates in at most 2 adjacent comparisons — so a
+    * mutant is guaranteed within hamming 2 of its source. */
+  def renderPng(id: Long, perturbPixel: Int = -1): Array[Byte] = {
+    val w = 18; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var g = (mix(id * 1024 + y * w + x) & 0xff).toInt
+        if (y * w + x == perturbPixel) g = math.min(255, g + 16)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic mono 16-bit PCM WAV for media `id` (400 frames @ 8 kHz)
+    * — the audio-corpus generator behind m2; payloads are real WAV
+    * containers decoded by javax.sound. `perturbSample >= 0` nudges that
+    * sample by +256/32768: the audio mutant. One sample lands in one
+    * RMS-envelope bucket, which participates in at most 2 adjacent
+    * comparisons of the envelope fingerprint. */
+  def renderWav(id: Long, perturbSample: Int = -1): Array[Byte] = {
+    val n = 400
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      var s = (mix(id * 4096 + i) & 0xffffL).toShort
+      if (i == perturbSample) s = (s + 256).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit dHash of an image payload as four 16-bit quarters (the
+    * hamming-band keys, same scheme as the text SimHash): decode with
+    * javax.imageio, average-pool luminance to a 9x8 grid, bit (r,c) = 1
+    * iff pooled(r,c) < pooled(r,c+1) — 8 comparisons x 8 rows. Gradient
+    * comparison makes the hash invariant to global brightness/contrast
+    * shifts, which is why dHash is the standard cheap image fingerprint.
+    * Undecodable payloads fall back to md5-derived bits — the same
+    * quarantine-not-crash discipline as the codecs, and the fallback is
+    * effectively a random signature so corrupt files never cluster. */
+  def dHash64(payload: Array[Byte]): Array[Int] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      return Array.tabulate(4)(q =>
+        ((h(2 * q) & 0xff) << 8) | (h(2 * q + 1) & 0xff))
+    }
+    val w = img.getWidth; val h = img.getHeight
+    // integer pooling boxes: cell (r,c) covers x in [c*w/9,(c+1)*w/9) etc.
+    val pooled = Array.ofDim[Double](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+        var sum = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        pooled(r)(c) = sum.toDouble / ((x1 - x0) * (y1 - y0))
+        c += 1
+      }
+      r += 1
+    }
+    quartersOf(b => pooled(b / 8)(b % 8) < pooled(b / 8)(b % 8 + 1))
+  }
+
+  /** 64-bit audio fingerprint as four 16-bit quarters: the 65-bucket RMS
+    * envelope from [[JdkMediaCodec]]'s real WAV decode, binarized by
+    * adjacent-bucket comparison (bit j = env(j) < env(j+1)) — the same
+    * gradient trick as dHash, so a single-bucket energy change flips at
+    * most 2 bits. Undecodable payloads get md5-derived bits. */
+  def audioHash64(payload: Array[Byte]): Array[Int] = {
+    val env = JdkMediaCodec.features("audio", payload, 65)
+    quartersOf(b => env(b) < env(b + 1))
+  }
+
+  private def quartersOf(bit: Int => Boolean): Array[Int] =
+    Array.tabulate(4) { q =>
+      var v = 0
+      var j = 0
+      while (j < 16) {
+        if (bit(16 * q + j)) v |= (1 << j)
+        j += 1
+      }
+      v
+    }
+
   /** Declarative metadata stats over the media table (pure columns — the
     * part Catalyst optimizes like any other query). */
   def mediaStats(media: DataFrame): DataFrame =

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+
+/** [EXT] multimodal near-dup dedup (builder brief + round-5 verdict): the
+  * image and audio twins of the text SimHash scheme (TextQueries d5/d6).
+  * A perceptual 64-bit fingerprint is computed per payload with the REAL
+  * pure-JVM codecs (javax.imageio / javax.sound decode), then near-dup
+  * pairs are found exactly like d6: each signature emits its four 16-bit
+  * quarters as hamming-band keys, candidates equi-join on (band, key),
+  * and the `bit_count(xor) <= 3` verify runs only on candidates — EXACT
+  * by pigeonhole (<= 3 differing bits leave at least one quarter
+  * identical), with no all-pairs surface anywhere.
+  *
+  * Corpus: one deterministic payload per `documents` doc_id (the
+  * container ships no media files; payloads are real PNG/WAV containers
+  * round-tripped through the JDK codecs), with planted 1-element mutants
+  * at doc_id % 5 == 0 (id + 1,000,000) — the same planted-positive
+  * discipline as the text and vector corpora. A mutant's perturbation
+  * lands in exactly one pooled cell / RMS bucket, which participates in
+  * at most 2 adjacent gradient comparisons, so every planted pair is
+  * within hamming 2 and GUARANTEED found; MultimodalSpec pins that the
+  * result is exactly the planted pair set.
+  *
+  * No oracle: DuckDB cannot decode images or audio, so these are
+  * rows-only CORRECTNESS entries (the ApproxQueries precedent) with the
+  * spec pinning exactness instead.
+  *
+  * Scale notes (100 TB): decode + fingerprint is one mapPartitions pass
+  * over the payload column — embarrassingly parallel, no shuffle; the
+  * signature table it emits is ~16 bytes/doc (the only thing the join
+  * ever touches — payloads never shuffle). Band join + verify is the
+  * proven d6 plan: 4 x 2^16 buckets bound every candidate surface. At
+  * cluster scale the signature table would be checkpointed between the
+  * fingerprint pass and the pair join exactly like TextQueries' shared
+  * bases; at fixture scale the double lineage read is two cheap decode
+  * passes, not worth a write.
+  */
+object MultimodalQueries {
+
+  /** Same contract as TextQueries.SimhashMaxHamming: with 4 bands over
+    * 64 bits the band scheme is exact for distance <= 3. */
+  val MaxHamming = 3
+
+  private def docIds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+
+  /** (media_id, payload) image corpus: one PNG per doc_id plus the
+    * planted 1-pixel mutants. Rendering runs in the same mapPartitions
+    * pass that a production pipeline spends decoding — payload bytes are
+    * born and consumed on the executors. */
+  private[graft] def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docIds(spark, dir).as[Long].mapPartitions(_.flatMap { id =>
+      val base = (id, MultimodalOps.renderPng(id))
+      if (id % 5 == 0)
+        Iterator(base,
+          (id + 1000000L, MultimodalOps.renderPng(id, perturbPixel = (id % 288).toInt)))
+      else Iterator(base)
+    }).toDF("media_id", "payload")
+  }
+
+  /** (media_id, payload) audio corpus: one WAV per doc_id plus planted
+    * 1-sample mutants. */
+  private[graft] def audioCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docIds(spark, dir).as[Long].mapPartitions(_.flatMap { id =>
+      val base = (id, MultimodalOps.renderWav(id))
+      if (id % 5 == 0)
+        Iterator(base,
+          (id + 1000000L, MultimodalOps.renderWav(id, perturbSample = (id % 400).toInt)))
+      else Iterator(base)
+    }).toDF("media_id", "payload")
+  }
+
+  /** Decode + fingerprint pass: (media_id, b0..b3) — four 16-bit quarters
+    * of the 64-bit perceptual hash, the d5-shaped signature table. */
+  private def signatures(corpus: DataFrame,
+      hash: Array[Byte] => Array[Int]): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val q = hash(payload)
+        (id, q(0), q(1), q(2), q(3))
+      })
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The d6 hamming-band join over any 4-quarter signature table. */
+  private def nearDupPairs(sig: DataFrame): DataFrame = {
+    val full = sig.select(col("media_id"),
+      (col("b0") + col("b1") * 65536L).as("ph_lo"),
+      (col("b2") + col("b3") * 65536L).as("ph_hi"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    val bands = full.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bkey"))): _*)).as("bk"))
+      .select(col("media_id"), col("ph_hi"), col("ph_lo"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        (bit_count(col("a.ph_lo").bitwiseXOR(col("b.ph_lo"))) +
+          bit_count(col("a.ph_hi").bitwiseXOR(col("b.ph_hi"))))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .distinct() // a close pair shares several bands; emit it once
+      .orderBy("media_a", "media_b")
+  }
+
+  /** m1 — image near-dup pairs: real PNG decode -> dHash -> hamming-band
+    * join -> bit_count verify. */
+  def m1ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(signatures(imageCorpus(spark, dir), MultimodalOps.dHash64))
+
+  /** m2 — audio near-dup pairs: real WAV decode -> RMS-envelope gradient
+    * fingerprint -> the same band join. */
+  def m2AudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(signatures(audioCorpus(spark, dir), MultimodalOps.audioHash64))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_image_near_dup" -> m1ImageNearDup,
+    "m2_audio_near_dup" -> m2AudioNearDup)
+
+  /** No oracle by design: DuckDB cannot decode media payloads. Exactness
+    * is pinned by MultimodalSpec's planted-pair assertions instead. */
+  val rowsOnly: Set[String] = queries.keySet
+}

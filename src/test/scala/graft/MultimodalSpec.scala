@@ -149,4 +149,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(stats.map(_.getLong(1)).sum == 30)
   }
+
+  // ---- m1/m2 perceptual near-dup ----
+
+  private def hamming(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+
+  test("dHash: deterministic, brightness-invariant, mutant within hamming 2") {
+    for (id <- 0L until 20L) {
+      val h1 = dHash64(renderPng(id))
+      assert(h1.sameElements(dHash64(renderPng(id))), s"nondeterministic for $id")
+      assert(h1.forall(q => q >= 0 && q < 65536))
+      // a 1-pixel perturbation touches one pooled cell = at most 2 gradient
+      // comparisons — the bound the band-join exactness argument rests on
+      val hm = dHash64(renderPng(id, perturbPixel = (id % 288).toInt))
+      assert(hamming(h1, hm) <= 2, s"mutant drifted ${hamming(h1, hm)} bits for $id")
+    }
+    // gradient comparison is invariant to a global brightness shift
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(renderPng(7L)))
+    val brighter = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val g = math.min(255, (img.getRGB(x, y) & 0xff) / 2 + 64)
+      brighter.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(brighter, "png", bos)
+    assert(hamming(dHash64(renderPng(7L)), dHash64(bos.toByteArray)) == 0,
+      "linear brightness/contrast remap must not move the hash")
+    // undecodable payloads fall back to md5-derived bits, not an exception
+    assert(dHash64(Array[Byte](1, 2, 3)).forall(q => q >= 0 && q < 65536))
+  }
+
+  test("audioHash: deterministic, mutant within hamming 2") {
+    for (id <- 0L until 20L) {
+      val h1 = audioHash64(renderWav(id))
+      assert(h1.sameElements(audioHash64(renderWav(id))), s"nondeterministic for $id")
+      val hm = audioHash64(renderWav(id, perturbSample = (id % 400).toInt))
+      assert(hamming(h1, hm) <= 2, s"mutant drifted ${hamming(h1, hm)} bits for $id")
+    }
+  }
+
+  test("m1 image near-dup recovers exactly the planted 1-pixel mutant pairs") {
+    import graft.queries.MultimodalQueries
+    val got = MultimodalQueries.m1ImageNearDup(TestSpark.spark, TestSpark.sf).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = TestSpark.spark.read
+      .parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 5 == 0).map(id => (id, id + 1000000L)).toSet
+    assert(expected.nonEmpty)
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
+    assert(got.forall(_.getLong(2) <= 2), "planted pair beyond hamming 2")
+  }
+
+  test("m2 audio near-dup recovers exactly the planted 1-sample mutant pairs") {
+    import graft.queries.MultimodalQueries
+    val got = MultimodalQueries.m2AudioNearDup(TestSpark.spark, TestSpark.sf).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = TestSpark.spark.read
+      .parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 5 == 0).map(id => (id, id + 1000000L)).toSet
+    assert(expected.nonEmpty)
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
+    assert(got.forall(_.getLong(2) <= 2), "planted pair beyond hamming 2")
+  }
 }

@@ -121,6 +121,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"cell probe not a hash join:\n$p")
   }
 
+  test("m1/m2 media near-dup: hamming-band candidates are an equi-join, never a cartesian product") {
+    for (q <- Seq(MultimodalQueries.m1ImageNearDup(spark, sf),
+        MultimodalQueries.m2AudioNearDup(spark, sf))) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("s10 upsert: lineitem size aggregation combines map-side before the exchange") {
     val p = planOf(StatusQueries.s10VideoEnable(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,

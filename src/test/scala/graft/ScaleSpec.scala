@@ -40,6 +40,52 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.count() == jobs.filter(col("status") === "Not Encoding").count())
   }
 
+  test("AQE splits the skewed join partition (skew=true in the final plan)") {
+    // JOIN skew is the one hot-key problem the engine solves at runtime
+    // (salting covers AGGREGATION skew — see saltedSumCount's scaladoc):
+    // AQE measures the map output, sees one reducer partition far beyond
+    // factor x median, and splits it across tasks, duplicating the
+    // matching partition of the other side. The production 100 TB answer
+    // needs no code at all — this pins that our session settings actually
+    // deliver it, with thresholds scaled down to fixture size.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-scale skew detection: flag a reducer partition over 64 KB
+      // and 2x the median, split toward 16 KB chunks
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      // force a shuffle join: broadcasting the small side would hide skew
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one hot key (0) with 200k rows; 100 cold keys with 10 rows each
+      val hot = spark.range(0, 200000).select(lit(0L).as("k"), col("id").as("v"))
+      val cold = spark.range(0, 1000)
+        .select((col("id") % 100 + 1).as("k"), col("id").as("v"))
+      val left = hot.unionByName(cold)
+      val right = spark.range(0, 101).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count(), which builds its own QueryExecution):
+      // the ADAPTIVE final plan exists only on the EXECUTED dataset
+      assert(joined.collect().length == 200000 + 1000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"), s"no skew split in the final plan:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy(col("l_returnflag"))
