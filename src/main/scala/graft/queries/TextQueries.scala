@@ -655,6 +655,65 @@ object TextQueries {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  /** t7 — TF-IDF term weighting (keyword extraction / relevance scoring,
+    * the term-importance pass behind quality and topic filters): tf per
+    * (doc, token) over tokens of length >= 4 (t6's particle skip), a
+    * BM25-style RATIONAL idf `(N - df + 0.5) / (df + 0.5)`, and the
+    * per-doc top-3 terms. The idf is deliberately transcendental-free:
+    * `ln` routes through each engine's libm (Java intrinsic vs glibc)
+    * whose last-ulp results are not contractually identical, while
+    * +,-,*,/ are IEEE-exact in both — so the score DOUBLE is bit-identical
+    * across engines, and it is emitted in integer micro-units via floor
+    * (the t2 discipline: round() interprets boundary doubles differently
+    * per engine; floor of an identical double is identical everywhere).
+    * Ranking uses the integer (rank-after-round discipline); ties break
+    * token-asc. N is a collected scalar (like v4's quantizer state); tf
+    * and df are one shuffle each, the top-3 a per-doc window — no
+    * all-pairs, no global sort. */
+  def t7TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val base = withToks(corpus(spark, dir))
+    val nDocs = base.count()
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(length(col("token")) >= 4)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "token").distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"),
+        floor(col("tf").cast("double") *
+            (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+            lit(1000000.0))
+          .cast("bigint").as("score_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "token", "tf", "score_micro", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** t8 — benchmark decontamination: flag corpus docs sharing >= 3 word
+    * 3-gram shingles with a held-out eval set (base doc_id % 97 == 0 —
+    * the "benchmark") — the train/test-overlap scrub every production
+    * pretraining pipeline runs before training. The benchmark shingle
+    * set is tiny (N/97 docs) and BROADCAST; the corpus side is the
+    * already-checkpointed distinct-shingle base, so the check is one
+    * broadcast equi-join + one groupBy — at 100 TB the eval set stays
+    * broadcast-able by construction (eval sets are small) and no
+    * all-pairs surface exists. The planted corpus mutants of benchmark
+    * docs are guaranteed positives. */
+  def t8Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val dsh = distinctShingles(spark, dir)
+    def isBench(c: Column): Column = c % 97 === 0 && c < 1000000L
+    val bsh = dsh.filter(isBench(col("doc_id"))).select("shingle").distinct()
+    dsh.filter(!isBench(col("doc_id")))
+      .join(broadcast(bsh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= 3)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -669,7 +728,9 @@ object TextQueries {
     "t3_lang_id" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_redact_pii" -> t5RedactPii,
-    "t6_top_terms" -> t6TopTerms)
+    "t6_top_terms" -> t6TopTerms,
+    "t7_tfidf_terms" -> t7TfidfTerms,
+    "t8_decontaminate" -> t8Decontaminate)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -842,6 +903,37 @@ object TextQueries {
           |FROM (SELECT unnest(toks) AS token FROM toks)
           |WHERE length(token) >= 4
           |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
+      "t7_tfidf_terms" -> oracle(
+        """, tok4 AS (
+          |  SELECT doc_id, t AS token
+          |  FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+          |  WHERE length(t) >= 4),
+          |tf AS (SELECT doc_id, token, count(*) AS tf
+          |       FROM tok4 GROUP BY doc_id, token),
+          |dfreq AS (SELECT token, count(*) AS df
+          |          FROM (SELECT DISTINCT doc_id, token FROM tok4)
+          |          GROUP BY token),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM corpus)
+          |SELECT doc_id, token, tf, score_micro, rk FROM (
+          |  SELECT doc_id, token, tf, score_micro,
+          |         row_number() OVER (PARTITION BY doc_id
+          |                            ORDER BY score_micro DESC, token ASC) AS rk
+          |  FROM (
+          |    SELECT t.doc_id, t.token, t.tf,
+          |           CAST(floor(CAST(t.tf AS DOUBLE) * (n.n_docs - d.df + 0.5)
+          |                      / (d.df + 0.5) * 1000000.0) AS BIGINT) AS score_micro
+          |    FROM tf t JOIN dfreq d ON t.token = d.token, n))
+          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      "t8_decontaminate" -> oracle(
+        """, dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+          |bsh AS (SELECT DISTINCT shingle FROM dsh
+          |        WHERE doc_id % 97 = 0 AND doc_id < 1000000)
+          |SELECT s.doc_id, count(*) AS n_shared_shingles
+          |FROM dsh s JOIN bsh ON s.shingle = bsh.shingle
+          |WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 1000000)
+          |GROUP BY s.doc_id
+          |HAVING count(*) >= 3
+          |ORDER BY doc_id""".stripMargin),
       "t4_fingerprint" -> oracle(
         s"""SELECT c.doc_id,
            |  ${fpSql.replace("(text", "(c.text")} AS fp_md5,

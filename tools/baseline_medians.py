@@ -1,0 +1,18 @@
+#!/usr/bin/env python3
+"""Median per-query across N bench JSON lines (the BASELINE.md discipline:
+record the per-query median across separate bench PROCESSES, so the
+baseline doesn't depend on one process's cache luck).
+
+Usage: baseline_medians.py run1.json run2.json ...
+Prints one 'query median' line per query plus the per-run totals.
+"""
+import json
+import statistics
+import sys
+
+runs = [json.load(open(p)) for p in sys.argv[1:]]
+keys = sorted({k for r in runs for k in r["queries"]})
+print("# totals:", ", ".join(f"{r['value']:.3f}" for r in runs))
+for k in keys:
+    vals = [r["queries"][k] for r in runs if k in r["queries"]]
+    print(f"{k} {statistics.median(vals):.3f}")
