@@ -130,6 +130,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t8 decontamination: the held-out shingle set joins broadcast, no corpus shuffle for the probe") {
+    val p = planOf(TextQueries.t8Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark shingles not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s10 upsert: lineitem size aggregation combines map-side before the exchange") {
     val p = planOf(StatusQueries.s10VideoEnable(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,

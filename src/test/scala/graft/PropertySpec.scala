@@ -188,4 +188,42 @@ class PropertySpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture corpus must plant at least one near-dup pair")
     assert(got == want)
   }
+
+  test("t8 decontamination flags every mutant of a benchmark doc; never a benchmark doc") {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions.col
+    val benchIds = TestSpark.spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 97 == 0).toSet
+    assert(benchIds.nonEmpty)
+    // a corpus mutant of a benchmark doc shares (nearly) all its shingles
+    // with the held-out set — the guaranteed positives the scrub must find
+    val planted = benchIds.filter(_ % 5 == 0).map(_ + 1000000L) ++
+      benchIds.filter(_ % 7 == 0).map(_ + 2000000L)
+    assert(planted.nonEmpty)
+    val flagged = TextQueries.queries("t8_decontaminate")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(planted.subsetOf(flagged),
+      s"missed planted contamination: ${planted -- flagged}")
+    assert(flagged.intersect(benchIds).isEmpty,
+      "the held-out set itself must never be flagged")
+  }
+
+  test("t7 tf-idf: per-doc top-3 is well-formed and scores never increase with rank") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t7_tfidf_terms")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRk = rs.sortBy(_._4)
+      assert(byRk.map(_._4).toSeq == (1 to byRk.length), s"rank gap in doc $doc")
+      assert(byRk.length <= 3, s"more than 3 terms for doc $doc")
+      // monotone on the integer micro-score (the rank key), token-asc ties
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"rank order violates (score desc, token asc) in doc $doc")
+        case _ =>
+      }
+    }
+  }
 }
