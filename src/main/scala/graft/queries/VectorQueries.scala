@@ -313,13 +313,112 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
+  /** PQ geometry shared by the Spark plan and its oracle twin: 64 dims =
+    * [[PqSubspaces]] x [[PqSubDim]], [[PqCodes]] sub-centroids per
+    * subspace, seeds = the subvectors of vec_id < PqCodes, one Lloyd
+    * refinement (same deterministic-init discipline as v4). */
+  private val PqSubspaces = 8
+  private val PqSubDim = 8
+  private val PqCodes = 16
+  private val PqLloydIters = 1
+
+  /** Trained-codebook memo, keyed by input dir (same train-once contract
+    * and locking shape as [[quantizers]]). Rows are (s, code, cvec). */
+  private val pqCodebooks =
+    scala.collection.mutable.Map[String, Seq[(Long, Long, Seq[Double])]]()
+
+  /** v7 — product-quantization ANN with an ADC (asymmetric distance
+    * computation) scan: each vector is encoded as 8 four-bit codes — the
+    * 100 TB memory answer (8 BYTES per vector instead of a 256-byte
+    * float32 embedding; the corpus the probe touches shrinks 32x and the
+    * per-candidate cost becomes 8 table lookups instead of a 64-dim dot).
+    *
+    * Train: per-subspace k-means ([[PqCodes]] centroids over the 8-dim
+    * subvectors; deterministic seed init from vec_id < 16, one Lloyd
+    * pass, every distance ROUNDED to 6 decimals before the argmin with
+    * code-asc ties — the v4 cross-engine quantizer discipline, applied to
+    * squared L2). Encode: one broadcast join + per-(vector, subspace)
+    * argmin. Probe: the query's 8 x 16 distance table is broadcast and
+    * the approximate distance is one groupBy-sum over the code table —
+    * no embedding array is ever touched after encoding.
+    *
+    * Plan shape at 100 TB: codebook and distance tables are tiny
+    * broadcasts (K x dims and Q x 8 x 16); encoding is one pass over the
+    * corpus; the ADC scan reads only the 8-byte code rows. Returns
+    * squared-L2 top-5 per query (PQ approximates L2, not cosine —
+    * VectorSpec measures recall against the exact L2 ground truth). */
+  def v7PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = emb(spark, dir)
+    // (vec_id, s, sub, da=||sub||^2): the 8-dim subvectors; norms are
+    // per-subvector, computed once before any K-way pairing
+    val subs = e.select(col("vec_id"),
+        explode(array((0 until PqSubspaces).map(s =>
+          struct(lit(s.toLong).as("s"),
+            slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+          .as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+      .withColumn("da", dot(col("sub"), col("sub")))
+    // rounded squared L2 against every sub-centroid of the row's subspace;
+    // keepAll=false -> argmin (the code assignment), true -> full table
+    def scored(cent: DataFrame, src: DataFrame): DataFrame = {
+      val cn = cent.withColumn("db", dot(col("cvec"), col("cvec")))
+      src.join(broadcast(cn), Seq("s"))
+        .select(col("vec_id"), col("s"), col("code"),
+          round(col("da") - lit(2.0) * dot(col("sub"), col("cvec")) + col("db"), 6)
+            .as("dist"))
+    }
+    def assign(cent: DataFrame, src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist").asc, col("code").asc)
+      scored(cent, src).withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select("vec_id", "s", "code")
+    }
+    def toLocal(c: DataFrame): Seq[(Long, Long, Seq[Double])] =
+      c.select(col("s").cast("bigint"), col("code").cast("bigint"), col("cvec"))
+        .as[(Long, Long, Seq[Double])].collect().toSeq
+    val centRows = pqCodebooks.synchronized(pqCodebooks.get(dir)).getOrElse {
+      val seeds = subs.filter(col("vec_id") < PqCodes)
+        .select(col("s"), col("vec_id").as("code"),
+          expr("transform(sub, x -> CAST(x AS DOUBLE))").as("cvec"))
+      val trained = (1 to PqLloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
+        toLocal(assign(c.toDF("s", "code", "cvec"), subs)
+          .join(subs, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy(col("s"), col("code"), col("pos"))
+          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .groupBy(col("s"), col("code"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+          .select(col("s"), col("code"), expr("transform(pcs, x -> x.cv)").as("cvec")))
+      }
+      pqCodebooks.synchronized(pqCodebooks.getOrElseUpdate(dir, trained))
+    }
+    val cent = centRows.toDF("s", "code", "cvec")
+    // encode: 8 four-bit codes per vector — the only corpus-sized state
+    val codes = assign(cent, subs)
+    // the query-side distance table: Q x 8 x 16 rows, broadcast
+    val qtab = scored(cent, subs.filter(col("vec_id") < 3))
+      .select(col("vec_id").as("qid"), col("s"), col("code"), col("dist").as("dt"))
+    // ADC: approximate distance = sum of the 8 looked-up table entries
+    val probed = codes.join(broadcast(qtab), Seq("s", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dt")), 6).as("adist"))
+      .select(col("qid"), col("vec_id").as("vid"), col("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid").asc)
+    probed.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vid", "adist", "rk")
+      .orderBy("qid", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
     "v4_ivf_ann" -> v4IvfAnn,
     "v5_near_dup_pairs" -> v5NearDupPairs,
-    "v6_ivf_multiprobe" -> v6IvfMultiprobe)
+    "v6_ivf_multiprobe" -> v6IvfMultiprobe,
+    "v7_pq_ann" -> v7PqAnn)
 
   /** Lloyd CTE chain generated from the SAME IvfCells/LloydIters/IvfProbes
     * constants as the Spark plan — the two quantizers cannot drift. The
@@ -375,7 +474,73 @@ object VectorQueries {
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
+  /** PQ oracle generated from the SAME PqSubspaces/PqSubDim/PqCodes/
+    * PqLloydIters constants as the Spark plan. Subspace and in-subspace
+    * position come from integer bit ops on `pos` (exact in both engines);
+    * every distance is rounded to 6 before its argmin/rank. */
+  private def pqOracle: String = {
+    def assignCte(i: Int, name: String, filterQ: Boolean, keepAll: Boolean): String = {
+      val qf = if (filterQ) s"AND x.vec_id < 3" else ""
+      val sel =
+        if (keepAll)
+          s"""$name AS (
+             |  SELECT d.vec_id AS qid, d.s, d.code,
+             |         round(da.da - 2*d.dab + db.db, 6) AS dt
+             |  FROM (SELECT x.vec_id, x.s, c.code, SUM(x.v * c.cv) AS dab
+             |        FROM subvals x
+             |        JOIN cent$i c ON x.s = c.s AND x.j = c.j $qf
+             |        GROUP BY 1, 2, 3) d
+             |  JOIN subda da ON d.vec_id = da.vec_id AND d.s = da.s
+             |  JOIN subdb$i db ON d.s = db.s AND d.code = db.code)""".stripMargin
+        else
+          s"""$name AS (
+             |  SELECT vec_id, s, code FROM (
+             |    SELECT d.vec_id, d.s, d.code,
+             |           row_number() OVER (PARTITION BY d.vec_id, d.s
+             |                              ORDER BY round(da.da - 2*d.dab + db.db, 6) ASC,
+             |                                       d.code ASC) AS rk
+             |    FROM (SELECT x.vec_id, x.s, c.code, SUM(x.v * c.cv) AS dab
+             |          FROM subvals x
+             |          JOIN cent$i c ON x.s = c.s AND x.j = c.j $qf
+             |          GROUP BY 1, 2, 3) d
+             |    JOIN subda da ON d.vec_id = da.vec_id AND d.s = da.s
+             |    JOIN subdb$i db ON d.s = db.s AND d.code = db.code)
+             |  WHERE rk = 1)""".stripMargin
+      sel
+    }
+    def dbCte(i: Int): String =
+      s"subdb$i AS (SELECT s, code, SUM(cv*cv) AS db FROM cent$i GROUP BY 1, 2)"
+    def centCte(i: Int): String =
+      s"""cent$i AS (SELECT a.s, a.code, x.j, round(AVG(x.v), 6) AS cv
+         |           FROM subvals x
+         |           JOIN assign${i - 1} a ON x.vec_id = a.vec_id AND x.s = a.s
+         |           GROUP BY 1, 2, 3),
+         |${dbCte(i)}""".stripMargin
+    val lloyd = (1 to PqLloydIters)
+      .map(i => s"${assignCte(i - 1, s"assign${i - 1}", filterQ = false, keepAll = false)},\n${centCte(i)}")
+      .mkString(",\n")
+    val fin = PqLloydIters
+    s"""WITH $valsCte,
+       |subvals AS (SELECT vec_id, pos >> 3 AS s, pos & 7 AS j, v FROM vals),
+       |subda AS (SELECT vec_id, s, SUM(v*v) AS da FROM subvals GROUP BY 1, 2),
+       |cent0 AS (SELECT s, vec_id AS code, j, v AS cv FROM subvals
+       |          WHERE vec_id < $PqCodes),
+       |${dbCte(0)},
+       |$lloyd,
+       |${assignCte(fin, "codes", filterQ = false, keepAll = false)},
+       |${assignCte(fin, "qtab", filterQ = true, keepAll = true)}
+       |SELECT qid, vid, adist, rk FROM (
+       |  SELECT qid, vid, adist,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adist ASC, vid ASC) AS rk
+       |  FROM (SELECT t.qid, c.vec_id AS vid, round(SUM(t.dt), 6) AS adist
+       |        FROM codes c JOIN qtab t ON c.s = t.s AND c.code = t.code
+       |        GROUP BY 1, 2))
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "v7_pq_ann" -> pqOracle,
     "v1_cosine_topk" ->
       s"""WITH $valsCte,
          |$normsCte,
