@@ -118,8 +118,10 @@ object MultimodalOps {
       }
 
     /** RMS energy per time bucket over 16-bit PCM frames (first channel),
-      * normalized to [0,1] by the int16 range. */
-    private def audioFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      * normalized to [0,1] by the int16 range. None = undecodable —
+      * [[audioHash64]] needs the distinction (its md5 fallback must not
+      * masquerade as a real envelope), so this is module-visible. */
+    private[multimodal] def audioFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -251,8 +253,11 @@ object MultimodalOps {
     * generator behind m1 (this container ships no image files; payloads
     * are still REAL PNGs round-tripped through javax.imageio, so the
     * decode step exercises the production path). `perturbPixel >= 0`
-    * nudges that pixel's luminance by +16 (clamped): the 1-pixel mutant
-    * of the near-dup fixture. One pixel lands in exactly one pooled dHash
+    * nudges that pixel's luminance by 16 AWAY from the nearer clamp (down
+    * when >= 240, up otherwise — a min(255, g+16) clamp would make a
+    * g=255 "mutant" byte-identical to its source, degenerating the planted
+    * near-dup to an exact dup): the 1-pixel mutant of the near-dup
+    * fixture. One pixel lands in exactly one pooled dHash
     * cell, which participates in at most 2 adjacent comparisons — so a
     * mutant is guaranteed within hamming 2 of its source. */
   def renderPng(id: Long, perturbPixel: Int = -1): Array[Byte] = {
@@ -264,7 +269,7 @@ object MultimodalOps {
       var x = 0
       while (x < w) {
         var g = (mix(id * 1024 + y * w + x) & 0xff).toInt
-        if (y * w + x == perturbPixel) g = math.min(255, g + 16)
+        if (y * w + x == perturbPixel) g = if (g >= 240) g - 16 else g + 16
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -350,11 +355,19 @@ object MultimodalOps {
     * envelope from [[JdkMediaCodec]]'s real WAV decode, binarized by
     * adjacent-bucket comparison (bit j = env(j) < env(j+1)) — the same
     * gradient trick as dHash, so a single-bucket energy change flips at
-    * most 2 bits. Undecodable payloads get md5-derived bits. */
-  def audioHash64(payload: Array[Byte]): Array[Int] = {
-    val env = JdkMediaCodec.features("audio", payload, 65)
-    quartersOf(b => env(b) < env(b + 1))
-  }
+    * most 2 bits. Undecodable payloads get md5-derived bits from DISTINCT
+    * digest bytes (the same fallback as [[dHash64]]): routing them through
+    * the period-16 FakeCodec cycle would make all four quarters identical
+    * (~16 bits of entropy), so two corrupt files would collide at hamming 0
+    * with p≈2^-16 and cluster as a spurious near-dup pair. */
+  def audioHash64(payload: Array[Byte]): Array[Int] =
+    JdkMediaCodec.audioFeatures(payload, 65) match {
+      case Some(env) => quartersOf(b => env(b) < env(b + 1))
+      case None =>
+        val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        Array.tabulate(4)(q =>
+          ((h(2 * q) & 0xff) << 8) | (h(2 * q + 1) & 0xff))
+    }
 
   private def quartersOf(bit: Int => Boolean): Array[Int] =
     Array.tabulate(4) { q =>

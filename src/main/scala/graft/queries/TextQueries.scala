@@ -115,10 +115,23 @@ object TextQueries {
         val path = ckptRoot.resolve(s"$name-${md5Hex(dir)}").toString
         build.coalesce(files).write.mode("overwrite").parquet(path)
         fresh.success(spark.read.parquet(path))
-      } catch { case e: Throwable => fresh.failure(e) }
+      } catch {
+        case e: Throwable =>
+          // A failed build must not be cached for the JVM's lifetime: drop
+          // the key first (under the lock) so the next caller becomes a
+          // fresh winner and retries, THEN fail the promise for everyone
+          // already awaiting this attempt.
+          ckptPromises.synchronized { ckptPromises.remove((dir, name)) }
+          fresh.failure(e)
+      }
     }
-    scala.concurrent.Await.result(promise.future,
-      scala.concurrent.duration.Duration.Inf)
+    // blocking{}: callers may await from inside a global-EC future
+    // (warmShared); mark the wait so the pool spawns a compensating thread
+    // instead of starving the builds it is waiting on.
+    scala.concurrent.blocking {
+      scala.concurrent.Await.result(promise.future,
+        scala.concurrent.duration.Duration.Inf)
+    }
   }
 
   /** Bytes on disk under this module's checkpoint root (bench evidence:
@@ -174,22 +187,26 @@ object TextQueries {
     // branches off — materialized BEFORE the parallel builds so a
     // concurrent first touch can't tokenize the corpus twice
     t("toks")(withToks(corpus(spark, dir)).count())
-    // the four checkpoint builds are independent Spark jobs; run them on
+    // the checkpoint builds are independent Spark jobs; run them on
     // separate threads so the scheduler overlaps their stages (round-5
-    // verdict: serial warm was 36% of the whole bench). Promise-per-key
-    // registration makes this safe — jpairs' dependency on cands/shingles
-    // is an await on their in-flight promises, not a duplicate build.
-    // Per-stage rows/ckptBytes evidence is unchanged; wall-times overlap.
+    // verdict: serial warm was 36% of the whole bench). jpairs is NOT
+    // submitted with the rest: it derives from cands+shingles, and if its
+    // thread won the cands/shingles promises first it would build the whole
+    // chain serially while the cands future just awaited — so it is chained
+    // after cands completes, which is the earliest its own work can start
+    // anyway. Stage wall-times of cands/simhash/fps OVERLAP (they do not
+    // sum to the warm entry); jpairs' time is attributable.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    Seq(
-      Future(t("cands")(cachedCands(spark, dir).count())),
-      Future(t("jpairs")(cachedJpairs(spark, dir).count())),
+    val candsF = Future(t("cands")(cachedCands(spark, dir).count()))
+    val rest = Seq(
       Future(t("simhash")(cachedSimhashSig(spark, dir).count())),
       Future(t("fps")(cachedFps(spark, dir).count())))
-      .foreach(Await.result(_, Duration.Inf))
+    val jpairsF =
+      candsF.map(_ => t("jpairs")(cachedJpairs(spark, dir).count()))
+    (candsF +: rest :+ jpairsF).foreach(Await.result(_, Duration.Inf))
   }
 
   // ---- corpus ----
