@@ -58,7 +58,15 @@ object Bench {
       name -> median(ts)
     }
 
-    val all = SparkEntry.queries
+    // dev convenience: SPARK_GRAFT_BENCH_ONLY=m1_image_near_dup,q5_... runs
+    // a subset (warm still runs if any text query is selected). The driver
+    // never sets it, so the contract run is always the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (k, _) => sel(k) }
+      case None => SparkEntry.queries
+    }
     def run(names: Seq[String]): Seq[(String, Double)] =
       names.map(n => timed(n) { all(n)(spark, sfDir).count(); () })
 
@@ -68,18 +76,22 @@ object Bench {
     // marginal cost — otherwise whichever runs first silently absorbs the
     // shared work. Warm runs ONCE: it measures materialization, which a
     // median over cache-hit reruns would hide.
-    val warmT = once("warm_text_caches") {
-      graft.queries.TextQueries.warmShared(spark, sfDir)
-    }
-    System.err.println(f"[bench] warm_text_caches             once  =$warmT%8.3f")
-    val warm = "warm_text_caches" -> warmT
-
     // group membership comes from the module registries, not name prefixes:
     // a future "top_sellers" query must not silently run in the text group
     // against released caches (round-3 advice)
     val textNames = all.keys.toSeq.filter(graft.queries.TextQueries.queries.keySet).sorted
     val vecNames = all.keys.toSeq.filter(graft.queries.VectorQueries.queries.keySet).sorted
     val restNames = (all.keys.toSet -- textNames -- vecNames).toSeq.sorted
+
+    val warm =
+      if (textNames.isEmpty) Seq.empty[(String, Double)] // subset run, no text
+      else {
+        val warmT = once("warm_text_caches") {
+          graft.queries.TextQueries.warmShared(spark, sfDir)
+        }
+        System.err.println(f"[bench] warm_text_caches             once  =$warmT%8.3f")
+        Seq("warm_text_caches" -> warmT)
+      }
 
     val textRes = run(textNames)
     // residency evidence (round-4 verdict ask): the d/t block reads parquet
@@ -92,7 +104,7 @@ object Bench {
     graft.queries.VectorQueries.releaseCaches()
     val restRes = run(restNames)
 
-    val results = warm +: (textRes ++ vecRes ++ restRes)
+    val results = warm ++ textRes ++ vecRes ++ restRes
     import JsonText.q
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE renders "87,487" — invalid JSON (round-3 advice)

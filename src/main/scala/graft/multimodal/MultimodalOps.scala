@@ -26,6 +26,15 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to DISK-backed stream caches: every ImageIO.read and
+  // ImageIO.write spins up a temp file under java.io.tmpdir. Payloads here
+  // are always in-memory byte arrays a few KB long, so at bench scale the
+  // default costs tens of thousands of temp-file create/write/delete
+  // cycles per decode pass — pure I/O churn that also evicts page cache
+  // out from under whatever scans parquet next. JVM-wide static, set once
+  // when the first task touches this object (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image | audio | video

@@ -101,6 +101,13 @@ object MultimodalQueries {
           struct(lit(b).as("band"), col(s"b$b").as("bkey"))): _*)).as("bk"))
       .select(col("media_id"), col("ph_hi"), col("ph_lo"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      // explicit hash-partition on the join key: both self-join sides now
+      // share ONE canonical Exchange, so ReuseExchange materializes the
+      // decode+fingerprint pass once per action instead of once per side
+      // (the planner's broadcast pick made the sides asymmetric and the
+      // corpus was decoded twice). Same move a cluster job makes: partition
+      // the band table once, read it for both sides of the pair join.
+      .repartition(col("band"), col("bkey"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
