@@ -121,6 +121,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"cell probe not a hash join:\n$p")
   }
 
+  test("v7 PQ-ADC: codebook and distance table broadcast; the code scan never cartesians") {
+    val p = planOf(VectorQueries.v7PqAnn(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the ADC probe (codes x query distance table) must be the broadcast
+    // hash join on (s, code) — corpus-sized code rows never shuffle for it
+    assert(p.contains("BroadcastHashJoin"), s"ADC scan not a broadcast hash join:\n$p")
+  }
+
   test("m1/m2 media near-dup: hamming-band candidates are an equi-join, never a cartesian product") {
     for (q <- Seq(MultimodalQueries.m1ImageNearDup(spark, sf),
         MultimodalQueries.m2AudioNearDup(spark, sf))) {
