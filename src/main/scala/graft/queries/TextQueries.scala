@@ -731,6 +731,79 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t9's per-language mixing table, inlined into BOTH the Column plan and
+    * the oracle SQL so the twins cannot drift: (lang, keep threshold over
+    * the 32-bit hash space, epochs). Thresholds are exact long literals —
+    * no double rate multiplication whose rounding could differ by engine.
+    * en: keep 1/2 x1, de: keep 3/4 x2, es: keep 1/4 x1, fr: keep 1/4 x2,
+    * zh: keep 1/8 x1; unknown languages drop (threshold 0). */
+  private val MixWeights: Seq[(String, Long, Int)] = Seq(
+    ("en", 1L << 31, 1),
+    ("de", 3L << 30, 2),
+    ("es", 1L << 30, 1),
+    ("fr", 1L << 30, 2),
+    ("zh", 1L << 29, 1))
+
+  /** t9 — training-mix sampling: the per-source rate + epoch-repeat pass
+    * that turns a raw corpus into a training mixture (downsample the big
+    * web crawl, upsample the high-quality slices — the data-mixing step
+    * every pretraining run tunes). Membership is decided by a salted md5
+    * slice of the doc_id against a per-language threshold — DETERMINISTIC
+    * sampling, so the mix is reproducible run-to-run and engine-to-engine
+    * (Bernoulli rand() could never hash-match an oracle), and epochs are
+    * emitted by exploding a 1..n sequence. Plan shape at 100 TB: a
+    * stateless filter + generate — embarrassingly parallel, zero shuffle;
+    * the mixing table is query metadata, not data. */
+  def t9SampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    def caseOf[T](f: ((String, Long, Int)) => T): Column =
+      MixWeights.foldLeft(lit(null).cast("bigint").as("seed"): Column) {
+        case (acc, w) => when(col("lang") === w._1, f(w)).otherwise(acc)
+      }
+    val thr = coalesce(caseOf(_._2), lit(0L))
+    val epochs = coalesce(caseOf(_._3.toLong), lit(0L))
+    corpus(spark, dir)
+      .filter(h < thr)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), epochs)).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Token budget per packed training sequence (t10). */
+  private val PackBudget = 512L
+
+  /** t10 — sequence packing: concatenate documents into fixed-token-budget
+    * training sequences (the batch-shaping pass between dedup/filter and
+    * the trainer; unpacked batches waste the padded tail of every row).
+    * Greedy in-order pack per language: running token cumsum, and a doc
+    * starts sequence floor((cum - t) / budget) — docs longer than the
+    * budget are clamped to it (production splits them; the clamp keeps
+    * every sequence's accounting exact). Emits per-sequence shape stats.
+    * Plan shape at 100 TB: ONE window + ONE groupBy, both keyed by the
+    * pack partition. Packing is inherently sequential WITHIN a partition
+    * (each seq_id depends on every predecessor's length), so production
+    * keys the window by (lang, shard) to bound partition size — the
+    * fixture's 5 languages stand in for those shards; no global sort or
+    * single-partition window anywhere. */
+  def t10PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    withToks(corpus(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        least(size(col("toks")).cast("bigint"), lit(PackBudget)).as("t"))
+      .withColumn("cum", sum(col("t")).over(w))
+      // long/long division is DOUBLE in both engines; values < 2^53 keep
+      // it exact, and floor of an identical double is identical everywhere
+      .withColumn("seq_id",
+        floor((col("cum") - col("t")).cast("double") / PackBudget.toDouble)
+          .cast("bigint"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("seq_tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -747,7 +820,9 @@ object TextQueries {
     "t5_redact_pii" -> t5RedactPii,
     "t6_top_terms" -> t6TopTerms,
     "t7_tfidf_terms" -> t7TfidfTerms,
-    "t8_decontaminate" -> t8Decontaminate)
+    "t8_decontaminate" -> t8Decontaminate,
+    "t9_sample_mix" -> t9SampleMix,
+    "t10_pack_sequences" -> t10PackSequences)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -951,6 +1026,30 @@ object TextQueries {
           |GROUP BY s.doc_id
           |HAVING count(*) >= 3
           |ORDER BY doc_id""".stripMargin),
+      "t9_sample_mix" -> oracle {
+        def sqlCase(f: ((String, Long, Int)) => Long): String =
+          MixWeights.map(w => s"WHEN '${w._1}' THEN ${f(w)}")
+            .mkString("CASE lang ", " ", " ELSE 0 END")
+        s"""SELECT doc_id, lang, unnest(range(1, ${sqlCase(_._3.toLong)} + 1)) AS epoch
+           |FROM corpus
+           |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      < ${sqlCase(_._2)}
+           |ORDER BY doc_id, epoch""".stripMargin
+      },
+      "t10_pack_sequences" -> oracle(
+        s""", sized AS (
+           |  SELECT t.doc_id, c.lang,
+           |         least(CAST(len(t.toks) AS BIGINT), $PackBudget) AS t
+           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id),
+           |cum AS (
+           |  SELECT doc_id, lang, t,
+           |         SUM(t) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           |  FROM sized)
+           |SELECT lang,
+           |       CAST(floor(CAST(cum - t AS DOUBLE) / $PackBudget.0) AS BIGINT) AS seq_id,
+           |       count(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS seq_tokens
+           |FROM cum GROUP BY lang, seq_id
+           |ORDER BY lang, seq_id""".stripMargin),
       "t4_fingerprint" -> oracle(
         s"""SELECT c.doc_id,
            |  ${fpSql.replace("(text", "(c.text")} AS fp_md5,

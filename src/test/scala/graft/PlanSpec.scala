@@ -144,6 +144,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t9 mix sampling: stateless filter+generate — no join, no aggregation, no shuffle but the output sort") {
+    val p = planOf(TextQueries.t9SampleMix(spark, sf))
+    assert(!p.contains("Join"), s"mix sampling must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"mix sampling must not aggregate:\n$p")
+    // the only exchange is the presentation orderBy (range partitioning):
+    // any hash shuffle means a join/agg crept into the sampling path
+    assert(!p.contains("hashpartitioning"), s"extra shuffle in the sampling path:\n$p")
+  }
+
+  test("t10 sequence packing: window and aggregation keyed by the pack partition, never a single global partition") {
+    val p = planOf(TextQueries.t10PackSequences(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"packing window collapsed to one partition (unpartitioned Window?):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s10 upsert: lineitem size aggregation combines map-side before the exchange") {
     val p = planOf(StatusQueries.s10VideoEnable(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
