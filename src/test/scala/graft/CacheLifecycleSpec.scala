@@ -44,6 +44,27 @@ class CacheLifecycleSpec extends AnyFunSuite {
     TextQueries.releaseCaches()
   }
 
+  test("a failed checkpoint build is retryable, not cached for the JVM's lifetime") {
+    // round-6 advice: the promise registry used to keep a FAILED promise
+    // under its (dir, name) key, so one transient build error (missing
+    // input, disk full, job cancel) poisoned every later query touching
+    // that base until restart. Reproduce the transient: build against a
+    // directory with no documents.parquet, then supply the file and retry.
+    val dir = java.nio.file.Files.createTempDirectory("graft-retry").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    intercept[Exception] {
+      TextQueries.queries("d3_minhash_lsh_pairs")(spark, path).count()
+    }
+    // the input appears (operator retried after the upstream was fixed)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$path/documents.parquet"))
+    assert(TextQueries.queries("d3_minhash_lsh_pairs")(spark, path).count() > 0,
+      "second call after the transient failure must rebuild, not rethrow the stale exception")
+    TextQueries.releaseCaches()
+  }
+
   test("shared dedup bases are on-disk checkpoints that survive releaseCaches") {
     assert(TextQueries.queries("d3_minhash_lsh_pairs")(spark, sf).count() >= 0)
     assert(TextQueries.checkpointBytes > 0,

@@ -191,6 +191,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioHash fallback: corrupt payloads get full-entropy md5 quarters, never cluster") {
+    // round-6 advice: the old fallback cycled md5's 16 bytes with period
+    // 16, so all four 16-bit quarters were IDENTICAL (~16 bits of entropy)
+    // and two corrupt files could collide at hamming 0 — a spurious
+    // near-dup pair of garbage. The fix derives each quarter from
+    // distinct digest bytes, same as dHash64's fallback.
+    def expected(payload: Array[Byte]): Array[Int] = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      Array.tabulate(4)(q => ((h(2 * q) & 0xff) << 8) | (h(2 * q + 1) & 0xff))
+    }
+    val corrupt = Seq("definitely not audio", "also not audio", "junk!")
+      .map(_.getBytes("UTF-8"))
+    for (p <- corrupt) {
+      val got = audioHash64(p)
+      assert(got.sameElements(expected(p)),
+        "fallback must be the md5-derived distinct-byte quarters")
+      assert(got.distinct.length > 1,
+        s"quarters all identical — fallback entropy collapsed: ${got.toSeq}")
+    }
+    // distinct corrupt payloads land far apart — no hamming-0 clustering
+    assert(hamming(audioHash64(corrupt(0)), audioHash64(corrupt(1))) > 3)
+  }
+
+  test("every planted image mutant is a genuine near-dup, never a byte-identical exact dup") {
+    // round-6 advice: min(255, g+16) made the g=255 mutant byte-identical
+    // to its source; the fix perturbs away from the clamp. Exhaustive over
+    // all pixels of several images: every mutant must differ.
+    for (id <- 0L until 3L; px <- 0 until 288) {
+      assert(!java.util.Arrays.equals(renderPng(id, perturbPixel = px), renderPng(id)),
+        s"mutant (id=$id, px=$px) degenerated to an exact dup")
+    }
+  }
+
   test("m1 image near-dup recovers exactly the planted 1-pixel mutant pairs") {
     import graft.queries.MultimodalQueries
     val got = MultimodalQueries.m1ImageNearDup(TestSpark.spark, TestSpark.sf).collect()
