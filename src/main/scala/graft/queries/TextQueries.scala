@@ -113,6 +113,10 @@ object TextQueries {
     if (winner) {
       try {
         val path = ckptRoot.resolve(s"$name-${md5Hex(dir)}").toString
+        // coalesce is fine here: these bases are a few MB, so even where
+        // coalesce(files) narrows the final stage the lost parallelism is
+        // microseconds (measured equal to a repartition variant), and it
+        // skips the extra exchange a repartition would add.
         build.coalesce(files).write.mode("overwrite").parquet(path)
         fresh.success(spark.read.parquet(path))
       } catch {
@@ -184,8 +188,10 @@ object TextQueries {
           f"rows=$rows%-9d ckptBytes=$checkpointBytes%d")
     }
     // stage 0, alone: the tokenized-corpus RAM cache every base build
-    // branches off — materialized BEFORE the parallel builds so a
-    // concurrent first touch can't tokenize the corpus twice
+    // branches off. (Measured alternative: submitting toks concurrently
+    // with the builds — safe via BlockManager's per-partition loading
+    // locks — moved total warm 8.3 -> 8.7 s: the work is CPU-bound, so
+    // overlap just stretches the cands critical path with contention.)
     t("toks")(withToks(corpus(spark, dir)).count())
     // the checkpoint builds are independent Spark jobs; run them on
     // separate threads so the scheduler overlaps their stages (round-5
