@@ -737,6 +737,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t11 — repetition scoring (the Gopher-style "repetitious document"
+    * filter production pretraining pipelines run alongside t2's quality
+    * score): the fraction of a document's word bigrams occupied by its
+    * single most frequent bigram, in integer micro-units (the t2 floor
+    * discipline). A looping generator or boilerplate page scores high and
+    * gets dropped; natural text stays low. Two shuffles, both keyed by
+    * doc_id(+bigram) — per-doc state never leaves its partition group, no
+    * global structure anywhere, so the plan is flat at any corpus size. */
+  def t11Repetition(spark: SparkSession, dir: String): DataFrame =
+    withToks(corpus(spark, dir))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        floor(col("top_bigram_n").cast("double") /
+            col("n_bigrams").cast("double") * 1000000.0)
+          .cast("bigint").as("rep_micro"))
+      .orderBy("doc_id")
+
   /** t9's per-language mixing table, inlined into BOTH the Column plan and
     * the oracle SQL so the twins cannot drift: (lang, keep threshold over
     * the 32-bit hash space, epochs). Thresholds are exact long literals —
@@ -828,7 +851,8 @@ object TextQueries {
     "t7_tfidf_terms" -> t7TfidfTerms,
     "t8_decontaminate" -> t8Decontaminate,
     "t9_sample_mix" -> t9SampleMix,
-    "t10_pack_sequences" -> t10PackSequences)
+    "t10_pack_sequences" -> t10PackSequences,
+    "t11_repetition" -> t11Repetition)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1056,6 +1080,22 @@ object TextQueries {
            |       count(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS seq_tokens
            |FROM cum GROUP BY lang, seq_id
            |ORDER BY lang, seq_id""".stripMargin),
+      "t11_repetition" -> oracle(
+        """, bigrams AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(0, len(toks) - 1),
+          |                i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+          |  FROM toks WHERE len(toks) >= 2),
+          |bn AS (SELECT doc_id, bigram, count(*) AS n
+          |       FROM bigrams GROUP BY doc_id, bigram)
+          |SELECT doc_id, n_bigrams, top_bigram_n,
+          |       CAST(floor(CAST(top_bigram_n AS DOUBLE) /
+          |                  CAST(n_bigrams AS DOUBLE) * 1000000.0) AS BIGINT)
+          |         AS rep_micro
+          |FROM (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+          |             CAST(MAX(n) AS BIGINT) AS top_bigram_n
+          |      FROM bn GROUP BY doc_id)
+          |ORDER BY doc_id""".stripMargin),
       "t4_fingerprint" -> oracle(
         s"""SELECT c.doc_id,
            |  ${fpSql.replace("(text", "(c.text")} AS fp_md5,
