@@ -787,12 +787,12 @@ object TextQueries {
     val h = conv(substring(
         md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
-    def caseOf[T](f: ((String, Long, Int)) => T): Column =
-      MixWeights.foldLeft(lit(null).cast("bigint").as("seed"): Column) {
+    def caseOf(f: ((String, Long, Int)) => Long): Column =
+      MixWeights.foldLeft(lit(0L): Column) { // unknown language -> 0: drop
         case (acc, w) => when(col("lang") === w._1, f(w)).otherwise(acc)
       }
-    val thr = coalesce(caseOf(_._2), lit(0L))
-    val epochs = coalesce(caseOf(_._3.toLong), lit(0L))
+    val thr = caseOf(_._2)
+    val epochs = caseOf(_._3.toLong)
     corpus(spark, dir)
       .filter(h < thr)
       .select(col("doc_id"), col("lang"),
