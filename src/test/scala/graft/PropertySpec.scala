@@ -208,6 +208,35 @@ class PropertySpec extends AnyFunSuite {
       "the held-out set itself must never be flagged")
   }
 
+  test("t10 packing: seq_ids contiguous from 0, every sequence under 2x budget, token mass conserved") {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.queries("t10_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // a doc starts the sequence its cumsum window lands in and each doc
+      // is clamped to the budget, so start positions advance by <= budget:
+      // no sequence index is ever skipped...
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq,
+        s"seq_id gap for lang $lang")
+      rs.foreach { case (_, seqId, nDocs, seqTokens) =>
+        assert(nDocs >= 1)
+        // ...and a sequence holds docs STARTING in one budget window, each
+        // <= budget long, so its token mass is < 2x budget (the straddle
+        // bound) — a packer that stopped clamping or mis-assigned blows this
+        assert(seqTokens < 2 * 512L, s"oversized seq $seqId in $lang: $seqTokens")
+      }
+    }
+    // conservation: packed token mass equals the clamped per-doc mass —
+    // no doc dropped, none counted twice (recomputed off the same corpus)
+    val packed = rows.map(_._4).sum
+    val direct = TextQueries.queries("t1_token_stats")(spark, sf)
+      .select(sum(least(col("n_tokens").cast("bigint"), lit(512L))))
+      .collect()(0).getLong(0)
+    assert(packed == direct, s"token mass not conserved: $packed vs $direct")
+  }
+
   test("t7 tf-idf: per-doc top-3 is well-formed and scores never increase with rank") {
     import graft.queries.TextQueries
     val rows = TextQueries.queries("t7_tfidf_terms")(spark, sf).collect()
