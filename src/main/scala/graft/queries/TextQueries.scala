@@ -773,10 +773,11 @@ object TextQueries {
     ("fr", 1L << 30, 2),
     ("zh", 1L << 29, 1))
 
-  /** t9 — training-mix sampling: the per-source rate + epoch-repeat pass
+  /** t9 — training-mix sampling: the per-slice rate + epoch-repeat pass
     * that turns a raw corpus into a training mixture (downsample the big
     * web crawl, upsample the high-quality slices — the data-mixing step
-    * every pretraining run tunes). Membership is decided by a salted md5
+    * every pretraining run tunes; production keys the table by `source`,
+    * the fixture's `lang` column stands in). Membership is decided by a salted md5
     * slice of the doc_id against a per-language threshold — DETERMINISTIC
     * sampling, so the mix is reproducible run-to-run and engine-to-engine
     * (Bernoulli rand() could never hash-match an oracle), and epochs are
@@ -795,6 +796,10 @@ object TextQueries {
     val epochs = caseOf(_._3.toLong)
     corpus(spark, dir)
       .filter(h < thr)
+      // every row past the filter has epochs >= 1: a (thr>0, epochs=0)
+      // table entry must never exist, because Spark's sequence(1, 0) steps
+      // DOWNWARD to [1, 0] where DuckDB's range(1, 1) is empty — the one
+      // place the twins would diverge
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), epochs)).as("epoch"))
       .orderBy("doc_id", "epoch")
