@@ -784,18 +784,26 @@ object TextQueries {
     * emitted by exploding a 1..n sequence. Plan shape at 100 TB: a
     * stateless filter + generate — embarrassingly parallel, zero shuffle;
     * the mixing table is query metadata, not data. */
-  def t9SampleMix(spark: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(
+  /** The mixing columns, shared by batch t9 and the streaming ingest twin
+    * (streaming/EventStream.sampleMixAtIngest) — one definition, so the
+    * sampling decision for a document is identical in both by
+    * construction (the Fingerprint-sharing discipline). */
+  private[graft] def mixHash: Column =
+    conv(substring(
         md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
-    def caseOf(f: ((String, Long, Int)) => Long): Column =
-      MixWeights.foldLeft(lit(0L): Column) { // unknown language -> 0: drop
-        case (acc, w) => when(col("lang") === w._1, f(w)).otherwise(acc)
-      }
-    val thr = caseOf(_._2)
-    val epochs = caseOf(_._3.toLong)
+  private def mixCase(f: ((String, Long, Int)) => Long): Column =
+    MixWeights.foldLeft(lit(0L): Column) { // unknown language -> 0: drop
+      case (acc, w) => when(col("lang") === w._1, f(w)).otherwise(acc)
+    }
+  private[graft] def mixThreshold: Column = mixCase(_._2)
+  private[graft] def mixEpochs: Column = mixCase(_._3.toLong)
+
+  def t9SampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val thr = mixThreshold
+    val epochs = mixEpochs
     corpus(spark, dir)
-      .filter(h < thr)
+      .filter(mixHash < thr)
       // every row past the filter has epochs >= 1: a (thr>0, epochs=0)
       // table entry must never exist, because Spark's sequence(1, 0) steps
       // DOWNWARD to [1, 0] where DuckDB's range(1, 1) is empty — the one

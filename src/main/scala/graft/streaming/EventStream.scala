@@ -43,6 +43,22 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming ingest sampling — the streaming face of TextQueries.t9:
+    * the same deterministic md5-threshold mix + epoch explode, applied as
+    * documents arrive. STATELESS by construction (a pure filter +
+    * generate): unlike the dedup/window operators it needs no watermark
+    * and no state store, so it runs at ingest line rate and the sampling
+    * decision for any document is bit-identical to the batch pass —
+    * re-running the batch mix over the ingested corpus reproduces the
+    * stream's output exactly (spec-pinned, incl. zero state operators). */
+  def sampleMixAtIngest(docs: DataFrame): DataFrame =
+    docs
+      .filter(graft.queries.TextQueries.mixHash <
+        graft.queries.TextQueries.mixThreshold)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), graft.queries.TextQueries.mixEpochs))
+          .as("epoch"))
+
   /** Session windows keyed by user with a 30-min inactivity gap — the
     * native streaming form of EventQueries.e2Sessionize. */
   def userSessions(events: DataFrame): DataFrame =

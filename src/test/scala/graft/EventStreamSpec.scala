@@ -65,6 +65,44 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming ingest sampling matches the batch mix exactly and keeps zero state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "lang")
+    val q = EventStream.sampleMixAtIngest(df).writeStream
+      .format("memory").queryName("mixed").outputMode("append").start()
+    val docs = (0L until 200L).map(id =>
+      (id, Seq("en", "de", "es", "fr", "zh", "xx")((id % 6).toInt)))
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("mixed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // ground truth recomputed locally: salted md5 slice vs the same
+    // thresholds, epochs 1..n — the batch t9 definition
+    val weights = Map("en" -> (1L << 31, 1), "de" -> (3L << 30, 2),
+      "es" -> (1L << 30, 1), "fr" -> (1L << 30, 2), "zh" -> (1L << 29, 1))
+    def slice(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = (for {
+      (id, lang) <- docs
+      (thr, epochs) <- weights.get(lang).toSeq
+      if slice(id) < thr
+      e <- 1 to epochs
+    } yield (id, lang, e.toLong)).toSet
+    assert(want.nonEmpty, "fixture must sample at least one doc")
+    assert(got == want, "stream output must equal the batch mix definition")
+    // stateless: no state store operator anywhere in the streaming plan —
+    // this is what lets the sampler run at ingest line rate
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "ingest sampling must not create streaming state")
+    q.stop()
+  }
+
   test("session windows split on the 30-min gap per user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
