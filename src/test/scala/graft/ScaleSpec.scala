@@ -86,6 +86,45 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact side before the shuffle") {
+    // The fourth runtime lever after bucketing/pruning/skew: on a shuffle
+    // join with a SELECTIVE dim filter, Catalyst builds a bloom filter
+    // over the filtered dim keys and injects bloom_filter_might_contain
+    // at the fact side, so non-matching fact rows die at the scan instead
+    // of flowing through the exchange. At 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~matching
+    // slice; like AQE skew it needs no query code — this pins that the
+    // injection actually fires, with the size thresholds (10 GB scan
+    // floor in prod) scaled down to fixture size.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // broadcast would hide the shuffle the filter exists to shrink
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"))
+      val part = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_size") <= 2) // selective: few keys survive
+        .select(col("p_partkey"), col("p_name"))
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+      // Spark 4 renders the injected filter as might_contain(scalar-subquery)
+      // over a bloom_filter_agg of the filtered dim keys
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected on the fact side:\n${p.take(3000)}")
+      assert(joined.count() > 0, "the filtered join must still return rows")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy(col("l_returnflag"))
