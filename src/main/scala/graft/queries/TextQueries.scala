@@ -846,6 +846,32 @@ object TextQueries {
       .orderBy("lang", "seq_id")
   }
 
+  /** t12's quality floor in micro-units: the fixture corpus scores span
+    * ~319k–572k with median ~454k, so this keeps roughly the better half —
+    * a discriminative threshold, not a no-op. Inlined into the oracle. */
+  private val CleanQualityFloor = 450000L
+
+  /** t12 — the end-to-end "prepare my pretraining corpus" pass: the
+    * composition a trainer actually consumes, stacked from the operators
+    * above. A document survives iff it is in d7's exact+near dedup KEEP
+    * set, NOT flagged by t8's benchmark decontamination, and at or above
+    * the t2 quality floor; survivors carry t5's PII-redacted text. Each
+    * stage rides its shared checkpointed/cached base (fps, jpairs,
+    * shingles, toks), so composing adds doc_id-keyed joins — an anti-join
+    * for the scrub, equi-joins for the rest — not recomputation. Plan
+    * shape at 100 TB: every join key is doc_id, so the whole pass is one
+    * co-partitioned join chain over bases that each exist for their own
+    * operator; nothing new shuffles by anything but doc_id. */
+  def t12CleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    d7DedupKeep(spark, dir)
+      .join(t8Decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(t2QualityScore(spark, dir).select(col("doc_id"), col("quality_micro"))
+        .filter(col("quality_micro") >= CleanQualityFloor), "doc_id")
+      .join(t5RedactPii(spark, dir)
+        .select("doc_id", "n_emails", "n_urls", "redacted"), "doc_id")
+      .select("doc_id", "quality_micro", "n_emails", "n_urls", "redacted")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -865,7 +891,8 @@ object TextQueries {
     "t8_decontaminate" -> t8Decontaminate,
     "t9_sample_mix" -> t9SampleMix,
     "t10_pack_sequences" -> t10PackSequences,
-    "t11_repetition" -> t11Repetition)
+    "t11_repetition" -> t11Repetition,
+    "t12_clean_corpus" -> t12CleanCorpus)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1093,6 +1120,77 @@ object TextQueries {
            |       count(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS seq_tokens
            |FROM cum GROUP BY lang, seq_id
            |ORDER BY lang, seq_id""".stripMargin),
+      // the full-pipeline composition: the SAME CTE fragments as d7 / t8 /
+      // t2 / t5, stacked — one definition per stage, so the composed
+      // oracle cannot drift from its components'
+      "t12_clean_corpus" -> oracle(
+        s""", $sigsCte,
+           |$bandsCte,
+           |$candCte,
+           |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN dsh sa ON c.doc_a = sa.doc_id
+           |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jpairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT s.doc_a, s.doc_b,
+           |           round(CAST(s.shared AS DOUBLE) /
+           |                 CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
+           |    FROM shared s
+           |    JOIN sizes na ON s.doc_a = na.doc_id
+           |    JOIN sizes nb ON s.doc_b = nb.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |fps AS (SELECT doc_id, $fpSql AS fp FROM corpus),
+           |keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+           |keepset AS (
+           |  SELECT doc_id FROM fps
+           |  EXCEPT
+           |  (SELECT f.doc_id FROM fps f JOIN keeps k ON f.fp = k.fp AND f.doc_id > k.keep_id
+           |   UNION
+           |   SELECT doc_b FROM jpairs)),
+           |bsh AS (SELECT DISTINCT shingle FROM dsh
+           |        WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+           |contaminated AS (
+           |  SELECT s.doc_id FROM dsh s JOIN bsh ON s.shingle = bsh.shingle
+           |  WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 1000000)
+           |  GROUP BY s.doc_id HAVING count(*) >= 3),
+           |quality AS (
+           |  SELECT doc_id,
+           |         CAST(floor((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 0.5 +
+           |               (1.0 - least(CAST(n_punct AS DOUBLE) /
+           |                            greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
+           |               least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2)
+           |              * 1000000.0) AS BIGINT) AS quality_micro
+           |  FROM (
+           |    SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
+           |           len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
+           |           len(regexp_extract_all(c.text, '[^A-Za-z0-9\\s]')) AS n_punct
+           |    FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)),
+           |redacted AS (
+           |  SELECT doc_id,
+           |         len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+           |         len(regexp_extract_all(t, '$UrlRe')) AS n_urls,
+           |         regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+           |                        '$UrlRe', '<URL>', 'g') AS redacted
+           |  FROM (
+           |    SELECT doc_id,
+           |           CASE WHEN doc_id % 11 = 0
+           |                THEN text || ' contact bob' || doc_id ||
+           |                     '@example.com via https://example.com/d/' || doc_id
+           |                ELSE text END AS t
+           |    FROM corpus))
+           |SELECT k.doc_id, q.quality_micro, r.n_emails, r.n_urls, r.redacted
+           |FROM keepset k
+           |JOIN quality q ON k.doc_id = q.doc_id
+           |  AND q.quality_micro >= $CleanQualityFloor
+           |LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |JOIN redacted r ON k.doc_id = r.doc_id
+           |WHERE x.doc_id IS NULL
+           |ORDER BY k.doc_id""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,
