@@ -534,7 +534,15 @@ object TextQueries {
     * near dedup (drop the greater id of every LSH-verified Jaccard≥0.5
     * pair). Composes d1 and d4's cached pipeline — the complete
     * "deduplicate my corpus" pass a training-data pipeline runs. */
-  def d7DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+  def d7DedupKeep(spark: SparkSession, dir: String): DataFrame =
+    d7KeepSet(spark, dir).orderBy("doc_id")
+
+  /** d7's keep set WITHOUT the presentation sort. t12 composes this under
+    * further joins; Catalyst's EliminateSorts does remove an embedded
+    * orderBy there (verified on the executed plan), but composing the
+    * unordered form keeps the intent explicit rather than relying on the
+    * optimizer to delete a sort that was never meant. */
+  private def d7KeepSet(spark: SparkSession, dir: String): DataFrame = {
     val fps = cachedFps(spark, dir)
     val keeps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     val exactRemoved = fps.join(keeps, "fp")
@@ -542,7 +550,6 @@ object TextQueries {
     val nearRemoved = cachedJpairs(spark, dir).select(col("doc_b").as("doc_id"))
     fps.select("doc_id")
       .except(exactRemoved.unionByName(nearRemoved))
-      .orderBy("doc_id")
   }
 
   /** d8 — edit-distance verify over LSH candidates: exact Levenshtein on
@@ -863,7 +870,7 @@ object TextQueries {
     * co-partitioned join chain over bases that each exist for their own
     * operator; nothing new shuffles by anything but doc_id. */
   def t12CleanCorpus(spark: SparkSession, dir: String): DataFrame =
-    d7DedupKeep(spark, dir)
+    d7KeepSet(spark, dir)
       .join(t8Decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
       .join(t2QualityScore(spark, dir).select(col("doc_id"), col("quality_micro"))
         .filter(col("quality_micro") >= CleanQualityFloor), "doc_id")
