@@ -853,6 +853,38 @@ object TextQueries {
       .orderBy("lang", "seq_id")
   }
 
+  /** t13's chunk width in tokens (small because fixture docs average ~54
+    * tokens; production uses 100–1000). */
+  private val ChunkTokens = 25
+
+  /** t13 — chunk-level dedup: duplicate detection at SUB-document
+    * granularity (the fine-grained pass code/web pipelines run after
+    * doc-level dedup — a page is unique overall but half its chunks are
+    * boilerplate shared with thousands of others). Documents are cut into
+    * fixed [[ChunkTokens]]-token chunks by array slicing (no explode of
+    * token rows), each chunk md5-keyed, and a chunk group is reported when
+    * the same content appears more than once — across docs or repeated
+    * within one. Exact doc copies (the %7 planted mutants) share every
+    * chunk by construction. Fixed-boundary chunking deliberately misses
+    * the drop-first-word mutants (boundaries shift by one token) — that is
+    * the documented weakness content-defined chunking fixes, and the
+    * doc-level d-pipeline already catches those. One shuffle on the chunk
+    * hash; group state is (hash, counts) — flat at any corpus size. */
+  def t13ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    withToks(corpus(spark, dir))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("toks")).cast("double") / ChunkTokens).cast("int") - 1),
+          i => md5(array_join(slice(col("toks"), i * ChunkTokens + 1, lit(ChunkTokens)), " "))))
+          .as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+
   /** t12's quality floor in micro-units: the fixture corpus scores span
     * ~319k–572k with median ~454k, so this keeps roughly the better half —
     * a discriminative threshold, not a no-op. Inlined into the oracle. */
@@ -899,7 +931,8 @@ object TextQueries {
     "t9_sample_mix" -> t9SampleMix,
     "t10_pack_sequences" -> t10PackSequences,
     "t11_repetition" -> t11Repetition,
-    "t12_clean_corpus" -> t12CleanCorpus)
+    "t12_clean_corpus" -> t12CleanCorpus,
+    "t13_chunk_dedup" -> t13ChunkDedup)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1198,6 +1231,20 @@ object TextQueries {
            |JOIN redacted r ON k.doc_id = r.doc_id
            |WHERE x.doc_id IS NULL
            |ORDER BY k.doc_id""".stripMargin),
+      "t13_chunk_dedup" -> oracle(
+        s""", chunks AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(
+           |           range(0, CAST(ceil(len(toks) / $ChunkTokens.0) AS BIGINT)),
+           |           i -> md5(array_to_string(
+           |                  toks[i*$ChunkTokens+1:i*$ChunkTokens+$ChunkTokens], ' '))))
+           |           AS chunk_md5
+           |  FROM toks WHERE len(toks) >= 1)
+           |SELECT chunk_md5, count(*) AS n_occurrences,
+           |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
+           |FROM chunks GROUP BY chunk_md5
+           |HAVING count(*) > 1
+           |ORDER BY chunk_md5""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

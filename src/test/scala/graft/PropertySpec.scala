@@ -237,6 +237,33 @@ class PropertySpec extends AnyFunSuite {
     assert(packed == direct, s"token mass not conserved: $packed vs $direct")
   }
 
+  test("t13 chunk dedup finds every chunk of every planted exact copy") {
+    import graft.queries.TextQueries
+    // an exact doc copy (the %7 mutants, +2,000,000) shares ALL its fixed
+    // chunks with its source, so every one of its chunk hashes must appear
+    // as a duplicate group spanning >= 2 docs. Chunk hashes recomputed
+    // here in pure Scala from the raw documents — not via the operator.
+    val got = TextQueries.queries("t13_chunk_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 7 == 0)
+    assert(sources.nonEmpty)
+    for ((id, text) <- sources) {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val chunks = toks.grouped(25).map(c => md5hex(c.mkString(" "))).toSeq
+      assert(chunks.nonEmpty)
+      for (c <- chunks) {
+        assert(got.contains(c), s"chunk of copied doc $id missing from dup groups")
+        assert(got(c) >= 2, s"chunk of copied doc $id not spanning both copies")
+      }
+    }
+  }
+
   test("t7 tf-idf: per-doc top-3 is well-formed and scores never increase with rank") {
     import graft.queries.TextQueries
     val rows = TextQueries.queries("t7_tfidf_terms")(spark, sf).collect()
