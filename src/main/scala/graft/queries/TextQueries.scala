@@ -575,6 +575,62 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d9 — dedup CLUSTERING via connected components: the graph-correct
+    * generalization of d7's pairwise drop. Pairwise "drop the greater id
+    * of every pair" equals component-min only when the dup relation is
+    * transitive; on pairs {(a,c),(b,c)} it keeps BOTH a and b even though
+    * all three are one duplicate cluster — production dedup (the standard
+    * LSH pipeline) therefore runs connected components over the dup-pair
+    * graph and keeps one doc per component. Edges here are the verified
+    * near-dup pairs (jpairs) plus exact-dup star edges (each doc to its
+    * fingerprint group's min), so the components cover both tiers.
+    *
+    * Algorithm: iterative min-label propagation — labels start as own id;
+    * each round every vertex takes the min of its own and its neighbors'
+    * labels; converged when a round changes nothing. Rounds = graph
+    * diameter (small for dup clusters by construction). Each round is one
+    * join + one groupBy, and the label frame is localCheckpoint()ed so
+    * lineage stays flat — at cluster scale this is exactly the
+    * large-star/small-star loop with a checkpoint per round, and the only
+    * driver-side value is the converged? count. Emits (doc_id, component,
+    * is_keeper) for every doc in any duplicate relation. */
+  def d9DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val near = cachedJpairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val fps = cachedFps(spark, dir)
+    val keeps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val exact = fps.join(keeps, "fp")
+      .filter(col("doc_id") > col("keep_id"))
+      .select(col("keep_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val dir1 = near.unionByName(exact)
+    val edges = dir1.unionByName(
+      dir1.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("comp").as("ncomp")),
+          "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("ncomp")).as("min_n"))
+        .withColumnRenamed("doc_a", "doc_id")
+      val next = labels.as("l").join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.comp"), coalesce(col("min_n"), col("l.comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"label propagation did not converge in $rounds rounds")
+    labels.select(col("doc_id"), col("comp").as("component"),
+        (col("doc_id") === col("comp")).cast("bigint").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Token statistics: whitespace tokens + a BPE-ish ≤4-char alnum piece
     * count (greedy regex — same segmentation in both engines). */
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -920,6 +976,7 @@ object TextQueries {
     "d6_simhash_dup_pairs" -> d6SimhashDupPairs,
     "d7_dedup_keep" -> d7DedupKeep,
     "d8_levenshtein_verify" -> d8LevenshteinVerify,
+    "d9_dedup_components" -> d9DedupComponents,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
@@ -1160,6 +1217,48 @@ object TextQueries {
            |       count(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS seq_tokens
            |FROM cum GROUP BY lang, seq_id
            |ORDER BY lang, seq_id""".stripMargin),
+      // not via oracle(): a recursive CTE needs WITH RECURSIVE up front.
+      // Closure over the undirected dup graph; component = min reachable id
+      // (= the converged min-label), keeper = the component min itself.
+      "d9_dedup_components" ->
+        s"""WITH RECURSIVE $corpusCte,
+           |$shinglesCte, $sigsCte,
+           |$bandsCte,
+           |$candCte,
+           |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN dsh sa ON c.doc_a = sa.doc_id
+           |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jpairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT s.doc_a, s.doc_b,
+           |           round(CAST(s.shared AS DOUBLE) /
+           |                 CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
+           |    FROM shared s
+           |    JOIN sizes na ON s.doc_a = na.doc_id
+           |    JOIN sizes nb ON s.doc_b = nb.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |fps AS (SELECT doc_id, $fpSql AS fp FROM corpus),
+           |keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+           |exact_edges AS (
+           |  SELECT k.keep_id AS doc_a, f.doc_id AS doc_b
+           |  FROM fps f JOIN keeps k ON f.fp = k.fp AND f.doc_id > k.keep_id),
+           |dir1 AS (SELECT doc_a, doc_b FROM jpairs
+           |         UNION ALL SELECT doc_a, doc_b FROM exact_edges),
+           |edges AS (SELECT doc_a, doc_b FROM dir1
+           |          UNION SELECT doc_b, doc_a FROM dir1),
+           |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM nodes
+           |  UNION
+           |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
+           |SELECT a AS doc_id, min(b) AS component,
+           |       CAST(a = min(b) AS BIGINT) AS is_keeper
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
       // the full-pipeline composition: the SAME CTE fragments as d7 / t8 /
       // t2 / t5, stacked — one definition per stage, so the composed
       // oracle cannot drift from its components'

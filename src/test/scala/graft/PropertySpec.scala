@@ -237,6 +237,29 @@ class PropertySpec extends AnyFunSuite {
     assert(packed == direct, s"token mass not conserved: $packed vs $direct")
   }
 
+  test("d9 components: labels close over every verified pair and equal the component minimum") {
+    import graft.queries.TextQueries
+    val labels = TextQueries.queries("d9_dedup_components")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val comp = labels.map(l => l._1 -> l._2).toMap
+    assert(labels.nonEmpty)
+    // every verified near-dup pair ended up in one component — the closure
+    // property pairwise d7 lacks and d9 exists to provide
+    val pairs = TextQueries.queries("d4_jaccard_verify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // a component's label is the min of its members; keeper = that min
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"component $c label is not its min member")
+      members.foreach { case (id, _, keep) =>
+        assert((keep == 1L) == (id == c), s"keeper flag wrong for $id in $c")
+      }
+    }
+  }
+
   test("t13 chunk dedup finds every chunk of every planted exact copy") {
     import graft.queries.TextQueries
     // an exact doc copy (the %7 mutants, +2,000,000) shares ALL its fixed
