@@ -64,7 +64,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = only match {
-      case Some(sel) => SparkEntry.queries.filter { case (k, _) => sel(k) }
+      case Some(sel) =>
+        // fail fast on a typo: a silently-dropped name yields a near-empty
+        // bench that still exits 0 and prints a plausible report (r7 advice)
+        val unknown = sel -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+        SparkEntry.queries.filter { case (k, _) => sel(k) }
       case None => SparkEntry.queries
     }
     def run(names: Seq[String]): Seq[(String, Double)] =

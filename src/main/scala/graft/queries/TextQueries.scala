@@ -585,15 +585,24 @@ object TextQueries {
     * near-dup pairs (jpairs) plus exact-dup star edges (each doc to its
     * fingerprint group's min), so the components cover both tiers.
     *
-    * Algorithm: iterative min-label propagation — labels start as own id;
-    * each round every vertex takes the min of its own and its neighbors'
-    * labels; converged when a round changes nothing. Rounds = graph
-    * diameter (small for dup clusters by construction). Each round is one
-    * join + one groupBy, and the label frame is localCheckpoint()ed so
-    * lineage stays flat — at cluster scale this is exactly the
-    * large-star/small-star loop with a checkpoint per round, and the only
-    * driver-side value is the converged? count. Emits (doc_id, component,
-    * is_keeper) for every doc in any duplicate relation. */
+    * Algorithm: min-label propagation WITH pointer jumping — labels start
+    * as own id; each round every vertex takes the min of its own, its
+    * neighbors', and its current label's label (the shortcut step). Plain
+    * propagation needs diameter-many rounds, so a chain-shaped cluster
+    * (doc → mutant → mutant-of-mutant …) of depth d costs d joins; the
+    * shortcut halves the remaining distance to the component min every
+    * round, so convergence is O(log d) — 40 rounds covers any graph a
+    * 64-bit id space can hold. Each round is two joins + one groupBy, and
+    * the label frame is checkpointed so lineage stays flat. If a reliable
+    * checkpoint dir is configured (`sc.setCheckpointDir`) the per-round
+    * checkpoint goes there — surviving executor loss mid-loop; otherwise
+    * it falls back to localCheckpoint, whose blocks live on executors and
+    * do NOT survive one dying (fine single-node, a rerun-the-query risk on
+    * a cluster — configure a checkpoint dir there). If the cap is somehow
+    * hit, the loop degrades to best-effort labels with a stderr warning
+    * rather than failing the job: partially-converged labels still
+    * under-merge (keep too many docs), never corrupt. Emits (doc_id,
+    * component, is_keeper) for every doc in any duplicate relation. */
   def d9DedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val near = cachedJpairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val fps = cachedFps(spark, dir)
@@ -602,33 +611,61 @@ object TextQueries {
       .filter(col("doc_id") > col("keep_id"))
       .select(col("keep_id").as("doc_a"), col("doc_id").as("doc_b"))
     val dir1 = near.unionByName(exact)
+    minLabelComponents(spark, dir1)
+      .select(col("doc_id"), col("comp").as("component"),
+        (col("doc_id") === col("comp")).cast("bigint").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label connected components with pointer jumping (the d9 core,
+    * factored so the convergence contract is testable on synthetic graphs
+    * the corpus can't produce — e.g. a 200-deep chain). Input: undirected
+    * edges as one (doc_a, doc_b) row per edge (either orientation).
+    * Output: (doc_id, comp) for every vertex, comp = component-min id.
+    * Returns the final labels plus the round count via the mutable cell
+    * `lastCcRounds` (test-only observability; queries ignore it). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+  private[graft] def minLabelComponents(spark: SparkSession, dir1: DataFrame): DataFrame = {
     val edges = dir1.unionByName(
       dir1.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
-      .localCheckpoint(true)
+    def ckpt(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var labels = ckpt(edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    val maxRounds = 40 // O(log diameter) with shortcutting; 2^40 > any id space
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("comp").as("ncomp")),
           "doc_b")
         .groupBy(col("doc_a")).agg(min(col("ncomp")).as("min_n"))
         .withColumnRenamed("doc_a", "doc_id")
-      val next = labels.as("l").join(viaNeighbors, Seq("doc_id"), "left")
+      val propagated = labels.as("l").join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("l.comp"), coalesce(col("min_n"), col("l.comp"))).as("comp"))
-        .localCheckpoint(true)
+      // pointer jumping: comp ← label(comp). Labels always point at real
+      // vertex ids (mins of vertex ids), so the lookup is total; the left
+      // join + coalesce is belt-and-braces, not a semantic branch.
+      val next = ckpt(propagated.as("p")
+        .join(labels.select(col("doc_id").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("doc_id"),
+          least(col("p.comp"), coalesce(col("jump"), col("p.comp"))).as("comp")))
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
         .filter(col("comp") =!= col("prev")).isEmpty
       labels = next
       rounds += 1
     }
+    lastCcRounds = rounds
     if (!converged)
-      throw new IllegalStateException(s"label propagation did not converge in $rounds rounds")
-    labels.select(col("doc_id"), col("comp").as("component"),
-        (col("doc_id") === col("comp")).cast("bigint").as("is_keeper"))
-      .orderBy("doc_id")
+      // best-effort degrade: under-merged labels keep extra docs (safe for
+      // dedup — never drops a unique doc); a hard failure here would turn a
+      // data property into a job abort on a multi-hour 100 TB run
+      System.err.println(
+        s"[graft] d9 label propagation unconverged after $maxRounds rounds; emitting best-effort labels")
+    labels
   }
 
   /** Token statistics: whitespace tokens + a BPE-ish ≤4-char alnum piece

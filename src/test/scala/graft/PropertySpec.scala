@@ -237,6 +237,28 @@ class PropertySpec extends AnyFunSuite {
     assert(packed == direct, s"token mass not conserved: $packed vs $direct")
   }
 
+  test("d9 core: pointer jumping converges on a 200-deep chain in O(log d) rounds") {
+    import graft.queries.TextQueries
+    // a chain 0-1-2-…-200 has diameter 200: plain min-propagation needs 200
+    // rounds (the round-7 advisor's failure mode — the old fixed 25-round
+    // cap threw on exactly this shape); with the shortcut step the distance
+    // to the component min halves per round, so ceil(log2(200))+slack ≈ 10
+    val n = 200
+    val chain = spark.range(0, n).selectExpr("id as doc_a", "id + 1 as doc_b")
+    val labels = TextQueries.minLabelComponents(spark, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n + 1)
+    assert(labels.values.forall(_ == 0L), "chain must collapse to one component (min id 0)")
+    assert(TextQueries.lastCcRounds <= 12,
+      s"expected O(log 200) ≈ 9 rounds, took ${TextQueries.lastCcRounds}")
+    // two disjoint chains stay disjoint — no label bleed across components
+    val two = spark.range(0, 10).selectExpr("id as doc_a", "id + 1 as doc_b")
+      .unionAll(spark.range(100, 110).selectExpr("id as doc_a", "id + 1 as doc_b"))
+    val l2 = TextQueries.minLabelComponents(spark, two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 10L).forall(l2(_) == 0L) && (100L to 110L).forall(l2(_) == 100L))
+  }
+
   test("d9 components: labels close over every verified pair and equal the component minimum") {
     import graft.queries.TextQueries
     val labels = TextQueries.queries("d9_dedup_components")(spark, sf).collect()
