@@ -315,6 +315,26 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Deterministic fake video "container" for media `id`: 64 payload
+    * bytes by integer mixing (the JDK ships no demuxer, so video payloads
+    * are opaque by design — [[FakeCodec]] samples frames from the first 16
+    * bytes). Those 16 bytes come from two mix() outputs of id-distinct
+    * inputs, and mix is a bijection on longs — so two DIFFERENT ids can
+    * never share a frame prefix, giving the frame-dedup fixture zero
+    * false positives by construction. `altTail = true` keeps the frame
+    * prefix but rewrites the remaining 48 bytes: the re-mux/re-container
+    * fixture — identical visual frames, different container bytes — which
+    * byte-level exact dedup provably misses and frame-level dedup (m3)
+    * exists to catch. */
+  def renderVideo(id: Long, altTail: Boolean = false): Array[Byte] =
+    Array.tabulate(64) { i =>
+      if (i < 16) ((mix(id * 2 + (i >> 3)) >>> ((i & 7) * 8)) & 0xff).toByte
+      else {
+        val seed = if (altTail) id + 777 else id
+        (mix(seed * 1024 + i) & 0xff).toByte
+      }
+    }
+
   /** 64-bit dHash of an image payload as four 16-bit quarters (the
     * hamming-band keys, same scheme as the text SimHash): decode with
     * javax.imageio, average-pool luminance to a 9x8 grid, bit (r,c) = 1

@@ -1004,6 +1004,45 @@ object TextQueries {
       .select("doc_id", "quality_micro", "n_emails", "n_urls", "redacted")
       .orderBy("doc_id")
 
+  /** t14 — corpus unigram-LM fluency score: how "typical" each document's
+    * tokens are under the corpus's own unigram distribution — the cheap
+    * statistical cousin of the KenLM perplexity filter pretraining
+    * pipelines run (rare-token-dense docs score low, stopword-y prose
+    * scores high), plus the hapax count (tokens occurring exactly once
+    * corpus-wide — OCR noise and mojibake are hapax-dense).
+    *
+    * Numeric discipline: LINEAR probability in integer micro-units, not a
+    * log — floor(tf * 1e6 / total) is one exact double product (tf*1e6 <
+    * 2^53) and one IEEE division, identical in both engines, where ln()
+    * is a libm call neither engine guarantees to the last ulp (the t2
+    * floor-not-round rule, applied to transcendentals by avoiding them).
+    * Per-token scores are floored to integers FIRST, then summed as
+    * BIGINT — integer addition commutes, so partial-aggregation order
+    * (Spark's map-side combine vs DuckDB's single pass) cannot move the
+    * result. Docs whose token list is empty have no unigram evidence and
+    * drop out (explode/unnest agree).
+    *
+    * Plan shape at 100 TB: the token frequency table is one shuffle on
+    * token over the cached tokenized base (the t6 shape); scoring is a
+    * second token-keyed join; the scalar total rides a broadcast. Nothing
+    * shuffles by anything but token/doc_id. */
+  def t14UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val tok = withToks(corpus(spark, dir))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val tot = freq.agg(sum(col("tf")).cast("double").as("total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("prob_micro",
+        floor(col("tf").cast("double") * 1000000.0 / col("total")).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        floor(sum(col("prob_micro")).cast("double") / count(lit(1)))
+          .cast("bigint").as("lm_score_micro"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -1026,7 +1065,8 @@ object TextQueries {
     "t10_pack_sequences" -> t10PackSequences,
     "t11_repetition" -> t11Repetition,
     "t12_clean_corpus" -> t12CleanCorpus,
-    "t13_chunk_dedup" -> t13ChunkDedup)
+    "t13_chunk_dedup" -> t13ChunkDedup,
+    "t14_unigram_lm" -> t14UnigramLm)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1199,6 +1239,20 @@ object TextQueries {
           |FROM (SELECT unnest(toks) AS token FROM toks)
           |WHERE length(token) >= 4
           |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
+      "t14_unigram_lm" -> oracle(
+        """, tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+          |freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+          |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq),
+          |scored AS (
+          |  SELECT t.doc_id, f.tf,
+          |         CAST(floor(CAST(f.tf AS DOUBLE) * 1000000.0 / tot.total)
+          |              AS BIGINT) AS prob_micro
+          |  FROM tok t JOIN freq f ON t.token = f.token, tot)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |       CAST(floor(CAST(SUM(prob_micro) AS DOUBLE) / count(*))
+          |            AS BIGINT) AS lm_score_micro
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "t7_tfidf_terms" -> oracle(
         """, tok4 AS (
           |  SELECT doc_id, t AS token

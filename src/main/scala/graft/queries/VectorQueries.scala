@@ -236,41 +236,41 @@ object VectorQueries {
   private val quantizers =
     scala.collection.mutable.Map[String, Seq[(Long, Seq[Double])]]()
 
-  private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** k-nearest-centroid assignment (rounded-cosine rank, cell-asc ties);
+    * k=1 is the Lloyd/corpus assignment, k=nprobe the query probe set.
+    * Centroids stay rounded DOUBLES (a cast to float would lose the
+    * quantizer's 6-decimal precision); float_dot accepts mixed float/double
+    * sides since round 5, so the K-per-row centroid scoring runs the same
+    * codegen'd loop as v1/v3. */
+  private def assignCells(cent: DataFrame, src: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(spark, dir)
-    // centroids stay rounded DOUBLES (a cast to float would lose the
-    // quantizer's 6-decimal precision); float_dot accepts mixed
-    // float/double sides since round 5, so the K-per-row centroid scoring
-    // runs the same codegen'd loop as v1/v3
-    def normD(d: Column): Column = sqrt(dot(d, d))
-    // k-nearest-centroid assignment (rounded-cosine rank, cell-asc ties);
-    // k=1 is the Lloyd/corpus assignment, k=nprobe the query probe set
-    def assign(cent: DataFrame, src: DataFrame, k: Int): DataFrame = {
-      // norms are per-vector / per-centroid — compute them once before the
-      // K-way pairing, not once per (vector, cell) pair
-      val cn = cent.withColumn("cn", normD(col("cvec")))
-      val scored = src.select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", norm(col("embedding")))
-        .join(broadcast(cn))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          round(dot(col("embedding"), col("cvec")) /
-            (col("nrm") * col("cn")), 6).as("ccos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cell").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-    }
-    // Lloyd: seeds -> (assign -> mean) x LloydIters; means rounded to 6 so
-    // the quantizer state is cross-engine identical after every pass.
-    // Each pass's centroid frame is K x dims — quantizer state, not data —
-    // so it is collected to a local relation between passes: without the
-    // cut, every assign() embeds the full prior-iteration lineage and the
-    // corpus gets re-scored once per downstream action per iteration
-    // (the round-2 v4 regression). This is the Spark analogue of
-    // broadcasting model state each iteration; the corpus itself never
-    // leaves the executors.
+    // norms are per-vector / per-centroid — compute them once before the
+    // K-way pairing, not once per (vector, cell) pair
+    val cn = cent.withColumn("cn", norm(col("cvec")))
+    val scored = src.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .join(broadcast(cn))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(dot(col("embedding"), col("cvec")) /
+          (col("nrm") * col("cn")), 6).as("ccos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Memoized IVF quantizer training — Lloyd: seeds -> (assign -> mean) x
+    * LloydIters; means rounded to 6 so the quantizer state is cross-engine
+    * identical after every pass. Each pass's centroid frame is K x dims —
+    * quantizer state, not data — so it is collected to a local relation
+    * between passes: without the cut, every assign() embeds the full
+    * prior-iteration lineage and the corpus gets re-scored once per
+    * downstream action per iteration (the round-2 v4 regression). This is
+    * the Spark analogue of broadcasting model state each iteration; the
+    * corpus itself never leaves the executors. */
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val e = emb(spark, dir)
     def toLocal(c: DataFrame): DataFrame =
       c.select(col("cell").cast("bigint"), col("cvec"))
         .as[(Long, Seq[Double])].collect().toSeq
@@ -280,7 +280,7 @@ object VectorQueries {
         .select(col("vec_id").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
       val trained = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
-        toLocal(assign(c, e, 1)
+        toLocal(assignCells(c, e, 1)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cell"), col("pos"))
           .agg(round(avg(col("v").cast("double")), 6).as("cv"))
@@ -291,7 +291,15 @@ object VectorQueries {
       val rows = trained.as[(Long, Seq[Double])].collect().toSeq
       quantizers.synchronized(quantizers.getOrElseUpdate(dir, rows))
     }
-    val cent = centRows.toDF("cell", "cvec")
+    centRows.toDF("cell", "cvec")
+  }
+
+  private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    def assign(cent: DataFrame, src: DataFrame, k: Int): DataFrame =
+      assignCells(cent, src, k)
+    val cent = trainedCentroids(spark, dir)
     // cached: the probe reuses the corpus assignment (and per-vector norm);
     // the tiny query side gets its own k=nprobe assignment
     val assigned = registered(
@@ -411,6 +419,51 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Within-cell duplicate threshold for v8 — same rounded-cosine bar as
+    * v5, shared with the oracle twin. */
+  private val SemDedupCosine = "0.999"
+
+  /** v8 — SEMANTIC dedup (the SemDeDup shape): cluster the corpus with the
+    * SAME trained IVF quantizer as v4/v6, compute exact rounded cosine only
+    * WITHIN each cell, and drop every vector that has a near-identical
+    * (cosine >= 0.999) neighbor with a smaller vec_id in its cell. This is
+    * the embedding-space analogue of the d7 pairwise keep-set — the
+    * pairwise (not component-closed) discipline is intentional and matches
+    * the published algorithm; d9 documents the closure upgrade.
+    *
+    * Runs on the augmented corpus (v5's planted float mutants), so the
+    * expected drop set is exactly the mutants: a mutant points within
+    * 0.001 cosine of its source, lands in the same quantizer cell (signs
+    * and direction preserved), and its vec_id (+1,000,000) is the greater
+    * of the pair.
+    *
+    * Plan shape at 100 TB: quantizer is memoized tiny state (train once,
+    * probe many); assignment is one broadcast join + window; the quadratic
+    * surface is bounded WITHIN cells — exactly SemDeDup's published cost
+    * model, dialed by the cell count (IvfCells here; ~sqrt(N) cells in
+    * production so cells stay ~constant-size). The assigned frame is
+    * cached so the self-join's two sides share one computation. Emits
+    * (vec_id, cell, is_kept) for the whole corpus. */
+  def v8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(spark, dir)
+    val assigned = registered(
+      assignCells(cent, augEmb(spark, dir), 1)
+        .withColumn("nrm", norm(col("embedding"))))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("cell"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("cell").as("cell_b"), col("nrm").as("nb"))
+    val dropped = a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .filter(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= SemDedupCosine.toDouble)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dropped").isNull, 1L).otherwise(0L).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
@@ -418,40 +471,55 @@ object VectorQueries {
     "v4_ivf_ann" -> v4IvfAnn,
     "v5_near_dup_pairs" -> v5NearDupPairs,
     "v6_ivf_multiprobe" -> v6IvfMultiprobe,
-    "v7_pq_ann" -> v7PqAnn)
+    "v7_pq_ann" -> v7PqAnn,
+    "v8_semantic_dedup" -> v8SemanticDedup)
 
   /** Lloyd CTE chain generated from the SAME IvfCells/LloydIters/IvfProbes
     * constants as the Spark plan — the two quantizers cannot drift. The
     * corpus assignment is always rk=1; the query side probes rk<=nprobe
     * cells (disjoint by construction, so no (qid, vid) dedup is needed). */
-  private def ivfOracle(nprobe: Int): String = {
-    def assignCte(i: Int, name: String, k: Int): String =
-      s"""$name AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT d.vec_id, d.cell,
-         |           row_number() OVER (PARTITION BY d.vec_id
-         |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
-         |                                       d.cell ASC) AS rk
-         |    FROM (SELECT x.vec_id, c.cell, SUM(x.v * c.cv) AS dp
-         |          FROM vals x JOIN cent${i - 1} c ON x.pos = c.pos
-         |          GROUP BY 1, 2) d
-         |    JOIN norms n ON d.vec_id = n.vec_id
-         |    JOIN cn${i - 1} cn ON d.cell = cn.cell)
-         |  WHERE rk <= $k)""".stripMargin
-    def centCte(i: Int): String =
-      s"""cent$i AS (SELECT a.cell, x.pos, round(AVG(x.v), 6) AS cv
-         |          FROM vals x JOIN assign$i a ON x.vec_id = a.vec_id
-         |          GROUP BY 1, 2),
-         |cn$i AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent$i GROUP BY cell)""".stripMargin
+  /** One k-nearest-cell assignment CTE against cent{i-1} — the SQL twin of
+    * [[assignCells]], parameterized by the exploded-values/norms source so
+    * the same trained quantizer can assign the base corpus (vals/norms) or
+    * the augmented one (avals/anorms — v8). */
+  private def ivfAssignCte(i: Int, name: String, k: Int,
+      valsName: String = "vals", normsName: String = "norms"): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
+       |                                       d.cell ASC) AS rk
+       |    FROM (SELECT x.vec_id, c.cell, SUM(x.v * c.cv) AS dp
+       |          FROM $valsName x JOIN cent${i - 1} c ON x.pos = c.pos
+       |          GROUP BY 1, 2) d
+       |    JOIN $normsName n ON d.vec_id = n.vec_id
+       |    JOIN cn${i - 1} cn ON d.cell = cn.cell)
+       |  WHERE rk <= $k)""".stripMargin
+
+  private def ivfCentCte(i: Int): String =
+    s"""cent$i AS (SELECT a.cell, x.pos, round(AVG(x.v), 6) AS cv
+       |          FROM vals x JOIN assign$i a ON x.vec_id = a.vec_id
+       |          GROUP BY 1, 2),
+       |cn$i AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent$i GROUP BY cell)""".stripMargin
+
+  /** The Lloyd training chain (cent0 .. cent{LloydIters}) shared by the
+    * ivf and semantic-dedup oracles. */
+  private def ivfTrainCtes: String = {
     val lloyd = (1 to LloydIters)
-      .map(i => s"${assignCte(i, s"assign$i", 1)},\n${centCte(i)}").mkString(",\n")
+      .map(i => s"${ivfAssignCte(i, s"assign$i", 1)},\n${ivfCentCte(i)}").mkString(",\n")
+    s"""cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
+       |          WHERE vec_id < $IvfCells),
+       |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
+       |$lloyd""".stripMargin
+  }
+
+  private def ivfOracle(nprobe: Int): String = {
+    def assignCte(i: Int, name: String, k: Int): String = ivfAssignCte(i, name, k)
     val fin = LloydIters + 1
     s"""WITH $valsCte,
        |$normsCte,
-       |cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
-       |          WHERE vec_id < $IvfCells),
-       |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
-       |$lloyd,
+       |$ivfTrainCtes,
        |${assignCte(fin, s"assign$fin", 1)},
        |${assignCte(fin, "qassign", nprobe)},
        |dots AS (
@@ -539,8 +607,45 @@ object VectorQueries {
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
+  /** v8 oracle: the SAME Lloyd chain as the ivf oracle trains on the base
+    * corpus, then assigns the augmented corpus via the parameterized
+    * assign CTE; within-cell pairs above the shared cosine bar mark their
+    * greater vec_id dropped. */
+  private def semDedupOracle: String = {
+    val fin = LloydIters + 1
+    s"""WITH $augCte,
+       |$valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |avals AS (
+       |  SELECT vec_id,
+       |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+       |         unnest(range(len(embedding))) AS pos
+       |  FROM aug),
+       |anorms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM avals GROUP BY vec_id),
+       |${ivfAssignCte(fin, "aassign", 1, "avals", "anorms")},
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(va.v * vb.v) AS dp
+       |  FROM aassign a
+       |  JOIN aassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN avals va ON va.vec_id = a.vec_id
+       |  JOIN avals vb ON vb.vec_id = b.vec_id AND va.pos = vb.pos
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT p.vec_b AS vec_id
+       |  FROM pairs p
+       |  JOIN anorms na ON p.vec_a = na.vec_id
+       |  JOIN anorms nb ON p.vec_b = nb.vec_id
+       |  WHERE round(p.dp / (na.nrm * nb.nrm), 6) >= $SemDedupCosine)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM aassign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "v7_pq_ann" -> pqOracle,
+    "v8_semantic_dedup" -> semDedupOracle,
     "v1_cosine_topk" ->
       s"""WITH $valsCte,
          |$normsCte,

@@ -251,4 +251,29 @@ class MultimodalSpec extends AnyFunSuite {
       s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
     assert(got.forall(_.getLong(2) <= 2), "planted pair beyond hamming 2")
   }
+
+  test("m3 video frame dedup recovers exactly the planted re-mux pairs, all 5 frames shared") {
+    import graft.queries.MultimodalQueries
+    // a re-mux mutant shares EVERY sampled frame (250 frames / stride 50 =
+    // 5) with its source; distinct ids can never share a frame because the
+    // 16-byte frame prefix is a bijective function of the id
+    val got = MultimodalQueries.m3VideoSharedFrames(TestSpark.spark, TestSpark.sf).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = TestSpark.spark.read
+      .parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 5 == 0).map(id => (id, id + 1000000L)).toSet
+    assert(expected.nonEmpty)
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
+    assert(got.forall(_.getLong(2) == 5L), "re-mux pair must share all 5 sampled frames")
+    // ...and the planted mutant is NOT a whole-file duplicate: container
+    // bytes differ even though every frame matches (the gap m3 exists for)
+    val mm = MultimodalQueries.videoCorpus(TestSpark.spark, TestSpark.sf)
+      .filter(m => m.media_id == 0L || m.media_id == 1000000L)
+      .collect().sortBy(_.media_id)
+    assert(mm.length == 2 &&
+      !java.util.Arrays.equals(mm(0).payload, mm(1).payload),
+      "re-mux fixture degenerated to a byte-identical copy")
+  }
 }

@@ -90,6 +90,26 @@ class VectorSpec extends AnyFunSuite {
     assert(r6 >= 0.90, s"v6 multi-probe recall@5 collapsed: $r6")
   }
 
+  test("v8 semantic dedup drops exactly the planted mutants, keeps every original") {
+    // a mutant (vec_id + 1,000,000) points within 0.001 cosine of its
+    // source and lands in the same quantizer cell, so SemDeDup must drop
+    // it (greater vec_id of the pair) and keep everything else: natural
+    // pairs on the fixture never reach cosine 0.999
+    val rows = VectorQueries.queries("v8_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val mutants = base.filter(_ % 5 == 0).map(_ + 1000000L)
+    assert(rows.length == base.size + mutants.size, "verdict must cover the whole corpus")
+    val dropped = rows.filter(_._3 == 0L).map(_._1).toSet
+    assert(dropped == mutants,
+      s"missing=${(mutants -- dropped).take(5)} spurious=${(dropped -- mutants).take(5)}")
+    // every mutant shares a cell with its source (the SemDeDup premise)
+    val cell = rows.map(r => r._1 -> r._2).toMap
+    mutants.foreach(m => assert(cell(m) == cell(m - 1000000L),
+      s"mutant $m landed outside its source's cell"))
+  }
+
   test("v7 PQ-ADC recall@5 against the exact squared-L2 baseline") {
     import org.apache.spark.sql.expressions.Window
     // PQ approximates L2, not cosine, so its ground truth is the exact
