@@ -170,6 +170,11 @@ object MultimodalQueries {
       .sampleFrames(videoCorpus(spark, dir), MultimodalOps.FakeCodec, stride = 50)
       .select(col("media_id"), md5(col("frame_payload")).as("frame_md5"))
       .repartition(col("frame_md5"))
+      // frames are corpus-sized: a planner-picked broadcast (tiny stats at
+      // fixture scale) would sample the corpus once PER SIDE and cannot
+      // survive 100 TB anyway — pin the shuffled hash join so both sides
+      // reuse the one explicit fingerprint exchange
+      .hint("shuffle_hash")
     frames.as("a").join(frames.as("b"),
         col("a.frame_md5") === col("b.frame_md5") &&
           col("a.media_id") < col("b.media_id"))

@@ -160,6 +160,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m3 frame dedup: pair join is a fingerprint equi-join reusing ONE frame exchange") {
+    val df = MultimodalQueries.m3VideoSharedFrames(spark, sf)
+    val static = planOf(df)
+    assert(!static.contains("CartesianProduct"), static)
+    assert(!static.contains("BroadcastNestedLoopJoin"), static)
+    assert(static.contains("ShuffledHashJoin"),
+      s"pair join must stay a shuffled hash join (broadcast of corpus-sized frames cannot scale):\n$static")
+    // exchange reuse is an AQE runtime decision: execute THIS df's own
+    // QueryExecution (count() would plan a different one), then assert the
+    // FINAL adaptive plan sampled the corpus once, not once per join side
+    // (the m1/m2 round-7 regression, guarded here for video)
+    df.collect()
+    val fin = planOf(df)
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      s"frame exchange not reused — corpus sampled once per join side:\n$fin")
+  }
+
+  test("v8 semantic dedup: centroid scoring broadcasts, within-cell pairing never cartesians") {
+    val p = planOf(VectorQueries.queries("v8_semantic_dedup")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"tiny quantizer state not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the assigned frame is cached so the pair join's two sides share one
+    // assignment computation instead of re-running the window per side
+    assert(p.contains("InMemoryTableScan"),
+      s"cell assignment recomputed per join side:\n$p")
+    VectorQueries.releaseCaches()
+  }
+
+  test("t14 unigram LM: frequency join is an equi-join; aggregation combines map-side") {
+    val p = planOf(TextQueries.t14UnigramLm(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row totals scalar may ride a BroadcastNestedLoopJoin (that IS
+    // the broadcast-scalar plan); the token->freq join must not
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation below the exchange:\n$p")
+  }
+
   test("s10 upsert: lineitem size aggregation combines map-side before the exchange") {
     val p = planOf(StatusQueries.s10VideoEnable(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
