@@ -575,6 +575,41 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d10 — CONTAINMENT verify on LSH candidates: |A∩B|/|A| and |A∩B|/|B|
+    * in integer micro-units. Symmetric Jaccard under-scores SUBSET
+    * duplication — a document quoted whole inside a larger one has a small
+    * intersection/union ratio but ∩/|small| ≈ 1 — and containment is the
+    * standard production metric for that case (the containment variant of
+    * MinHash dedup). Emits every LSH candidate pair with its shared-shingle
+    * count and BOTH directed containments; thresholding is the consumer's
+    * policy, as in d8. The drop-first-word mutants are exactly contained in
+    * their sources (their shingle set loses only the cut-point 3-gram), so
+    * contain_b_micro is exactly 1,000,000 on every planted pair — pinned by
+    * PropertySpec.
+    *
+    * Numeric discipline: shared * 1e6 is an exact double (< 2^53), the
+    * division one IEEE op, floor-to-BIGINT — the t2/t7 cross-engine rule.
+    * Plan shape at 100 TB: identical to d4/d8 — the pairwise surface is
+    * LSH candidates only (never all pairs), the shingle joins are
+    * doc_id-keyed over the shared checkpointed bases. */
+  def d10ContainmentVerify(spark: SparkSession, dir: String): DataFrame = {
+    val dsh = distinctShingles(spark, dir)
+    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cachedCands(spark, dir)
+      .join(dsh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(dsh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        floor(col("shared").cast("double") * 1000000.0 /
+          col("na.n").cast("double")).cast("bigint").as("contain_a_micro"),
+        floor(col("shared").cast("double") * 1000000.0 /
+          col("nb.n").cast("double")).cast("bigint").as("contain_b_micro"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d9 — dedup CLUSTERING via connected components: the graph-correct
     * generalization of d7's pairwise drop. Pairwise "drop the greater id
     * of every pair" equals component-min only when the dup relation is
@@ -1053,6 +1088,7 @@ object TextQueries {
     "d7_dedup_keep" -> d7DedupKeep,
     "d8_levenshtein_verify" -> d8LevenshteinVerify,
     "d9_dedup_components" -> d9DedupComponents,
+    "d10_containment" -> d10ContainmentVerify,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
@@ -1134,6 +1170,27 @@ object TextQueries {
            |  JOIN sizes na ON s.doc_a = na.doc_id
            |  JOIN sizes nb ON s.doc_b = nb.doc_id)
            |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+      "d10_containment" -> oracle(
+        s""", $sigsCte,
+           |$bandsCte,
+           |$candCte,
+           |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN dsh sa ON c.doc_a = sa.doc_id
+           |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT s.doc_a, s.doc_b, s.shared,
+           |       CAST(floor(CAST(s.shared AS DOUBLE) * 1000000.0 /
+           |                  CAST(na.n AS DOUBLE)) AS BIGINT) AS contain_a_micro,
+           |       CAST(floor(CAST(s.shared AS DOUBLE) * 1000000.0 /
+           |                  CAST(nb.n AS DOUBLE)) AS BIGINT) AS contain_b_micro
+           |FROM shared s
+           |JOIN sizes na ON s.doc_a = na.doc_id
+           |JOIN sizes nb ON s.doc_b = nb.doc_id
+           |ORDER BY s.doc_a, s.doc_b""".stripMargin),
       "d5_simhash_sig" -> oracle(
         s""", $simhashCte
            |SELECT doc_id, sim_hi, sim_lo FROM simhashes ORDER BY doc_id""".stripMargin),

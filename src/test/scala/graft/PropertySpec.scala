@@ -237,6 +237,45 @@ class PropertySpec extends AnyFunSuite {
     assert(packed == direct, s"token mass not conserved: $packed vs $direct")
   }
 
+  test("d10 containment: planted mutants are exactly contained in their sources") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("d10_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // drop-first-word mutant: its shingle SET is a subset of the source's
+    // (only the cut-point 3-gram disappears), so shared == |mutant| and the
+    // mutant-side containment is exactly 1.0 even where Jaccard is not
+    // anchor on ORIGINAL docs (a < 1,000,000): the (source+1e6, source+2e6)
+    // mutant-vs-copy pair also differs by 1e6 but points the other way
+    val nearPairs = rows.filter { case (a, b, _, _, _) =>
+      a < 1000000L && b == a + 1000000L }
+    assert(nearPairs.nonEmpty)
+    nearPairs.foreach { case (a, b, _, ca, cb) =>
+      assert(cb == 1000000L, s"mutant ($a,$b) not fully contained: $cb")
+      assert(ca <= 1000000L && ca > 0L, s"source containment out of range: $ca")
+    }
+    // exact copies: containment 1.0 in BOTH directions
+    rows.filter { case (a, b, _, _, _) => a < 1000000L && b == a + 2000000L }
+      .foreach { case (a, b, _, ca, cb) =>
+        assert(ca == 1000000L && cb == 1000000L, s"exact pair ($a,$b): $ca/$cb")
+      }
+    // mutant vs exact-copy-of-its-source: the MUTANT side is the contained one
+    rows.filter { case (a, b, _, _, _) => a >= 1000000L && b == a + 1000000L }
+      .foreach { case (a, b, _, ca, cb) =>
+        assert(ca == 1000000L, s"mutant-vs-copy ($a,$b): mutant side not contained: $ca")
+      }
+    // containment >= jaccard on every pair (|A∩B|/min-side >= |A∩B|/|A∪B|):
+    // the structural reason the metric exists
+    val jac = TextQueries.queries("d4_jaccard_verify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (a, b, _, ca, cb) =>
+      jac.get((a, b)).foreach { j =>
+        assert(math.max(ca, cb) >= (j * 1e6).toLong - 1,
+          s"containment below jaccard on ($a,$b)")
+      }
+    }
+  }
+
   test("d9 core: pointer jumping converges on a 200-deep chain in O(log d) rounds") {
     import graft.queries.TextQueries
     // a chain 0-1-2-…-200 has diameter 200: plain min-propagation needs 200
