@@ -43,6 +43,25 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming ingest dedup AGAINST THE HISTORICAL CORPUS — the third leg
+    * of the ingest-dedup topology: [[dedupByFingerprint]] kills dups
+    * WITHIN the stream's watermark horizon, batch d1 compacts the corpus
+    * itself, and this stream-static ANTI-JOIN kills arrivals that
+    * duplicate a document already IN the corpus. Spark re-plans the static
+    * side per micro-batch, so a corpus compaction between batches is
+    * picked up without restarting the query.
+    *
+    * Scale notes: stream-static joins are stateless on the stream side (no
+    * state store, no watermark needed for the join itself); the static
+    * side is the d1 fingerprint base — doc_id-free, one slim column, so at
+    * 100 TB it is a parquet table the join reads per batch (broadcast if
+    * it fits, shuffled hash otherwise). The fingerprint definition is the
+    * SHARED ops/Fingerprint column, so stream and batch can never drift. */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+
   /** Streaming ingest sampling — the streaming face of TextQueries.t9:
     * the same deterministic md5-threshold mix + epoch explode, applied as
     * documents arrive. STATELESS by construction (a pure filter +

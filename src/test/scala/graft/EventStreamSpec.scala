@@ -65,6 +65,36 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-static anti-join drops arrivals already in the corpus, keeps zero state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    // the "historical corpus": fingerprints of two known documents,
+    // computed through the SAME shared Fingerprint column as the stream
+    val corpus = Seq("hello world", "known doc").toDF("text")
+      .select(graft.ops.Fingerprint.col(org.apache.spark.sql.functions.col("text")).as("fp"))
+    val q = EventStream.dedupAgainstCorpus(df, corpus).writeStream
+      .format("memory").queryName("vscorpus").outputMode("append").start()
+    // doc 2 normalizes onto a corpus fingerprint (case+whitespace fold);
+    // docs 1 and 3 are novel
+    ms.addData((1L, "fresh text"), (2L, "HELLO   world"), (3L, "another fresh"))
+    q.processAllAvailable()
+    assert(spark.table("vscorpus").select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    // a second batch keeps filtering against the static side — and unlike
+    // dropDuplicatesWithinWatermark there is NO horizon: corpus membership
+    // never expires
+    ms.addData((4L, "known doc"), (5L, "fresh again"))
+    q.processAllAvailable()
+    assert(spark.table("vscorpus").select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L, 5L)))
+    // stateless on the stream side: the anti-join keeps no streaming state
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "stream-static anti-join must not create streaming state")
+    q.stop()
+  }
+
   test("streaming ingest sampling matches the batch mix exactly and keeps zero state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -237,6 +237,30 @@ class PropertySpec extends AnyFunSuite {
     assert(packed == direct, s"token mass not conserved: $packed vs $direct")
   }
 
+  test("t14 unigram LM: token mass conserved, hapax bounded, scores in range") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t14_unigram_lm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // conservation: the freq-join must neither drop nor duplicate tokens —
+    // per-doc n_tokens summed equals t1's independent whitespace count
+    val viaT1 = TextQueries.queries("t1_token_stats")(spark, sf)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == viaT1, "token mass not conserved through the freq join")
+    rows.foreach { case (id, n, hapax, score) =>
+      assert(hapax <= n, s"doc $id: more hapax than tokens")
+      // mean of per-token floors of probabilities: in (0, 1e6]
+      assert(score >= 0L && score <= 1000000L, s"doc $id: score $score out of range")
+    }
+    // exact copies (%7 mutants) double their tokens' corpus counts
+    // identically, so copy and source must score the same
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    val copies = rows.map(_._1).filter(id => id >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach(c => assert(byId(c) == byId(c - 2000000L),
+      s"exact copy $c scored differently from its source"))
+  }
+
   test("d10 containment: planted mutants are exactly contained in their sources") {
     import graft.queries.TextQueries
     val rows = TextQueries.queries("d10_containment")(spark, sf).collect()
