@@ -36,9 +36,31 @@ object ApproxQueries {
         col("value"), col("n"))
   }
 
+  /** approx_top_k (DataSketches frequent-items) twin of `t6_top_terms`'
+    * exact wordcount top-20: the sketch keeps a bounded item map per
+    * partition and merges — no full (token, count) shuffle, which at
+    * web-corpus vocabulary sizes (billions of distinct tokens) is the
+    * difference between a broadcastable result and a multi-TB exchange.
+    * maxItemsTracked 10000 >> k 20 keeps the fixture's heavy hitters
+    * exact in practice (ApproxSpec pins set-and-count agreement with t6).
+    * Output exploded to one row per (token, count) — never an array
+    * column (driver row-sort constraint, the r01 lesson). */
+  def xApproxTopTerms(spark: SparkSession, dir: String): DataFrame =
+    // same augmented corpus as t6 (shared definition, not the cached
+    // tokenized base — this group runs after the text caches release);
+    // tokenization inlined to the t6/toksSql definition
+    TextQueries.corpus(spark, dir)
+      .select(explode(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        .as("token"))
+      .filter(length(col("token")) >= 4)
+      .agg(expr("approx_top_k(token, 20, 10000)").as("top"))
+      .select(explode(col("top")).as("x"))
+      .select(col("x.item").as("token"), col("x.count").as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_approx_users" -> xApproxUsers,
-    "x_price_quantiles" -> xPriceQuantiles)
+    "x_price_quantiles" -> xPriceQuantiles,
+    "x_approx_top_terms" -> xApproxTopTerms)
 
   /** No oracle by design. */
   val rowsOnly: Set[String] = queries.keySet

@@ -1,0 +1,55 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] training-shard export — the write path a pretraining pipeline
+  * feeds its dataloaders from: hive-partitioned by a routing column
+  * (language here, data-source or quality band in production), each shard
+  * file capped at a fixed record count, shard CONTENT deterministic across
+  * reruns.
+  *
+  * Why each piece exists:
+  *  - `repartition(partitionCol)`: one shuffle so each routing value is
+  *    written by one task — without it every input task writes a sliver
+  *    of every partition directory (the small-files problem at 100 TB:
+  *    tasks × partitions tiny files).
+  *  - `sortWithinPartitions(partitionCol, orderCol)`: the writer splits a
+  *    task's stream sequentially at `maxRecordsPerFile`, so a sorted
+  *    stream makes every shard a contiguous, reproducible key range —
+  *    rerunning the export yields the same shard contents (spec-pinned),
+  *    which is what makes a training run's data order auditable.
+  *  - `maxRecordsPerFile`: bounds shard size for dataloader fan-out
+  *    without a second repartition pass.
+  *
+  * At 100 TB scale the single-task-per-value shuffle is the knob to
+  * revisit: for a skewed routing column add a salt to `repartition` (N
+  * tasks per value, still deterministic per salt) — the layout contract
+  * below is unchanged.
+  */
+object ShardWriter {
+
+  /** Export `df` as training shards under `outDir`. Overwrites. */
+  def writeShards(df: DataFrame, outDir: String, partitionCol: String,
+      orderCol: String, maxRecordsPerFile: Int): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(orderCol))
+      .write
+      .partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(outDir)
+
+  /** Shard manifest: one row per written file — (partition value, file,
+    * n_rows, min/max of the order column). The audit artifact a training
+    * job logs next to the data; also what the spec asserts against. */
+  def manifest(spark: SparkSession, outDir: String, partitionCol: String,
+      orderCol: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col(partitionCol), col(orderCol),
+        input_file_name().as("file"))
+      .groupBy(col(partitionCol), col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(orderCol)).as("first_key"),
+        max(col(orderCol)).as("last_key"))
+}

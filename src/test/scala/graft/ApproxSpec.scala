@@ -29,6 +29,27 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k terms agree with the exact t6 top-20 on set and counts") {
+    import graft.queries.TextQueries
+    val approx = ApproxQueries.queries("x_approx_top_terms")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = TextQueries.queries("t6_top_terms")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TextQueries.releaseCaches()
+    assert(exact.size == 20 && approx.size == 20)
+    // maxItemsTracked (10000) dwarfs both k (20) and the fixture's distinct
+    // token count, so the sketch degenerates to exact counting here: the
+    // top-20 SET and every count must agree outright. At real vocabulary
+    // scale the guarantee weakens to the documented epsilon band — this
+    // pins that the sketch plumbing (tokenize, filter, merge, explode)
+    // computes the same thing the exact path does.
+    assert(approx.keySet == exact.keySet,
+      s"missing=${exact.keySet -- approx.keySet} spurious=${approx.keySet -- exact.keySet}")
+    exact.foreach { case (tok, n) =>
+      assert(approx(tok) == n, s"$tok: approx ${approx(tok)} vs exact $n")
+    }
+  }
+
   test("approx price percentiles within 1% of exact") {
     val approx = ApproxQueries.xPriceQuantiles(spark, sf).collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.ShardWriter
+
+/** Contract for the training-shard export sink: hive layout, record cap,
+  * row conservation, and — the property that makes a training run's data
+  * auditable — deterministic shard contents across reruns. */
+class ShardWriterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def corpus() =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+
+  test("shards are hive-partitioned, capped, conserve rows, and key ranges do not overlap") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = corpus()
+    val total = df.count()
+    ShardWriter.writeShards(df, out, "lang", "doc_id", maxRecordsPerFile = 40)
+    // hive layout: one subdirectory per routing value
+    val langs = df.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val subdirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == langs.map(l => s"lang=$l"), subdirs)
+    val man = ShardWriter.manifest(spark, out, "lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every shard respects the record cap; total rows conserved
+    assert(man.forall(_._3 <= 40L), man.filter(_._3 > 40L).mkString(";"))
+    assert(man.map(_._3).sum == total)
+    // within a partition, shard key ranges are CONTIGUOUS and non-overlapping
+    // (the sortWithinPartitions + sequential split contract)
+    man.groupBy(_._1).foreach { case (lang, shards) =>
+      val ranges = shards.map(s => (s._4, s._5)).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, lastA), (firstB, _)) =>
+          assert(lastA < firstB, s"$lang: overlapping shard ranges")
+        case _ =>
+      }
+    }
+  }
+
+  test("rerunning the export produces identical shard contents") {
+    def shardSets(out: String): Map[String, Set[Set[Long]]] = {
+      val man = spark.read.parquet(out)
+        .select(col("lang"), col("doc_id"), input_file_name().as("f")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      man.groupBy(_._1).map { case (lang, rows) =>
+        lang -> rows.groupBy(_._3).values.map(_.map(_._2).toSet).toSet
+      }
+    }
+    val a = java.nio.file.Files.createTempDirectory("graft-shards-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-shards-b").toString
+    ShardWriter.writeShards(corpus(), a, "lang", "doc_id", maxRecordsPerFile = 25)
+    ShardWriter.writeShards(corpus(), b, "lang", "doc_id", maxRecordsPerFile = 25)
+    assert(shardSets(a) == shardSets(b),
+      "shard contents must be deterministic across reruns")
+  }
+}
