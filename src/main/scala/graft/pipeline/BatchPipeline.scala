@@ -85,4 +85,23 @@ object BatchPipeline {
       .drop("job_id", "new_status")
     RoundResult(events, finalJobs)
   }
+
+  /** The LLM-corpus counterpart of [[runRound]]: prepare-and-export in one
+    * pass. Runs the full corpus-prep composition (t12: dedup keep-set ∖
+    * contamination, quality floor, PII-redacted text), restores the
+    * routing column from the corpus (t12's projection is consumer-shaped
+    * and doesn't carry lang), and writes rerun-deterministic training
+    * shards. Returns the shard manifest — the audit artifact a training
+    * job logs next to its data. Every stage rides the operators' own
+    * shared bases; the only new work is one doc_id equi-join and the
+    * export shuffle (one task per routing value). */
+  def exportCleanCorpus(spark: SparkSession, dir: String, outDir: String,
+      maxRecordsPerFile: Int = 10000): DataFrame = {
+    val clean = graft.queries.TextQueries.queries("t12_clean_corpus")(spark, dir)
+      .join(graft.queries.TextQueries.corpus(spark, dir).select("doc_id", "lang"),
+        "doc_id")
+    graft.sinks.ShardWriter.writeShards(
+      clean, outDir, "lang", "doc_id", maxRecordsPerFile)
+    graft.sinks.ShardWriter.manifest(spark, outDir, "lang", "doc_id")
+  }
 }

@@ -217,7 +217,7 @@ object TextQueries {
 
   // ---- corpus ----
 
-  private[queries] def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text", "lang")
     d.unionByName(

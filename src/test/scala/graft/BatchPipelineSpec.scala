@@ -11,6 +11,21 @@ import graft.pipeline.BatchPipeline
 class BatchPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("export pipeline: t12 survivors land in shards, manifest conserves them") {
+    import graft.queries.TextQueries
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val man = BatchPipeline.exportCleanCorpus(spark, sf, out, maxRecordsPerFile = 30)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    // manifest row mass equals the t12 survivor count — export drops nothing
+    val survivors = TextQueries.queries("t12_clean_corpus")(spark, sf).count()
+    TextQueries.releaseCaches()
+    assert(survivors > 0 && man.map(_._2).sum == survivors)
+    assert(man.forall(_._2 <= 30L), "record cap violated")
+    // the written corpus round-trips with the redacted projection intact
+    val cols = spark.read.parquet(out).columns.toSet
+    assert(Set("doc_id", "quality_micro", "redacted", "lang").subsetOf(cols), cols)
+  }
+
   test("one round: top-k claimed jobs walk to Done, rest of snapshot untouched") {
     val before = graft.model.EncodeDomain.jobsDF(spark, sf)
     val r = BatchPipeline.runRound(spark, sf, capacity = 20, MockRunner)
