@@ -297,15 +297,13 @@ object VectorQueries {
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
-    def assign(cent: DataFrame, src: DataFrame, k: Int): DataFrame =
-      assignCells(cent, src, k)
     val cent = trainedCentroids(spark, dir)
     // cached: the probe reuses the corpus assignment (and per-vector norm);
     // the tiny query side gets its own k=nprobe assignment
     val assigned = registered(
-      assign(cent, e, 1).withColumn("nrm", norm(col("embedding"))))
+      assignCells(cent, e, 1).withColumn("nrm", norm(col("embedding"))))
     // probe: exact cosine within the query's nprobe nearest cells only
-    val q = assign(cent, e.filter(col("vec_id") < 3), nprobe)
+    val q = assignCells(cent, e.filter(col("vec_id") < 3), nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
         norm(col("embedding")).as("qn"))
     val c = assigned
