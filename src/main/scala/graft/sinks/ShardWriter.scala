@@ -23,16 +23,19 @@ import org.apache.spark.sql.functions._
   *    without a second repartition pass.
   *
   * At 100 TB scale the single-task-per-value shuffle is the knob to
-  * revisit: for a skewed routing column add a salt to `repartition` (N
-  * tasks per value, still deterministic per salt) — the layout contract
-  * below is unchanged.
+  * revisit: for a skewed routing column pass `salts > 1` — N writer tasks
+  * per value, salted by a deterministic hash of the order column, so the
+  * export stays rerun-identical. The contiguous-range property then holds
+  * per salt task rather than per partition value; layout and conservation
+  * are unchanged.
   */
 object ShardWriter {
 
-  /** Export `df` as training shards under `outDir`. Overwrites. */
+  /** Export `df` as training shards under `outDir`. Overwrites.
+    * `salts` = writer tasks per routing value (1 = strict contiguity). */
   def writeShards(df: DataFrame, outDir: String, partitionCol: String,
-      orderCol: String, maxRecordsPerFile: Int): Unit =
-    df.repartition(col(partitionCol))
+      orderCol: String, maxRecordsPerFile: Int, salts: Int = 1): Unit =
+    df.repartition(col(partitionCol), pmod(hash(col(orderCol)), lit(salts)))
       .sortWithinPartitions(col(partitionCol), col(orderCol))
       .write
       .partitionBy(partitionCol)

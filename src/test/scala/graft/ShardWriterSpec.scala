@@ -42,6 +42,33 @@ class ShardWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("salted export (skew knob): layout, cap and conservation hold; still rerun-deterministic") {
+    def shardSets(out: String): Map[String, Set[Set[Long]]] = {
+      val man = spark.read.parquet(out)
+        .select(col("lang"), col("doc_id"), input_file_name().as("f")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      man.groupBy(_._1).map { case (lang, rows) =>
+        lang -> rows.groupBy(_._3).values.map(_.map(_._2).toSet).toSet
+      }
+    }
+    val df = corpus()
+    val total = df.count()
+    val a = java.nio.file.Files.createTempDirectory("graft-salt-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-salt-b").toString
+    ShardWriter.writeShards(df, a, "lang", "doc_id", maxRecordsPerFile = 40, salts = 4)
+    ShardWriter.writeShards(df, b, "lang", "doc_id", maxRecordsPerFile = 40, salts = 4)
+    val man = ShardWriter.manifest(spark, a, "lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(man.map(_._2).sum == total, "salted export must conserve rows")
+    assert(man.forall(_._2 <= 40L), "record cap violated under salting")
+    // the salt spreads a routing value across several writer tasks — the
+    // skew answer must actually fan out, not silently collapse to one file
+    assert(man.groupBy(_._1).values.exists(_.size > 1),
+      "salting produced no fan-out on the fixture")
+    assert(shardSets(a) == shardSets(b),
+      "salted shard contents must be deterministic across reruns")
+  }
+
   test("rerunning the export produces identical shard contents") {
     def shardSets(out: String): Map[String, Set[Set[Long]]] = {
       val man = spark.read.parquet(out)
