@@ -561,7 +561,15 @@ object TextQueries {
     * pairs beyond the threshold never reach the DP at all) and (2) the
     * bounded 3-arg `levenshtein(a, b, k)`, whose banded DP early-exits at
     * O(len·k) instead of O(len²) and returns −1 above the threshold —
-    * semantically identical output to the unbounded form + filter. */
+    * semantically identical output to the unbounded form + filter.
+    *
+    * Bench note (round-8 probe): d8's ~2.7 s at sf0.1 is NOT the DP — the
+    * 2312 banded DPs over ~300-char near-dup texts cost ~0.2 s spread
+    * across cores, and repartitioning any input moves nothing. ~1 s is
+    * whole-stage codegen compilation of this plan (codegen off: 2.7→1.5 s)
+    * and the rest is broadcast/stage overhead — all per-ACTION constants
+    * that vanish relative to the DP as the candidate count grows, so this
+    * is a fixture-scale artifact, not a 100 TB concern. */
   def d8LevenshteinVerify(spark: SparkSession, dir: String): DataFrame = {
     val maxDist = 40
     val c = corpus(spark, dir).select(col("doc_id"), col("text"))
