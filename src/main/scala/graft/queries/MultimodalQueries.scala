@@ -107,7 +107,15 @@ object MultimodalQueries {
       // (the planner's broadcast pick made the sides asymmetric and the
       // corpus was decoded twice). Same move a cluster job makes: partition
       // the band table once, read it for both sides of the pair join.
+      // The shuffle_hash hint PINS that plan: without it AQE can still
+      // flip the pair join to broadcast on marginal runtime stats and
+      // silently restore the double decode — the likely mechanism behind
+      // m1's observed process-level bimodality (0.94 s vs 2.43 s medians,
+      // exactly the one-decode/two-decode ratio for the PNG-dominated
+      // pass). A corpus-sized band table could never broadcast at 100 TB
+      // anyway.
       .repartition(col("band"), col("bkey"))
+      .hint("shuffle_hash")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))

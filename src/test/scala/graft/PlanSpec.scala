@@ -129,12 +129,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"ADC scan not a broadcast hash join:\n$p")
   }
 
-  test("m1/m2 media near-dup: hamming-band candidates are an equi-join, never a cartesian product") {
-    for (q <- Seq(MultimodalQueries.m1ImageNearDup(spark, sf),
+  test("m1/m2 media near-dup: band equi-join, no cartesian, decode pass reused (not once per side)") {
+    for (df <- Seq(MultimodalQueries.m1ImageNearDup(spark, sf),
         MultimodalQueries.m2AudioNearDup(spark, sf))) {
-      val p = planOf(q)
+      val p = planOf(df)
       assert(!p.contains("CartesianProduct"), p)
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("ShuffledHashJoin"),
+        s"pair join must stay shuffled-hash — a broadcast side re-decodes the corpus:\n$p")
+      // the double-decode guard must hold in the EXECUTED plan (AQE makes
+      // join/reuse decisions at runtime; the m1 bench bimodality was this
+      // flip): both sides must ride one reused band exchange
+      df.collect()
+      val fin = planOf(df)
+      assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+        s"band exchange not reused — corpus decoded once per join side:\n$fin")
     }
   }
 
