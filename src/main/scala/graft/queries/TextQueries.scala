@@ -1003,8 +1003,8 @@ object TextQueries {
     * within one. Exact doc copies (the %7 planted mutants) share every
     * chunk by construction. Fixed-boundary chunking deliberately misses
     * the drop-first-word mutants (boundaries shift by one token) — that is
-    * the documented weakness content-defined chunking fixes, and the
-    * doc-level d-pipeline already catches those. One shuffle on the chunk
+    * the documented weakness [[t15CdcChunkDedup]]'s content-defined
+    * boundaries fix, and the doc-level d-pipeline already catches those. One shuffle on the chunk
     * hash; group state is (hash, counts) — flat at any corpus size. */
   def t13ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     withToks(corpus(spark, dir))
@@ -1020,6 +1020,54 @@ object TextQueries {
         min(col("doc_id")).as("keep_doc"))
       .filter(col("n_occurrences") > 1)
       .orderBy("chunk_md5")
+
+  /** CDC boundary density: a token OPENS a new chunk when its md5-slice
+    * % CdcMod == 0, so chunks average ~CdcMod tokens. Chunks under
+    * CdcMinTokens are dropped: single-token chunks carry no dedup signal
+    * and their hashes ("the") would be corpus-wide hot keys — the skew
+    * bomb of the chunk_md5 shuffle at scale. */
+  private val CdcMod = 8
+  private val CdcMinTokens = 3
+
+  /** t15 — CONTENT-DEFINED chunk dedup: the rolling-hash upgrade t13's
+    * scaladoc names as the fix for fixed-boundary chunking. Boundaries are
+    * a pure function of token CONTENT (md5-slice % CdcMod == 0), not of
+    * position — so inserting or deleting a token shifts every position
+    * but re-aligns the chunking at the next boundary, and the planted
+    * drop-first-word mutants (which t13 provably misses: every fixed
+    * boundary shifts by one token) share all their post-first-boundary
+    * chunks with their sources. Emits cross-doc duplicate chunks
+    * (n_docs > 1): the sub-document duplication surface a quote-heavy or
+    * re-templated corpus hides from whole-doc dedup.
+    *
+    * Plan shape at 100 TB: one shuffle partitions tokens by doc_id for
+    * the boundary cumsum window; the (doc_id, chunk_no) grouping rides
+    * that same partitioning (no second exchange — doc_id prefixes the
+    * key); then one shuffle on chunk_md5 with the min-token filter
+    * applied BEFORE it so stopword-sized chunks never become hot keys. */
+  def t15CdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = withToks(corpus(spark, dir))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .withColumn("b",
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint")
+          % CdcMod === 0).cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.withColumn("chunk_no", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), " ")).as("chunk_md5"))
+      .filter(col("n_toks") >= CdcMinTokens)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_md5")
+  }
 
   /** t12's quality floor in micro-units: the fixture corpus scores span
     * ~319k–572k with median ~454k, so this keeps roughly the better half —
@@ -1110,7 +1158,8 @@ object TextQueries {
     "t11_repetition" -> t11Repetition,
     "t12_clean_corpus" -> t12CleanCorpus,
     "t13_chunk_dedup" -> t13ChunkDedup,
-    "t14_unigram_lm" -> t14UnigramLm)
+    "t14_unigram_lm" -> t14UnigramLm,
+    "t15_cdc_chunk_dedup" -> t15CdcChunkDedup)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1499,6 +1548,31 @@ object TextQueries {
            |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
            |FROM chunks GROUP BY chunk_md5
            |HAVING count(*) > 1
+           |ORDER BY chunk_md5""".stripMargin),
+      "t15_cdc_chunk_dedup" -> oracle(
+        s""", tokp AS (
+           |  SELECT doc_id, unnest(toks) AS token,
+           |         unnest(range(len(toks))) AS pos
+           |  FROM toks),
+           |tb AS (
+           |  SELECT doc_id, pos, token,
+           |         CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+           |                   % $CdcMod = 0
+           |              THEN 1 ELSE 0 END AS b
+           |  FROM tokp),
+           |tc AS (
+           |  SELECT doc_id, pos, token,
+           |         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+           |  FROM tb),
+           |cchunks AS (
+           |  SELECT doc_id, chunk_no,
+           |         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_md5
+           |  FROM tc GROUP BY doc_id, chunk_no
+           |  HAVING count(*) >= $CdcMinTokens)
+           |SELECT chunk_md5, count(*) AS n_occurrences,
+           |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
+           |FROM cchunks GROUP BY chunk_md5
+           |HAVING count(DISTINCT doc_id) > 1
            |ORDER BY chunk_md5""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (

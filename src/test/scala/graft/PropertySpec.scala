@@ -372,6 +372,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("t15 CDC chunking matches a pure-Scala recompute exactly and realigns where t13 cannot") {
+    import graft.queries.TextQueries
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // the operator's CDC definition, recomputed locally: a token OPENS a
+    // chunk when its md5-slice % 8 == 0; chunks under 3 tokens dropped
+    def cdcChunks(text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      for (t <- toks) {
+        val boundary = java.lang.Long.parseLong(md5hex(t).take(8), 16) % 8 == 0
+        if (boundary) { if (cur.nonEmpty) out += cur.reverse; cur = Nil }
+        cur = t :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.toSeq.filter(_.length >= 3).map(c => md5hex(c.mkString(" ")))
+    }
+    // full corpus (base + both mutant tiers), chunked locally
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++
+      base.filter(_._1 % 5 == 0).map { case (id, t) =>
+        (id + 1000000L, t.replaceFirst("^\\S+\\s+", "")) } ++
+      base.filter(_._1 % 7 == 0).map { case (id, t) => (id + 2000000L, t) }
+    val chunkDocs = corpus.flatMap { case (id, t) => cdcChunks(t).map(_ -> id) }
+    val expected = chunkDocs.groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2) }
+      .filter(_._2.distinct.length > 1)
+      .map { case (c, ids) =>
+        c -> (ids.length.toLong, ids.distinct.length.toLong, ids.min) }
+    // EXACT operator equality against the local recompute
+    val got = TextQueries.queries("t15_cdc_chunk_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} spurious=${(got.keySet -- expected.keySet).take(3)}")
+    // the headline: drop-first-word mutants share post-boundary chunks with
+    // their sources — the insertion case fixed-boundary t13 provably misses
+    val byDoc = corpus.map { case (id, t) => id -> cdcChunks(t).toSet }.toMap
+    val nearPairs = base.map(_._1).filter(_ % 5 == 0)
+      .map(id => (id, id + 1000000L))
+      .filter { case (s, m) => byDoc(s).nonEmpty && byDoc(m).nonEmpty }
+    val sharing = nearPairs.count { case (s, m) => (byDoc(s) & byDoc(m)).nonEmpty }
+    assert(nearPairs.nonEmpty && sharing * 10 >= nearPairs.length * 9,
+      s"CDC realignment failed: only $sharing/${nearPairs.length} mutant pairs share a chunk")
+  }
+
   test("t7 tf-idf: per-doc top-3 is well-formed and scores never increase with rank") {
     import graft.queries.TextQueries
     val rows = TextQueries.queries("t7_tfidf_terms")(spark, sf).collect()
