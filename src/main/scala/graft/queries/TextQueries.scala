@@ -690,12 +690,17 @@ object TextQueries {
           least(col("l.comp"), coalesce(col("min_n"), col("l.comp"))).as("comp"))
       // pointer jumping: comp ← label(comp). Labels always point at real
       // vertex ids (mins of vertex ids), so the lookup is total; the left
-      // join + coalesce is belt-and-braces, not a semantic branch.
-      val next = ckpt(propagated.as("p")
-        .join(labels.select(col("doc_id").as("comp"), col("comp").as("jump")),
-          Seq("comp"), "left")
-        .select(col("doc_id"),
-          least(col("p.comp"), coalesce(col("jump"), col("p.comp"))).as("comp")))
+      // join + coalesce is belt-and-braces, not a semantic branch. Round 1
+      // skips the jump: labels are still the identity there, so
+      // label(comp) == comp by construction — the join would shuffle the
+      // whole label frame to compute a no-op.
+      val next = ckpt(
+        if (rounds == 0) propagated
+        else propagated.as("p")
+          .join(labels.select(col("doc_id").as("comp"), col("comp").as("jump")),
+            Seq("comp"), "left")
+          .select(col("doc_id"),
+            least(col("p.comp"), coalesce(col("jump"), col("p.comp"))).as("comp")))
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
         .filter(col("comp") =!= col("prev")).isEmpty
       labels = next
