@@ -119,10 +119,20 @@ object Bench {
     val errJson = errors.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)},"reps":$reps}"""
-    // belt-and-braces: the same JSON to a well-known file, in case anything
-    // ever trails the stdout line again
+    // bench_out.json carries the FULL record: the stdout line PLUS warm's
+    // per-stage attribution (r8 verdict ask). It lives here and not on
+    // stdout because the driver keeps only the last ~2000 chars of stdout
+    // — extra keys there would push real query entries out of the window.
+    // With the stages in the artifact, a driver-side warm spike is
+    // attributable (cold-FS re-read vs build regression) without a rerun.
+    val warmStages = graft.queries.TextQueries.lastWarmStages.map {
+      case (n, s, r, b) =>
+        s"""${q(n)}:{"sec":${f3(s)},"rows":$r,"ckptBytes":$b}"""
+    }.mkString("{", ",", "}")
+    val fullLine =
+      line.dropRight(1) + s""","warm_stages":$warmStages}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     // single compact line, printed last — nothing may follow on stdout

@@ -61,6 +61,10 @@ object EventStream {
     docs
       .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+      // fp is purely the join key here (unlike dedupByFingerprint, where
+      // the fingerprint IS the dedup state): drop it so survivors keep the
+      // input schema and the hash choice never leaks downstream
+      .drop("fp")
 
   /** Streaming ingest sampling — the streaming face of TextQueries.t9:
     * the same deterministic md5-threshold mix + epoch explode, applied as

@@ -4,42 +4,32 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.TextQueries
 
-/** Cache ownership for the text pipeline's shared state. Two tiers since
-  * round 5:
-  *  - the tokenized corpus is a persist() a long-lived engine session must
-  *    be able to release — otherwise every dedup run pins executor memory
-  *    forever;
-  *  - the shared dedup bases (shingles, candidates, verified pairs, SimHash
-  *    signatures, fingerprints) are parquet CHECKPOINTS: files on local
-  *    disk that no GC or eviction can invalidate (the round-4 driver bench
-  *    ran 2.11x of baseline precisely because these were RAM caches), and
-  *    that survive releaseCaches() by design. */
+/** Cache ownership for the text pipeline's shared state. Since round 9
+  * there is ONE tier: every shared base — including the tokenized corpus,
+  * the last RAM persist standing — is a parquet CHECKPOINT: files on local
+  * disk that no GC or eviction can invalidate. (The round-4 driver bench
+  * ran 2.11x of baseline because the dedup bases were RAM caches; the
+  * round-8 driver bench re-ran the same failure through the still-persisted
+  * tokenized corpus — t5 5.6x, t6 6.4x. Files close the mode for good.)
+  * The release API remains for callers and future RAM-cached bases; it
+  * must stay a safe no-op today. */
 class CacheLifecycleSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("TextQueries releases every cache it registered; pipeline survives release") {
+  test("text pipeline pins no executor memory: every shared base is an on-disk checkpoint") {
     TextQueries.releaseCaches() // clean slate: other suites share the session
     assert(TextQueries.activeCacheCount == 0)
 
-    // t1 branches off the persisted tokenized corpus
+    // t1 branches off the CHECKPOINTED tokenized corpus
     assert(TextQueries.queries("t1_token_stats")(spark, sf).count() > 0)
-    assert(TextQueries.activeCacheCount > 0,
-      "the text pipeline must register its tokenized-corpus cache")
-    val withCaches = spark.sparkContext.getPersistentRDDs.size
-    assert(withCaches > 0, "caches must actually be materialized")
+    assert(TextQueries.activeCacheCount == 0,
+      "the text pipeline must not register RAM caches — the r8 driver bench " +
+        "showed the tokenized-corpus persist re-tokenizing under memory pressure")
+    assert(TextQueries.checkpointBytes > 0,
+      "the tokenized corpus must be backed by parquet files, not evictable RAM")
 
+    // release stays a safe no-op: the pipeline answers from files after it
     TextQueries.releaseCaches()
-    assert(TextQueries.activeCacheCount == 0)
-    // unpersist(blocking=false): block eviction is async on executors but
-    // the persistent-RDD registry update is driver-side; poll briefly
-    val deadline = System.currentTimeMillis() + 30000
-    while (spark.sparkContext.getPersistentRDDs.size >= withCaches &&
-        System.currentTimeMillis() < deadline)
-      Thread.sleep(50)
-    assert(spark.sparkContext.getPersistentRDDs.size < withCaches,
-      "released caches must leave the persistent-RDD registry")
-
-    // release is not poisoning: the pipeline re-materializes on demand
     assert(TextQueries.queries("d1_exact_dedup")(spark, sf).count() > 0)
     TextQueries.releaseCaches()
   }

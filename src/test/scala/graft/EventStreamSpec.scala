@@ -74,6 +74,10 @@ class EventStreamSpec extends AnyFunSuite {
     // computed through the SAME shared Fingerprint column as the stream
     val corpus = Seq("hello world", "known doc").toDF("text")
       .select(graft.ops.Fingerprint.col(org.apache.spark.sql.functions.col("text")).as("fp"))
+    // survivors keep the INPUT schema: fp is the join key, not output —
+    // downstream consumers must not see the fingerprint implementation
+    assert(EventStream.dedupAgainstCorpus(df, corpus).schema.fieldNames
+      .sameElements(df.schema.fieldNames))
     val q = EventStream.dedupAgainstCorpus(df, corpus).writeStream
       .format("memory").queryName("vscorpus").outputMode("append").start()
     // doc 2 normalizes onto a corpus fingerprint (case+whitespace fold);

@@ -308,16 +308,17 @@ class PropertySpec extends AnyFunSuite {
     // to the component min halves per round, so ceil(log2(200))+slack ≈ 10
     val n = 200
     val chain = spark.range(0, n).selectExpr("id as doc_a", "id + 1 as doc_b")
-    val labels = TextQueries.minLabelComponents(spark, chain).collect()
+    val res = TextQueries.minLabelComponents(spark, chain)
+    val labels = res.labels.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == n + 1)
     assert(labels.values.forall(_ == 0L), "chain must collapse to one component (min id 0)")
-    assert(TextQueries.lastCcRounds <= 12,
-      s"expected O(log 200) ≈ 9 rounds, took ${TextQueries.lastCcRounds}")
+    assert(res.rounds <= 12,
+      s"expected O(log 200) ≈ 9 rounds, took ${res.rounds}")
     // two disjoint chains stay disjoint — no label bleed across components
     val two = spark.range(0, 10).selectExpr("id as doc_a", "id + 1 as doc_b")
       .unionAll(spark.range(100, 110).selectExpr("id as doc_a", "id + 1 as doc_b"))
-    val l2 = TextQueries.minLabelComponents(spark, two).collect()
+    val l2 = TextQueries.minLabelComponents(spark, two).labels.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 10L).forall(l2(_) == 0L) && (100L to 110L).forall(l2(_) == 100L))
   }
