@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] driver-facing surface for the training-shard export sink: runs
+  * the full prepare-and-export pass (pipeline.BatchPipeline
+  * .exportCleanCorpus → sinks.ShardWriter) END TO END — write included —
+  * and emits a per-language audit summary from the shard manifest, so the
+  * driver's correctness run exercises the sink, not just its spec.
+  *
+  * Rows-only by construction: the manifest depends on the writer's file
+  * layout (file names, shard splits), which DuckDB cannot oracle.
+  * Correctness is covered in three layers instead: t12's DuckDB oracle
+  * pins the exported CONTENT, ShardWriterSpec pins layout/cap/rerun
+  * determinism, and this query carries row CONSERVATION in its own output
+  * — `rows_conserved` compares the manifest's written rows per language
+  * against an independent count of the clean corpus, so a lost or
+  * double-written shard flips a visible column, not a hidden invariant.
+  *
+  * Scale shape: the export is ShardWriter's one routing-keyed shuffle; the
+  * audit is one groupBy over the (files × languages)-sized manifest plus a
+  * doc_id-keyed join that rides the text pipeline's checkpointed bases —
+  * nothing here grows faster than the manifest itself at 100 TB. */
+object ExportQueries {
+
+  /** Export target, keyed by input dir: the sf0.01 verify pass and the
+    * sf0.1 bench must not clobber each other's shards mid-session. */
+  private def outDirFor(dir: String): String =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-export",
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+      .toString
+
+  def xExportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val manifest =
+      graft.pipeline.BatchPipeline.exportCleanCorpus(spark, dir, outDirFor(dir))
+    val expected = TextQueries.queries("t12_clean_corpus")(spark, dir)
+      .join(TextQueries.corpus(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("expected_rows"))
+    manifest.groupBy(col("lang"))
+      .agg(countDistinct(col("file")).as("n_shards"),
+        sum(col("n_rows")).as("written_rows"))
+      .join(expected, "lang")
+      .select(col("lang"), col("n_shards"), col("written_rows"),
+        (col("written_rows") === col("expected_rows")).cast("bigint")
+          .as("rows_conserved"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("x_export_manifest" -> xExportManifest)
+
+  /** No oracle possible (file-layout-dependent); see the scaladoc above. */
+  val rowsOnly: Set[String] = queries.keySet
+}

@@ -195,9 +195,23 @@ object VectorQueries {
   }
 
   /** k-means iteration/seed counts shared by the Spark plan and its oracle
-    * twin (the SQL is generated from the same constants). */
+    * twin (the SQL is generated from the same constants). IvfCells is the
+    * FIXTURE pin: the v4/v6/v8 queries pass it to the trainer explicitly,
+    * and the oracle SQL is generated from the same constant, so the two
+    * quantizers cannot drift. A production deployment sizes the quantizer
+    * with [[ivfCellsFor]] instead — the pin exists so oracle results stay
+    * stable, not because 8 is a magic number. */
   private val IvfCells = 8
   private val LloydIters = 2
+
+  /** Production IVF sizing: K ≈ √N cells — per-query work is centroid
+    * scoring (K·dims) plus the probed-cell scan (nprobe·N/K·dims), which
+    * balance at K ~ √N, the standard IVF rule — clamped to [1, maxCells].
+    * maxCells bounds the broadcast quantizer state: K × dims doubles must
+    * stay comfortably broadcastable (65536 cells × 64 dims ≈ 32 MB). */
+  private[graft] def ivfCellsFor(n: Long, maxCells: Int = 1 << 16): Int =
+    math.min(maxCells.toLong,
+      math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
 
   /** Cells each query probes in v6 (v4 is the nprobe=1 special case). */
   private val IvfProbes = 2
@@ -234,7 +248,7 @@ object VectorQueries {
     * ADVICE flagged in the text registry); a concurrent duplicate build
     * computes byte-identical centroids, and getOrElseUpdate keeps one. */
   private val quantizers =
-    scala.collection.mutable.Map[String, Seq[(Long, Seq[Double])]]()
+    scala.collection.mutable.Map[(String, Int), Seq[(Long, Seq[Double])]]()
 
   /** k-nearest-centroid assignment (rounded-cosine rank, cell-asc ties);
     * k=1 is the Lloyd/corpus assignment, k=nprobe the query probe set.
@@ -268,15 +282,16 @@ object VectorQueries {
     * downstream action per iteration (the round-2 v4 regression). This is
     * the Spark analogue of broadcasting model state each iteration; the
     * corpus itself never leaves the executors. */
-  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
     def toLocal(c: DataFrame): DataFrame =
       c.select(col("cell").cast("bigint"), col("cvec"))
         .as[(Long, Seq[Double])].collect().toSeq
         .toDF("cell", "cvec")
-    val centRows = quantizers.synchronized(quantizers.get(dir)).getOrElse {
-      val seeds = e.filter(col("vec_id") < IvfCells)
+    val centRows = quantizers.synchronized(quantizers.get((dir, cells))).getOrElse {
+      val seeds = e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
       val trained = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
@@ -289,7 +304,7 @@ object VectorQueries {
           .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
       }
       val rows = trained.as[(Long, Seq[Double])].collect().toSeq
-      quantizers.synchronized(quantizers.getOrElseUpdate(dir, rows))
+      quantizers.synchronized(quantizers.getOrElseUpdate((dir, cells), rows))
     }
     centRows.toDF("cell", "cvec")
   }
@@ -297,7 +312,7 @@ object VectorQueries {
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
-    val cent = trainedCentroids(spark, dir)
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
     // cached: the probe reuses the corpus assignment (and per-vector norm);
     // the tiny query side gets its own k=nprobe assignment
     val assigned = registered(
@@ -443,7 +458,7 @@ object VectorQueries {
     * cached so the self-join's two sides share one computation. Emits
     * (vec_id, cell, is_kept) for the whole corpus. */
   def v8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val cent = trainedCentroids(spark, dir)
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
     val assigned = registered(
       assignCells(cent, augEmb(spark, dir), 1)
         .withColumn("nrm", norm(col("embedding"))))

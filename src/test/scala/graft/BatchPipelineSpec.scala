@@ -26,6 +26,19 @@ class BatchPipelineSpec extends AnyFunSuite {
     assert(Set("doc_id", "quality_micro", "redacted", "lang").subsetOf(cols), cols)
   }
 
+  test("x_export_manifest: the driver-facing audit query reports every language conserved") {
+    val rows = graft.queries.ExportQueries
+      .queries("x_export_manifest")(spark, sf).collect()
+    graft.queries.TextQueries.releaseCaches()
+    assert(rows.nonEmpty)
+    // schema: (lang, n_shards, written_rows, rows_conserved)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: no shards written")
+      assert(r.getLong(3) == 1L,
+        s"${r.getString(0)}: manifest rows != clean-corpus rows — export lost or duplicated data")
+    }
+  }
+
   test("one round: top-k claimed jobs walk to Done, rest of snapshot untouched") {
     val before = graft.model.EncodeDomain.jobsDF(spark, sf)
     val r = BatchPipeline.runRound(spark, sf, capacity = 20, MockRunner)

@@ -53,7 +53,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     val modules = Seq(EncodeQueries.queries, AnalyticsQueries.queries,
       StatusQueries.queries, ScalarQueries.queries, EventQueries.queries,
       TextQueries.queries, VectorQueries.queries, ApproxQueries.queries,
-      JoinQueries.queries, MultimodalQueries.queries)
+      JoinQueries.queries, MultimodalQueries.queries, ExportQueries.queries)
     assert(modules.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query key across modules — one implementation is shadowed")
   }

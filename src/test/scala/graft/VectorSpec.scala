@@ -169,4 +169,24 @@ class VectorSpec extends AnyFunSuite {
     // single-stage project: must be inside WholeStageCodegen (shown as *)
     assert(p.linesIterator.exists(l => l.contains("*") && l.contains("Project")), p)
   }
+
+  test("IVF cell count scales ~sqrt(N) with floor and broadcast cap; trainer honors a non-fixture K") {
+    // the production sizing rule: K ~ sqrt(N), never 0, capped so the
+    // broadcast quantizer state stays small
+    assert(VectorQueries.ivfCellsFor(0) == 1)
+    assert(VectorQueries.ivfCellsFor(1) == 1)
+    assert(VectorQueries.ivfCellsFor(64) == 8) // the fixture pin's own scale
+    assert(VectorQueries.ivfCellsFor(1000000) == 1000)
+    assert(VectorQueries.ivfCellsFor(400000000000L) == 65536,
+      "a 100 TB-class corpus must hit the broadcast cap, not sqrt(N)")
+    assert(VectorQueries.ivfCellsFor(1000000, maxCells = 128) == 128)
+    // K is a real parameter, not a constant: training with K=4 yields
+    // exactly the 4 seeded cells (fixture queries pin K=8 for the oracle)
+    val c4 = VectorQueries.trainedCentroids(spark, sf, cells = 4)
+      .select("cell").collect().map(_.getLong(0)).sorted
+    assert(c4.sameElements(Array(0L, 1L, 2L, 3L)))
+    val c8 = VectorQueries.trainedCentroids(spark, sf)
+      .select("cell").distinct().count()
+    assert(c8 == 8, "default K must remain the fixture pin")
+  }
 }
