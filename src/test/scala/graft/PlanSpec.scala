@@ -213,4 +213,16 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation below the exchange:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d4/d10 verify: pure arithmetic over the checkpointed shared-counts base — no join in the plan") {
+    // the r8 driver bench caught d10 re-deriving the cands⋈shingles⋈shingles
+    // chain live (7.4x baseline). Post-fix, BOTH verify queries must plan
+    // as scan + project + sort over the shared parquet checkpoint: a Join
+    // node reappearing here IS that regression.
+    for (name <- Seq("d4_jaccard_verify", "d10_containment")) {
+      val p = planOf(TextQueries.queries(name)(spark, sf))
+      assert(!p.contains("Join"), s"$name re-derives the shared base:\n$p")
+      assert(p.contains("Scan parquet"), s"$name not reading the checkpoint:\n$p")
+    }
+  }
 }
