@@ -690,20 +690,40 @@ object TextQueries {
     * edges as one (doc_a, doc_b) row per edge (either orientation).
     * Output labels: (doc_id, comp) for every vertex, comp = component-min.
     *
-    * Checkpoint hygiene: with a reliable checkpoint dir configured, Spark
-    * only deletes a round's files at GC when
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — a deep loop
-    * otherwise leaves up to `rounds` copies of the label frame on the
-    * cluster FS for the job's lifetime. A cluster deployment should set
-    * that config (or clean the dir post-job); the frames are label-sized
-    * (two longs per vertex in any duplicate relation), so this is a
-    * tidiness concern, not a correctness one. */
+    * Checkpoint hygiene: the reliable tier writes each round's label frame
+    * as parquet under the configured checkpoint dir (Hadoop FS API, so
+    * HDFS/S3 on a cluster — surviving executor loss mid-loop like
+    * `df.checkpoint(true)` would) and DELETES the previous round's files
+    * once the new round is durable. Spark's own reliable checkpoints are
+    * only GC-cleaned under `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true`, so a deep loop would otherwise leave up to
+    * `rounds` copies of the label frame on the cluster FS for the job's
+    * lifetime (the r8 advice). Only the FINAL round's files remain — the
+    * returned labels read them lazily — and they go when the caller's job
+    * cleans its checkpoint dir. */
   private[graft] def minLabelComponents(spark: SparkSession, dir1: DataFrame): CcResult = {
     val edges = dir1.unionByName(
       dir1.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    def ckpt(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    val ckptBase = spark.sparkContext.getCheckpointDir.map(d =>
+      s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    var prevPath: Option[String] = None
+    var ckptSeq = 0
+    def ckpt(df: DataFrame): DataFrame = ckptBase match {
+      case Some(base) =>
+        val path = s"$base/round-$ckptSeq"; ckptSeq += 1
+        // the write IS the materialization (same eagerness as
+        // checkpoint(true)); it reads the previous round's files, so only
+        // after it completes is the previous round safely deletable
+        df.write.mode("overwrite").parquet(path)
+        prevPath.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        prevPath = Some(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
     var labels = ckpt(edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id")))
     var converged = false

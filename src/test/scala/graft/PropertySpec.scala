@@ -323,6 +323,33 @@ class PropertySpec extends AnyFunSuite {
     assert((0L to 10L).forall(l2(_) == 0L) && (100L to 110L).forall(l2(_) == 100L))
   }
 
+  test("d9 reliable checkpoints: prior rounds' files are deleted as the loop advances") {
+    import graft.queries.TextQueries
+    // with a checkpoint dir configured, each round lands on the (cluster)
+    // FS and the PREVIOUS round must be deleted once the new one is
+    // durable — Spark's own reliable checkpoints are only GC-cleaned
+    // under cleanCheckpoints=true, so a deep loop would otherwise strand
+    // O(rounds) copies of the label frame (r8 advice)
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-reliable")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val chain = spark.range(0, 60).selectExpr("id as doc_a", "id + 1 as doc_b")
+      val res = TextQueries.minLabelComponents(spark, chain)
+      val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(res.rounds > 2, "fixture must actually loop for the test to mean anything")
+      assert(labels.size == 61 && labels.values.forall(_ == 0L),
+        "reliable tier must produce the same labels as local checkpoints")
+      import scala.jdk.CollectionConverters._
+      val roundDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("round-")).toSeq
+      assert(roundDirs.size == 1,
+        s"only the final round's frame may remain (the result reads it); found: $roundDirs")
+    } finally sc.setCheckpointDir(prev.orNull)
+  }
+
   test("d9 components: labels close over every verified pair and equal the component minimum") {
     import graft.queries.TextQueries
     val labels = TextQueries.queries("d9_dedup_components")(spark, sf).collect()
