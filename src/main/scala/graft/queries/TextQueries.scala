@@ -1200,6 +1200,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t16's rule constants, inlined into BOTH the Column plan and the
+    * oracle SQL. The bounds are the published Gopher quality-filter
+    * heuristics (word count, mean word length 3–10 chars, ≥80% of words
+    * alphabetic, symbol-to-word ratio, ≥2 distinct common stopwords),
+    * with the word-count floor lowered to the fixture's scale (corpus
+    * docs average ~54 tokens where Gopher's web pages average hundreds)
+    * so the rule stays discriminative instead of dropping everything. */
+  private val GopherMinWords = 30L
+  private val GopherMaxWords = 10000L
+  private val GopherMeanLenLoMicro = 3000000L
+  private val GopherMeanLenHiMicro = 10000000L
+  private val GopherAlphaFracMicro = 800000L
+  private val GopherSymbolRatioMicro = 100000L
+  private val GopherMinStopKinds = 2L
+
+  /** t16 — Gopher-style document quality rules: the published heuristic
+    * filter set pretraining pipelines run alongside t2's weighted score
+    * and t11's repetition signal — word-count bounds, mean word length,
+    * alphabetic-word fraction, symbol-to-word ratio (#/ellipsis), and the
+    * ≥2-distinct-stopwords English gate. Emits every signal in integer
+    * micro-units (the t2 floor discipline: one double product, one IEEE
+    * division, floor — identical in both engines) plus the composed
+    * `keep` verdict, so a consumer can re-threshold any rule without
+    * recomputation. The stopword gate is English-only by construction
+    * (as published); language routing is t3/t9's job, not this filter's.
+    * The line-shape rules from the paper (bullet/ellipsis line fractions)
+    * need multi-line documents, which the fixture corpus does not have —
+    * deliberately out of scope rather than trivially-true.
+    *
+    * Plan shape at 100 TB: stateless per-row expressions over the
+    * checkpointed tokenized corpus — no shuffle but the output sort,
+    * embarrassingly parallel like t5. */
+  def t16GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_words")
+    val nD = greatest(n.cast("double"), lit(1.0))
+    def micro(x: Column): Column =
+      floor(x.cast("double") * 1000000.0 / nD).cast("bigint")
+    cachedToks(spark, dir)
+      .withColumn("n_words", size(col("toks")).cast("bigint"))
+      .withColumn("mean_word_len_micro",
+        micro(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))))
+      .withColumn("alpha_frac_micro",
+        micro(size(filter(col("toks"), t => t.rlike("[A-Za-z]")))))
+      .withColumn("symbol_ratio_micro",
+        micro(size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))))
+      .withColumn("n_stop_kinds",
+        stopwords.map(w => when(array_contains(col("toks"), w), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_micro"),
+        col("alpha_frac_micro"), col("symbol_ratio_micro"), col("n_stop_kinds"),
+        (n.between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len_micro")
+            .between(GopherMeanLenLoMicro, GopherMeanLenHiMicro) &&
+          col("alpha_frac_micro") >= GopherAlphaFracMicro &&
+          col("symbol_ratio_micro") < GopherSymbolRatioMicro &&
+          col("n_stop_kinds") >= GopherMinStopKinds)
+          .cast("bigint").as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -1225,7 +1285,8 @@ object TextQueries {
     "t12_clean_corpus" -> t12CleanCorpus,
     "t13_chunk_dedup" -> t13ChunkDedup,
     "t14_unigram_lm" -> t14UnigramLm,
-    "t15_cdc_chunk_dedup" -> t15CdcChunkDedup)
+    "t15_cdc_chunk_dedup" -> t15CdcChunkDedup,
+    "t16_gopher_rules" -> t16GopherRules)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1605,6 +1666,26 @@ object TextQueries {
            |FROM cchunks GROUP BY chunk_md5
            |HAVING count(DISTINCT doc_id) > 1
            |ORDER BY chunk_md5""".stripMargin),
+      "t16_gopher_rules" -> oracle(
+        s"""SELECT doc_id, n_words, mean_word_len_micro, alpha_frac_micro,
+           |       symbol_ratio_micro, n_stop_kinds,
+           |       CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+           |            AND mean_word_len_micro BETWEEN $GopherMeanLenLoMicro AND $GopherMeanLenHiMicro
+           |            AND alpha_frac_micro >= $GopherAlphaFracMicro
+           |            AND symbol_ratio_micro < $GopherSymbolRatioMicro
+           |            AND n_stop_kinds >= $GopherMinStopKinds AS BIGINT) AS keep
+           |FROM (
+           |  SELECT t.doc_id,
+           |         CAST(len(t.toks) AS BIGINT) AS n_words,
+           |         CAST(floor(CAST(coalesce(list_aggregate(list_transform(t.toks, x -> length(x)), 'sum'), 0) AS DOUBLE)
+           |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS mean_word_len_micro,
+           |         CAST(floor(CAST(len(list_filter(t.toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS alpha_frac_micro,
+           |         CAST(floor(CAST(len(regexp_extract_all(c.text, '#|\\.\\.\\.')) AS DOUBLE)
+           |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS symbol_ratio_micro,
+           |         ${stopwords.map(w => s"CASE WHEN list_contains(t.toks, '$w') THEN 1 ELSE 0 END").mkString("CAST(", " + ", " AS BIGINT)")} AS n_stop_kinds
+           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
+           |ORDER BY doc_id""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

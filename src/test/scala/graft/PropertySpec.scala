@@ -466,4 +466,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("t16 Gopher rules: keep is exactly the conjunction of the emitted signals, and discriminates") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t16_gopher_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0L
+    rows.foreach { r =>
+      val (n, mean, alpha, sym, stops, keep) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val expect = n >= 30L && n <= 10000L &&
+        mean >= 3000000L && mean <= 10000000L &&
+        alpha >= 800000L && sym < 100000L && stops >= 2L
+      assert(keep == (if (expect) 1L else 0L),
+        s"doc ${r.getLong(0)}: keep=$keep but signals say $expect")
+      kept += keep
+    }
+    // the thresholds must actually split the corpus — a filter that keeps
+    // everything (or nothing) is a no-op wearing a published rule's name
+    assert(kept > 0 && kept < rows.length,
+      s"non-discriminative: kept $kept of ${rows.length}")
+  }
 }
