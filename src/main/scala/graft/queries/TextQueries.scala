@@ -1233,31 +1233,57 @@ object TextQueries {
     * checkpointed tokenized corpus — no shuffle but the output sort,
     * embarrassingly parallel like t5. */
   def t16GopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val n = col("n_words")
+    val (n, mean, alpha, sym, stops) = gopherSignals(col("text"), col("toks"))
+    cachedToks(spark, dir)
+      .withColumn("n_words", n)
+      .withColumn("mean_word_len_micro", mean)
+      .withColumn("alpha_frac_micro", alpha)
+      .withColumn("symbol_ratio_micro", sym)
+      .withColumn("n_stop_kinds", stops)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_micro"),
+        col("alpha_frac_micro"), col("symbol_ratio_micro"), col("n_stop_kinds"),
+        gopherKeep(col("n_words"), col("mean_word_len_micro"),
+          col("alpha_frac_micro"), col("symbol_ratio_micro"),
+          col("n_stop_kinds")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The t16 signal columns over (text, toks) — ONE definition shared by
+    * the batch query and the streaming ingest gate
+    * (streaming/EventStream.filterQualityAtIngest), so the keep decision
+    * for a document is identical in both by construction (the mixHash /
+    * Fingerprint sharing discipline). Returns (n_words,
+    * mean_word_len_micro, alpha_frac_micro, symbol_ratio_micro,
+    * n_stop_kinds). */
+  private[graft] def gopherSignals(text: Column, toks: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val n = size(toks).cast("bigint")
     val nD = greatest(n.cast("double"), lit(1.0))
     def micro(x: Column): Column =
       floor(x.cast("double") * 1000000.0 / nD).cast("bigint")
-    cachedToks(spark, dir)
-      .withColumn("n_words", size(col("toks")).cast("bigint"))
-      .withColumn("mean_word_len_micro",
-        micro(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))))
-      .withColumn("alpha_frac_micro",
-        micro(size(filter(col("toks"), t => t.rlike("[A-Za-z]")))))
-      .withColumn("symbol_ratio_micro",
-        micro(size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))))
-      .withColumn("n_stop_kinds",
-        stopwords.map(w => when(array_contains(col("toks"), w), 1L).otherwise(0L))
-          .reduce(_ + _))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len_micro"),
-        col("alpha_frac_micro"), col("symbol_ratio_micro"), col("n_stop_kinds"),
-        (n.between(GopherMinWords, GopherMaxWords) &&
-          col("mean_word_len_micro")
-            .between(GopherMeanLenLoMicro, GopherMeanLenHiMicro) &&
-          col("alpha_frac_micro") >= GopherAlphaFracMicro &&
-          col("symbol_ratio_micro") < GopherSymbolRatioMicro &&
-          col("n_stop_kinds") >= GopherMinStopKinds)
-          .cast("bigint").as("keep"))
-      .orderBy("doc_id")
+    (n,
+      micro(aggregate(toks, lit(0L), (acc, t) => acc + length(t))),
+      micro(size(filter(toks, t => t.rlike("[A-Za-z]")))),
+      micro(size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))),
+      stopwords.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
+  /** The composed keep verdict over the five signals (0/1 bigint). */
+  private[graft] def gopherKeep(n: Column, mean: Column, alpha: Column,
+      sym: Column, stops: Column): Column =
+    (n.between(GopherMinWords, GopherMaxWords) &&
+      mean.between(GopherMeanLenLoMicro, GopherMeanLenHiMicro) &&
+      alpha >= GopherAlphaFracMicro &&
+      sym < GopherSymbolRatioMicro &&
+      stops >= GopherMinStopKinds).cast("bigint")
+
+  /** The keep verdict as a self-contained Column over raw text (tokenizes
+    * inline) — the streaming ingest gate's entry point. */
+  private[graft] def gopherKeepCol(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val (n, mean, alpha, sym, stops) = gopherSignals(text, toks)
+    gopherKeep(n, mean, alpha, sym, stops)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -82,6 +82,20 @@ object EventStream {
         explode(sequence(lit(1L), graft.queries.TextQueries.mixEpochs))
           .as("epoch"))
 
+  /** Streaming ingest quality gate — the streaming face of
+    * TextQueries.t16: the same Gopher rule conjunction applied as
+    * documents arrive, BEFORE they cost dedup/index state downstream
+    * (production pipelines gate at ingest precisely so junk never enters
+    * the corpus store). STATELESS by construction — pure per-row
+    * expressions, no watermark, no state store — so it runs at ingest
+    * line rate, and the keep decision for any document is identical to
+    * the batch pass because both build on the same shared signal
+    * definitions ([[graft.queries.TextQueries.gopherKeepCol]] — the
+    * mixHash/Fingerprint sharing discipline). Survivors keep the input
+    * schema. */
+  def filterQualityAtIngest(docs: DataFrame): DataFrame =
+    docs.filter(graft.queries.TextQueries.gopherKeepCol(col("text")) === 1L)
+
   /** Session windows keyed by user with a 30-min inactivity gap — the
     * native streaming form of EventQueries.e2Sessionize. */
   def userSessions(events: DataFrame): DataFrame =

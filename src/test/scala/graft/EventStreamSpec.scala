@@ -137,6 +137,51 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming ingest quality gate matches an independent rule recompute, keeps zero state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    // survivors keep the input schema: the gate is a pure filter
+    assert(EventStream.filterQualityAtIngest(df).schema == df.schema)
+    val q = EventStream.filterQualityAtIngest(df).writeStream
+      .format("memory").queryName("qgate").outputMode("append").start()
+    val docs = Seq(
+      // passes every rule: 40 words, two+ distinct stopwords, clean text
+      (1L, Array.fill(4)("the cat sat on a mat and looked around quietly").mkString(" ")),
+      (2L, "too short to pass"), // fails the word-count floor
+      // fails the stopword gate: 40 words, none from the common set
+      (3L, Array.fill(5)("zebra quokka wombat lemur gecko koala panda otter").mkString(" ")),
+      // fails the symbol rule: same passing text but ## per word
+      (4L, Array.fill(4)("the## cat## sat on a mat and looked around quietly").mkString(" ")))
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("qgate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // ground truth recomputed in pure Scala — an INDEPENDENT
+    // implementation of the published rules, so a drifted column
+    // definition cannot hide behind a shared-definition tautology
+    def keep(text: String): Boolean = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = toks.length.toLong
+      def micro(x: Double): Long = math.floor(x * 1e6 / math.max(n, 1L)).toLong
+      val mean = micro(toks.map(_.length).sum.toDouble)
+      val alpha = micro(toks.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble)
+      val sym = micro("#|\\.\\.\\.".r.findAllIn(text).size.toDouble)
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+        .count(toks.contains)
+      n >= 30L && n <= 10000L && mean >= 3000000L && mean <= 10000000L &&
+        alpha >= 800000L && sym < 100000L && stops >= 2
+    }
+    val want = docs.filter(d => keep(d._2)).map(_._1).toSet
+    assert(want == Set(1L), s"fixture docs must exercise both outcomes: $want")
+    assert(got == want, "stream keeps must equal the rule recompute")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "ingest quality gate must not create streaming state")
+    q.stop()
+  }
+
   test("session windows split on the 30-min gap per user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
