@@ -1,0 +1,112 @@
+package graft.multimodal
+
+/** Minimal AVI (RIFF) container writer + demuxer, pure JVM — the real
+  * video-container seam the brief's frame operators need. The AVI/RIFF
+  * layout is a public Microsoft format: a RIFF file is a chunk tree
+  * (`fourcc size body`, word-aligned), and an AVI is
+  * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) [JUNK]
+  * LIST('movi' 00db|00dc ...))` — frame payloads live in the `movi`
+  * list's `00db` (uncompressed DIB) / `00dc` (compressed) chunks, all
+  * sizes little-endian.
+  *
+  * Scope: enough of the format to WRITE structurally valid uncompressed
+  * BI_RGB AVIs (the fixture corpus — re-muxable deterministic frames with
+  * no intra-frame codec dependency) and to DEMUX frame payloads from any
+  * conforming file, which is exactly the operation m3's frame-level dedup
+  * needs: re-muxed duplicates are byte-identical frames inside
+  * byte-different containers. Intra-frame decode beyond DIB (H.264 etc.)
+  * stays out of scope — that is a codec, not a container, and the
+  * [[MultimodalOps.MediaCodec]] seam is where a production build plugs
+  * ffmpeg for it (the reference's own approach — see
+  * /root/reference/encodesrv/job.py:246-257, covered by U1).
+  *
+  * Scale notes: demux is a single sequential pass over the payload bytes
+  * with no allocation beyond the frame copies — it runs inside
+  * mapPartitions on the executors; container bytes never shuffle. */
+object AviContainer {
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    // RIFF chunks are word-aligned: odd-sized bodies carry a pad byte
+    // that is NOT counted in the size field
+    fourcc(id) ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def list(listType: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourcc(listType) ++ body)
+
+  /** Write an uncompressed BI_RGB AVI. `frames` are raw bottom-up DIB
+    * pixel rows (3 bytes/px, rows padded to 4-byte multiples — the
+    * caller's job; a width divisible by 4 needs no padding). `junkPad`
+    * inserts a JUNK chunk before `movi` — with a different `fps` this
+    * re-muxes the same frames into a byte-different container, the
+    * planted-duplicate fixture for frame-level dedup. */
+  def write(frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int,
+      junkPad: Int = 0): Array[Byte] = {
+    val frameBytes = frames.headOption.map(_.length).getOrElse(0)
+    // MainAVIHeader (56 bytes): microseconds/frame, max bytes/sec,
+    // granularity, flags(HASINDEX off — no idx1 written), total frames,
+    // initial frames, streams, buffer size, width, height, reserved[4]
+    val avih = le32(1000000 / fps) ++ le32(frameBytes * fps) ++ le32(0) ++
+      le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+      le32(frameBytes) ++ le32(width) ++ le32(height) ++
+      Array.fill(16)(0.toByte)
+    // AVIStreamHeader (56 bytes): fccType, fccHandler, flags, prio+lang,
+    // initial frames, scale, rate (rate/scale = fps), start, length,
+    // buffer size, quality, sample size, rcFrame
+    val strh = fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+      le32(frameBytes) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    // BITMAPINFOHEADER (40 bytes), biCompression = 0 (BI_RGB)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val junk =
+      if (junkPad > 0) chunk("JUNK", Array.fill(junkPad)(0.toByte))
+      else Array.empty[Byte]
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ junk ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Demux: every `00db`/`00dc` frame payload in file order, or None if
+    * the payload is not a parseable RIFF-AVI (the codecs' quarantine
+    * discipline — a corrupt file degrades, never crashes the stage). */
+  def readFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    try {
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      def cc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+      if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+        return None
+      val out = Vector.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = cc(off)
+          val size = u32(off + 4).toInt
+          val body = off + 8
+          if (body + size > payload.length) return // truncated: keep what parsed
+          if (id == "LIST") walk(body + 4, body + size) // skip the list type
+          else if (id == "00db" || id == "00dc")
+            out += java.util.Arrays.copyOfRange(payload, body, body + size)
+          off = body + size + (size & 1) // word alignment
+        }
+      }
+      walk(12, math.min(payload.length, 8 + u32(4).toInt))
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

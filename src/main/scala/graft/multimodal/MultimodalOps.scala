@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
   * batch iteration, deterministic output contract — is real and tested.
-  * The `image` and `audio` paths are ALSO real: [[MultimodalOps.JdkMediaCodec]]
+  * The decode paths are ALSO real: [[MultimodalOps.JdkMediaCodec]]
   * decodes PNG/JPEG/BMP/GIF payloads with javax.imageio into luminance
-  * histograms and WAV/AIFF/AU payloads with javax.sound.sampled into
-  * RMS-energy envelopes — both pure-JVM, no native libraries. Only video
-  * demux remains stubbed behind the same [[MediaCodec]] seam (`FakeCodec`,
-  * a deterministic payload-hash projection): the JDK ships no container
-  * demuxer.
+  * histograms, WAV/AIFF/AU payloads with javax.sound.sampled into
+  * RMS-energy envelopes, and demuxes video frames from AVI/RIFF
+  * containers with [[AviContainer]] — all pure-JVM, no native libraries.
+  * What stays behind the seam is intra-frame video DECODE beyond
+  * uncompressed DIB (H.264 etc.): that is a codec, not a container, and
+  * production plugs ffmpeg there (the reference's own approach, covered
+  * by U1). [[FakeCodec]] remains as the deterministic test stand-in.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect,
   * no row explosion before the sample step); feature extraction is
@@ -115,8 +117,9 @@ object MultimodalOps {
     * javax.sound.sampled (the JDK ships WAV/AIFF/AU readers — no native
     * audio device is touched, decode is pure stream parsing) into a
     * dim-bucket RMS-energy envelope over the PCM samples. Video demux
-    * remains the one genuinely stubbed kind. Undecodable payloads fall
-    * back to the stub projection, same quarantine discipline as images. */
+    * frames demux from AVI/RIFF containers via [[AviContainer]].
+    * Undecodable payloads fall back to the stub projection, same
+    * quarantine discipline as images. */
   object JdkMediaCodec extends MediaCodec {
     def features(kind: String, payload: Array[Byte], dim: Int): Array[Float] =
       kind match {
@@ -171,8 +174,16 @@ object MultimodalOps {
         case scala.util.control.NonFatal(_) => None
       }
 
+    /** Real container demux: frame `frameNo`'s payload bytes out of an
+      * AVI/RIFF container. Non-AVI or out-of-range falls back to the stub
+      * projection (quarantine, never crash). Note for the at-scale path:
+      * sampling k frames re-parses the container k times here — a
+      * production extractor demuxes once per file inside the same
+      * mapPartitions pass; parse is a single cheap byte walk, so the
+      * fixture keeps the per-frame seam. */
     def frame(payload: Array[Byte], frameNo: Int): Array[Byte] =
-      FakeCodec.frame(payload, frameNo)
+      AviContainer.readFrames(payload).flatMap(_.lift(frameNo))
+        .getOrElse(FakeCodec.frame(payload, frameNo))
   }
 
   /** Deterministic synthetic media table (payload bytes derived from
@@ -315,25 +326,39 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** Deterministic fake video "container" for media `id`: 64 payload
-    * bytes by integer mixing (the JDK ships no demuxer, so video payloads
-    * are opaque by design — [[FakeCodec]] samples frames from the first 16
-    * bytes). Those 16 bytes come from two mix() outputs of id-distinct
-    * inputs, and mix is a bijection on longs — so two DIFFERENT ids can
-    * never share a frame prefix, giving the frame-dedup fixture zero
-    * false positives by construction. `altTail = true` keeps the frame
-    * prefix but rewrites the remaining 48 bytes: the re-mux/re-container
-    * fixture — identical visual frames, different container bytes — which
+  /** Video fixture shape: [[VideoFrames]] uncompressed BI_RGB frames of
+    * [[VideoW]]x[[VideoH]] (width divisible by 4, so DIB rows need no
+    * padding). Small on purpose — the fixture exercises the container
+    * seam, not pixel volume. */
+  val VideoFrames = 6
+  val VideoW = 24
+  val VideoH = 18
+
+  /** REAL AVI container for media `id`: [[VideoFrames]] deterministic
+    * BI_RGB frames whose pixel bytes derive only from (id, frame) through
+    * mix() — a bijection on longs, so two DIFFERENT ids can never share a
+    * frame, giving the frame-dedup fixture zero false positives by
+    * construction. `altTail = true` RE-MUXES the SAME frames into a
+    * byte-different container (different fps plus a JUNK padding chunk —
+    * both legal AVI): identical frames inside different files, which
     * byte-level exact dedup provably misses and frame-level dedup (m3)
-    * exists to catch. */
-  def renderVideo(id: Long, altTail: Boolean = false): Array[Byte] =
-    Array.tabulate(64) { i =>
-      if (i < 16) ((mix(id * 2 + (i >> 3)) >>> ((i & 7) * 8)) & 0xff).toByte
-      else {
-        val seed = if (altTail) id + 777 else id
-        (mix(seed * 1024 + i) & 0xff).toByte
-      }
+    * exists to catch. Unlike the pre-round-9 opaque fixture, these bytes
+    * are parseable by any AVI demuxer, not only this module's. */
+  def renderVideo(id: Long, altTail: Boolean = false): Array[Byte] = {
+    val frames = (0 until VideoFrames).map { f =>
+      // s is unique per (id, frame): id*(VideoFrames+1)+f is injective for
+      // f <= VideoFrames and mix is a bijection on longs. Its 8 bytes open
+      // the frame, so distinct (id, frame) pairs differ by construction;
+      // the remaining pixels are cheap noise derived from s.
+      val s = mix(id * (VideoFrames + 1) + f)
+      val n = VideoW * VideoH * 3
+      Array.tabulate(n)(i =>
+        if (i < 8) ((s >>> (i * 8)) & 0xff).toByte
+        else (mix(s + i) & 0xff).toByte)
     }
+    if (altTail) AviContainer.write(frames, VideoW, VideoH, fps = 30, junkPad = 64)
+    else AviContainer.write(frames, VideoW, VideoH, fps = 25)
+  }
 
   /** 64-bit dHash of an image payload as four 16-bit quarters (the
     * hamming-band keys, same scheme as the text SimHash): decode with

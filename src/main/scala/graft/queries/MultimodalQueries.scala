@@ -138,15 +138,17 @@ object MultimodalQueries {
   def m2AudioNearDup(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(signatures(audioCorpus(spark, dir), MultimodalOps.audioHash64))
 
-  /** Video corpus for m3: one opaque "container" per doc_id plus planted
-    * RE-MUX mutants at doc_id % 5 == 0 (id + 1,000,000) — same frame
-    * content, different container bytes (MultimodalOps.renderVideo
-    * altTail). 250 frames of metadata, the [[MultimodalOps.syntheticMedia]]
-    * video shape. */
+  /** Video corpus for m3: one REAL AVI container per doc_id
+    * (MultimodalOps.renderVideo — uncompressed BI_RGB frames behind a
+    * RIFF chunk tree any demuxer can parse) plus planted RE-MUX mutants
+    * at doc_id % 5 == 0 (id + 1,000,000): the same frames written into a
+    * byte-different container (different fps + JUNK padding, both legal
+    * AVI). */
   private[graft] def videoCorpus(spark: SparkSession, dir: String):
       org.apache.spark.sql.Dataset[MultimodalOps.MediaRow] = {
     import spark.implicits._
-    val meta = MultimodalOps.MediaMeta(Some(1920), Some(1080), None, Some(250))
+    val meta = MultimodalOps.MediaMeta(Some(MultimodalOps.VideoW),
+      Some(MultimodalOps.VideoH), None, Some(MultimodalOps.VideoFrames))
     docIds(spark, dir).as[Long].mapPartitions(_.flatMap { id =>
       val base = MultimodalOps.MediaRow(id, "video", MultimodalOps.renderVideo(id), meta)
       if (id % 5 == 0)
@@ -156,26 +158,26 @@ object MultimodalQueries {
     })
   }
 
-  /** m3 — video frame-level dedup: sample every 50th frame through the
-    * codec seam (stubbed demux — the JDK ships no container parser; the
-    * Spark-side plumbing is the real operator), fingerprint each sampled
-    * frame, and pair videos by SHARED FRAMES. This is the shape that
-    * catches re-muxed / re-containered videos: byte-identical frames
-    * inside byte-different files, invisible to whole-file exact dedup.
+  /** m3 — video frame-level dedup: sample every 2nd frame through the
+    * REAL container demux (AviContainer via JdkMediaCodec — RIFF parse,
+    * frame bytes out), fingerprint each sampled frame, and pair videos by
+    * SHARED FRAMES. This is the shape that catches re-muxed /
+    * re-containered videos: byte-identical frames inside byte-different
+    * files, invisible to whole-file exact dedup.
     *
     * Scale notes (100 TB): frame sampling explodes rows only AFTER the
-    * kind filter and only 1-in-50 frames; the join key is the frame
+    * kind filter and only 1-in-stride frames; the join key is the frame
     * fingerprint (16 bytes), never payload bytes; one hash-partition on
     * the fingerprint is shared by both self-join sides (the m1/m2
     * ReuseExchange move). Shared-frame counts bound the pair surface by
     * actual content overlap — disjoint corpora produce zero pairs.
     *
-    * No oracle: frame extraction needs the codec seam, which DuckDB
-    * cannot run; MultimodalSpec pins the result to exactly the planted
-    * re-mux pairs with all 5 sampled frames shared. */
+    * No oracle: frame extraction needs the demuxer, which DuckDB cannot
+    * run; MultimodalSpec pins the result to exactly the planted re-mux
+    * pairs with all 3 sampled frames shared. */
   def m3VideoSharedFrames(spark: SparkSession, dir: String): DataFrame = {
     val frames = MultimodalOps
-      .sampleFrames(videoCorpus(spark, dir), MultimodalOps.FakeCodec, stride = 50)
+      .sampleFrames(videoCorpus(spark, dir), MultimodalOps.JdkMediaCodec, stride = 2)
       .select(col("media_id"), md5(col("frame_payload")).as("frame_md5"))
       .repartition(col("frame_md5"))
       // frames are corpus-sized: a planner-picked broadcast (tiny stats at

@@ -252,11 +252,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(2) <= 2), "planted pair beyond hamming 2")
   }
 
-  test("m3 video frame dedup recovers exactly the planted re-mux pairs, all 5 frames shared") {
+  test("m3 video frame dedup recovers exactly the planted re-mux pairs via real AVI demux") {
     import graft.queries.MultimodalQueries
-    // a re-mux mutant shares EVERY sampled frame (250 frames / stride 50 =
-    // 5) with its source; distinct ids can never share a frame because the
-    // 16-byte frame prefix is a bijective function of the id
+    // a re-mux mutant shares EVERY sampled frame (6 frames / stride 2 = 3)
+    // with its source; distinct ids can never share a frame because each
+    // frame opens with the 8 bytes of a mix() value unique per (id, frame)
     val got = MultimodalQueries.m3VideoSharedFrames(TestSpark.spark, TestSpark.sf).collect()
     val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = TestSpark.spark.read
@@ -266,7 +266,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
     assert(pairs == expected,
       s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
-    assert(got.forall(_.getLong(2) == 5L), "re-mux pair must share all 5 sampled frames")
+    assert(got.forall(_.getLong(2) == 3L), "re-mux pair must share all 3 sampled frames")
     // ...and the planted mutant is NOT a whole-file duplicate: container
     // bytes differ even though every frame matches (the gap m3 exists for)
     val mm = MultimodalQueries.videoCorpus(TestSpark.spark, TestSpark.sf)
@@ -275,5 +275,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mm.length == 2 &&
       !java.util.Arrays.equals(mm(0).payload, mm(1).payload),
       "re-mux fixture degenerated to a byte-identical copy")
+  }
+
+  test("AVI container round-trips frames exactly; corrupt payloads quarantine to None") {
+    import graft.multimodal.AviContainer
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(24 * 18 * 3)(i => ((f * 131 + i * 7) % 256).toByte))
+    val avi = AviContainer.write(frames, 24, 18, fps = 25)
+    // structurally a RIFF-AVI, not a private blob
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val back = AviContainer.readFrames(avi)
+    assert(back.exists(_.length == 4))
+    back.get.zip(frames).zipWithIndex.foreach { case ((b, f), i) =>
+      assert(java.util.Arrays.equals(b, f), s"frame $i did not round-trip")
+    }
+    // re-mux: same frames, different container bytes, identical demux
+    val remux = AviContainer.write(frames, 24, 18, fps = 30, junkPad = 64)
+    assert(!java.util.Arrays.equals(avi, remux))
+    assert(AviContainer.readFrames(remux).get.zip(back.get)
+      .forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // quarantine: garbage and truncated files degrade to None, not throw
+    assert(AviContainer.readFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AviContainer.readFrames(avi.take(40)).contains(Vector.empty) ||
+      AviContainer.readFrames(avi.take(40)).isEmpty)
+    // JdkMediaCodec's frame seam rides the demuxer with stub fallback
+    val codec = graft.multimodal.MultimodalOps.JdkMediaCodec
+    assert(java.util.Arrays.equals(codec.frame(avi, 2), frames(2)))
+    assert(codec.frame(Array[Byte](9, 9), 0) != null) // fallback, no crash
   }
 }
