@@ -126,7 +126,39 @@ object MultimodalOps {
         case "image" => ImageIoCodec.features(kind, payload, dim)
         case "audio" => audioFeatures(payload, dim)
           .getOrElse(FakeCodec.features(kind, payload, dim))
+        case "video" => videoFeatures(payload, dim)
+          .getOrElse(FakeCodec.features(kind, payload, dim))
         case _ => FakeCodec.features(kind, payload, dim)
+      }
+
+    /** Video features from the REAL demux: normalized luminance histogram
+      * over every frame's BI_RGB pixels (the ImageIoCodec histogram, fed
+      * by AviContainer frames instead of ImageIO decode — raw bottom-up
+      * BGR triplets need no image codec). Re-muxed containers get
+      * IDENTICAL features by construction: the frames are the content,
+      * the container is packaging. None = not a parseable AVI or no
+      * whole-pixel data — fallback, never garbage. */
+    private[multimodal] def videoFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      AviContainer.readFrames(payload).filter(_.nonEmpty).flatMap { frames =>
+        val hist = new Array[Float](dim)
+        var px = 0L
+        frames.foreach { f =>
+          var off = 0
+          while (off + 2 < f.length) {
+            // BGR byte order (DIB): luminance via the Rec.601 weights
+            val lum = (0.114 * (f(off) & 0xff) + 0.587 * (f(off + 1) & 0xff) +
+              0.299 * (f(off + 2) & 0xff)).toInt.min(255)
+            hist(lum * dim / 256) += 1f
+            px += 1
+            off += 3
+          }
+        }
+        if (px == 0) None
+        else {
+          var i = 0
+          while (i < dim) { hist(i) /= px.toFloat; i += 1 }
+          Some(hist)
+        }
       }
 
     /** RMS energy per time bucket over 16-bit PCM frames (first channel),

@@ -304,4 +304,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(codec.frame(avi, 2), frames(2)))
     assert(codec.frame(Array[Byte](9, 9), 0) != null) // fallback, no crash
   }
+
+  test("video features come from demuxed frames: re-mux invariant, distribution-valid, quarantined") {
+    import graft.multimodal.MultimodalOps
+    val codec = MultimodalOps.JdkMediaCodec
+    val a = MultimodalOps.renderVideo(7L)
+    val remux = MultimodalOps.renderVideo(7L, altTail = true)
+    val fa = codec.features("video", a, 16)
+    // a real luminance histogram: sums to ~1, not the FakeCodec projection
+    assert(math.abs(fa.sum - 1f) < 1e-3, s"not a distribution: sum=${fa.sum}")
+    assert(!fa.sameElements(MultimodalOps.FakeCodec.features("video", a, 16)),
+      "video features must come from the demuxer, not the stub")
+    // the container is packaging, the frames are the content: identical
+    assert(fa.sameElements(codec.features("video", remux, 16)),
+      "re-muxed container must have identical features")
+    val other = codec.features("video", MultimodalOps.renderVideo(8L), 16)
+    assert(!fa.sameElements(other), "distinct content must differ")
+    // corrupt payload falls back to the stub projection, no crash
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(codec.features("video", junk, 16)
+      .sameElements(MultimodalOps.FakeCodec.features("video", junk, 16)))
+  }
 }
