@@ -1248,6 +1248,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t17 — corpus bigram-LM fluency score: the bigram upgrade of t14's
+    * unigram score and the statistical cousin of the CCNet/KenLM
+    * perplexity filter — for every token transition (w1, w2) in a
+    * document, how probable is w2 given w1 under the corpus's own bigram
+    * counts? Duplicated boilerplate scores high (its transitions dominate
+    * the corpus), shuffled or mojibake text scores low (transitions are
+    * novel), and `n_novel` (transitions occurring exactly once
+    * corpus-wide) is the bigram hapax signal — OCR noise is novel-dense.
+    *
+    * Numeric discipline (the t14 rule): LINEAR conditional probability
+    * c(w1,w2)/c(w1·) in integer micro-units via floor — one IEEE divide
+    * and one multiply, identical in both engines, no ln(). Per-position
+    * micro scores are floored FIRST, then summed as BIGINT, so partial
+    * aggregation order cannot move the result. The conditioning count
+    * c(w1·) counts w1 as a transition HEAD (positions 0..n-2), so
+    * Σ_w2 P(w2|w1) = 1 exactly — a proper conditional distribution, not
+    * the unigram count.
+    *
+    * Plan shape at 100 TB: one bigram explode off the checkpointed
+    * tokenized corpus feeds BOTH count tables (a bigram-keyed and a
+    * head-keyed shuffle — the t14/t6 shape) and the scoring joins are
+    * bigram/head-keyed equi-joins; nothing shuffles by anything but
+    * bigram, head token, or doc_id, and no all-pairs surface exists. */
+  def t17BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = cachedToks(spark, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("w1"),
+            array_join(slice(col("toks"), i + 1, lit(2)), " ").as("bigram"))))
+          .as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.bigram").as("bigram"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, "bigram")
+      .join(c1, "w1")
+      .withColumn("cond_micro",
+        floor(col("c2").cast("double") * 1000000.0 / col("c1").cast("double"))
+          .cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n_novel"),
+        floor(sum(col("cond_micro")).cast("double") / count(lit(1)))
+          .cast("bigint").as("bigram_lm_micro"))
+      .orderBy("doc_id")
+  }
+
   /** The t16 signal columns over (text, toks) — ONE definition shared by
     * the batch query and the streaming ingest gate
     * (streaming/EventStream.filterQualityAtIngest), so the keep decision
@@ -1312,7 +1360,8 @@ object TextQueries {
     "t13_chunk_dedup" -> t13ChunkDedup,
     "t14_unigram_lm" -> t14UnigramLm,
     "t15_cdc_chunk_dedup" -> t15CdcChunkDedup,
-    "t16_gopher_rules" -> t16GopherRules)
+    "t16_gopher_rules" -> t16GopherRules,
+    "t17_bigram_lm" -> t17BigramLm)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1712,6 +1761,26 @@ object TextQueries {
            |         ${stopwords.map(w => s"CASE WHEN list_contains(t.toks, '$w') THEN 1 ELSE 0 END").mkString("CAST(", " + ", " AS BIGINT)")} AS n_stop_kinds
            |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
            |ORDER BY doc_id""".stripMargin),
+      "t17_bigram_lm" -> oracle(
+        """, bg AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(0, len(toks) - 1),
+          |                i -> toks[i+1])) AS w1,
+          |         unnest(list_transform(range(0, len(toks) - 1),
+          |                i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+          |  FROM toks WHERE len(toks) >= 2),
+          |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+          |scored AS (
+          |  SELECT b.doc_id, c2.c2,
+          |         CAST(floor(CAST(c2.c2 AS DOUBLE) * 1000000.0 /
+          |                    CAST(c1.c1 AS DOUBLE)) AS BIGINT) AS cond_micro
+          |  FROM bg b JOIN c2 ON b.bigram = c2.bigram JOIN c1 ON b.w1 = c1.w1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          |       CAST(floor(CAST(SUM(cond_micro) AS DOUBLE) / count(*))
+          |            AS BIGINT) AS bigram_lm_micro
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

@@ -487,4 +487,37 @@ class PropertySpec extends AnyFunSuite {
     assert(kept > 0 && kept < rows.length,
       s"non-discriminative: kept $kept of ${rows.length}")
   }
+
+  test("t17 bigram LM: transition mass conserved, novel bounded, copies score identically") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t17_bigram_lm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // conservation: every doc with n >= 2 tokens contributes exactly n-1
+    // transitions — the count-table joins must neither drop nor duplicate
+    val viaT1 = TextQueries.queries("t1_token_stats")(spark, sf)
+      .select(sum(greatest(col("n_tokens").cast("bigint") - 1L, lit(0L))))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == viaT1,
+      "transition mass not conserved through the bigram count joins")
+    rows.foreach { case (id, n, novel, score) =>
+      assert(novel <= n, s"doc $id: more novel transitions than transitions")
+      // mean of per-transition floors of P(w2|w1): in [0, 1e6]
+      assert(score >= 0L && score <= 1000000L, s"doc $id: score $score out of range")
+    }
+    // exact copies (%7 mutants) contribute identical transitions, so the
+    // corpus conditional distribution scores copy and source the same —
+    // and their shared transitions occur >= 2 times, so neither has novels
+    val byId = rows.map(r => r._1 -> r).toMap
+    val copies = rows.map(_._1).filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      val (_, n, novel, score) = byId(c)
+      val (_, n0, novel0, score0) = byId(c - 2000000L)
+      assert(n == n0 && score == score0,
+        s"copy $c diverges from source: ($n,$score) vs ($n0,$score0)")
+      assert(novel == 0L && novel0 == 0L,
+        s"copy pair $c has novel transitions despite two occurrences")
+    }
+  }
 }
