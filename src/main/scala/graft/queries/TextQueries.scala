@@ -375,6 +375,43 @@ object TextQueries {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The batch band table (doc_id, band, bkey) over the checkpointed
+    * distinct shingles — the static side of the streaming near-dup ingest
+    * gate ([[graft.streaming.EventStream.nearDupGateAtIngest]]) and the
+    * parity anchor for [[bandKeysCol]]. */
+  private[graft] def corpusBandTable(spark: SparkSession, dir: String): DataFrame =
+    bandsFrom(sigFrom(distinctShingles(spark, dir)))
+
+  /** Per-row MinHash band keys over raw text — the ZERO-SHUFFLE form of
+    * the d2→d3 signature/banding chain. The batch chain explodes shingles
+    * and aggregates minima per doc (one shuffle); this computes the same
+    * 16 minima with `array_min` over per-row arrays, because MinHash
+    * state is per-document — there was never a cross-row dependency, only
+    * a convenient explode. Built for the streaming ingest gate, where a
+    * per-doc aggregation would drag in a state store; also the honest
+    * ingest-scale shape: line-rate banding with no shuffle at all.
+    * Returns an array of [[Bands]] md5 band keys, position = band index;
+    * docs with fewer than 3 tokens have no shingles and get an EMPTY
+    * array (no evidence of duplication — the batch chain drops them from
+    * the signature base the same way). EventStreamSpec pins exact parity
+    * with [[corpusBandTable]] over the whole fixture corpus. */
+  private[graft] def bandKeysCol(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val sh = array_distinct(transform(sequence(lit(0), size(toks) - 3),
+      i => array_join(slice(toks, i + 1, lit(3)), " ")))
+    val hx = transform(sh, s => md5(s))
+    def hj(j: Int): Column =
+      array_min(transform(hx, h =>
+        (conv(substring(h, 1 + 8 * (j % 4), 8), 16, 10).cast("bigint")
+          * mixA(j) + mixB(j)) % MixMod))
+    val keys = array((0 until Bands).map { b =>
+      md5(concat_ws("|",
+        (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => hj(j).cast("string")): _*))
+    }: _*)
+    when(size(toks) >= 3, keys).otherwise(array().cast("array<string>"))
+  }
+
   // ---- queries ----
 
   /** Checkpointed (doc_id, fp) base shared by d1/d7 (and t4's fp_md5

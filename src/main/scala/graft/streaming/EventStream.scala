@@ -96,6 +96,47 @@ object EventStream {
   def filterQualityAtIngest(docs: DataFrame): DataFrame =
     docs.filter(graft.queries.TextQueries.gopherKeepCol(col("text")) === 1L)
 
+  /** Streaming NEAR-dup ingest gate — the streaming face of the d2→d3
+    * MinHash/LSH chain, completing the ingest-dedup topology's fourth
+    * leg: [[dedupByFingerprint]] kills exact dups within the horizon,
+    * [[dedupAgainstCorpus]] kills exact dups against the corpus, and this
+    * kills arrivals that are NEAR-duplicates of corpus documents — any
+    * doc sharing at least one LSH band key with the historical band
+    * table is dropped before it costs downstream state.
+    *
+    * Band keys are computed PER ROW ([[graft.queries.TextQueries
+    * .bandKeysCol]] — array_min over per-row shingle arrays, spec-pinned
+    * to exact parity with the batch explode+groupBy chain), so the
+    * stream side needs no aggregation, no watermark, no state store. The
+    * "any band collides" disjunction runs as [[graft.queries.TextQueries
+    * .Bands]] successive stream-static LEFT ANTI joins, one per band —
+    * each is stateless, and a doc must survive all of them to pass.
+    * Docs too short to shingle (< 3 tokens) carry no evidence of
+    * duplication and pass (quality gating is [[filterQualityAtIngest]]'s
+    * job, not this gate's).
+    *
+    * Scale notes: the static side is the batch chain's band table —
+    * (band, bkey) is 4 rows x ~16 bytes per corpus doc, re-read per
+    * micro-batch so a corpus re-band is picked up without restart;
+    * per-band filters prune it to a quarter before each join. At 100 TB
+    * the band table is a bucketed parquet table and each anti-join is a
+    * broadcast or shuffled-hash probe — the stream side still never
+    * shuffles or keeps state. */
+  def nearDupGateAtIngest(docs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val bands = graft.queries.TextQueries.Bands
+    val withKeys = docs.withColumn("bk_arr",
+      graft.queries.TextQueries.bandKeysCol(col("text")))
+    (0 until bands).foldLeft(withKeys) { (df, b) =>
+      // try_element_at on the empty (too-short) array yields null (the
+      // plain form THROWS under ANSI), and a null key never matches an
+      // anti-join's right side: the row passes
+      df.withColumn("bk", try_element_at(col("bk_arr"), lit(b + 1)))
+        .join(corpusBands.filter(col("band") === b).select(col("bkey").as("bk")),
+          Seq("bk"), "left_anti")
+        .drop("bk")
+    }.drop("bk_arr")
+  }
+
   /** Session windows keyed by user with a 30-min inactivity gap — the
     * native streaming form of EventQueries.e2Sessionize. */
   def userSessions(events: DataFrame): DataFrame =

@@ -182,6 +182,70 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("per-row band keys equal the batch signature chain exactly over the fixture corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextQueries
+    // the zero-shuffle per-row form must produce the SAME (doc_id, band,
+    // bkey) set as the explode+groupBy chain — this is what licenses the
+    // streaming gate to claim d3's collision semantics
+    val viaChain = TextQueries.corpusBandTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val perRow = TextQueries.corpus(spark, sf)
+      .select(col("doc_id"), posexplode(TextQueries.bandKeysCol(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaChain.nonEmpty)
+    assert(perRow == viaChain,
+      s"per-row band keys diverge from the batch chain " +
+        s"(only-per-row=${(perRow -- viaChain).size}, only-chain=${(viaChain -- perRow).size})")
+  }
+
+  test("streaming near-dup ingest gate drops band-colliding arrivals, keeps zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextQueries
+    implicit val sq = spark.sqlContext
+    val corpusBands = TextQueries.corpusBandTable(spark, sf)
+    val corpusKeySet = corpusBands.select("band", "bkey").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // arrivals: an exact copy of a corpus doc (all bands collide), its
+    // drop-first-word near-dup (the planted-mutant shape), a novel doc,
+    // and one too short to shingle (no evidence -> passes)
+    val srcText = TextQueries.corpus(spark, sf)
+      .filter(col("doc_id") === 0L).select("text").first().getString(0)
+    val docs = Seq(
+      (1L, srcText),
+      (2L, srcText.split("\\s+", 2).last),
+      (3L, "quokka wombat lemur gecko koala otter capsicum dirigible forty"),
+      (4L, "too short"))
+    // ground truth from the SAME per-row keys (parity with the batch
+    // chain is pinned above): keep iff no band key hits the corpus set
+    val expectKeep = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextQueries.bandKeysCol(col("text")).as("bks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter { case (_, ks) =>
+        ks.zipWithIndex.forall { case (k, b) => !corpusKeySet((b, k)) } }
+      .map(_._1).toSet
+    // the fixture must exercise both outcomes, and the exact copy of a
+    // corpus document can never pass
+    assert(!expectKeep(1L) && expectKeep(3L) && expectKeep(4L), s"got $expectKeep")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    // survivors keep the input schema: band keys are gate internals
+    assert(EventStream.nearDupGateAtIngest(df, corpusBands).schema.fieldNames
+      .sameElements(df.schema.fieldNames))
+    val q = EventStream.nearDupGateAtIngest(df, corpusBands).writeStream
+      .format("memory").queryName("ndgate").outputMode("append").start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("ndgate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expectKeep, s"stream kept $got, expected $expectKeep")
+    // stateless: per-row banding + stream-static anti joins keep no state
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "near-dup ingest gate must not create streaming state")
+    q.stop()
+  }
+
   test("session windows split on the 30-min gap per user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
