@@ -73,6 +73,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"), p)
   }
 
+  test("v9 binary sketch: query sketches broadcast, no cartesian blowup, rank-limited rerank") {
+    val p = planOf(VectorQueries.v9BinaryAnn(spark, sf))
+    // the prefilter is the v1 shape: tiny query side broadcast against a
+    // linear corpus scan — the corpus itself must not shuffle to pair up
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"top-5 rerank must rank-limit, not globally sort:\n$p")
+    assert(!p.contains("ScalaUDF"), s"sketch must be pure built-in columns:\n$p")
+  }
+
+  test("t17 bigram LM: count-table joins are equi-joins, partial aggregation before the exchange") {
+    val p = planOf(TextQueries.queries("t17_bigram_lm")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-doc score aggregation must map-side combine (the q1 rule)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("f1_command_compile: pure expressions over a broadcast join (no UDF, no shuffle)") {
     // (AQE wraps this plan pre-execution, hiding codegen ids; every
     // operator here — Project/Generate/BroadcastHashJoin — is a
