@@ -87,7 +87,8 @@ object Bench {
     // against released caches (round-3 advice)
     val textNames = all.keys.toSeq.filter(graft.queries.TextQueries.queries.keySet).sorted
     val vecNames = all.keys.toSeq.filter(graft.queries.VectorQueries.queries.keySet).sorted
-    val restNames = (all.keys.toSet -- textNames -- vecNames).toSeq.sorted
+    val mediaNames = all.keys.toSeq.filter(graft.queries.MultimodalQueries.queries.keySet).sorted
+    val restNames = (all.keys.toSet -- textNames -- vecNames -- mediaNames).toSeq.sorted
 
     val warm =
       if (textNames.isEmpty) Seq.empty[(String, Double)] // subset run, no text
@@ -108,9 +109,24 @@ object Bench {
     graft.queries.TextQueries.releaseCaches()
     val vecRes = run(vecNames)
     graft.queries.VectorQueries.releaseCaches()
+    // the m-block's decode+fingerprint snapshots get the same attributable
+    // warm treatment as the text bases: each m-query then reports its
+    // marginal (join-only) cost, and the decode pass — the part the r8/r9
+    // runs each caught 3-5x elevated in one process — is measured once,
+    // where a spike is diagnosable instead of smeared over the medians.
+    val warmMedia =
+      if (mediaNames.isEmpty) Seq.empty[(String, Double)]
+      else {
+        val wm = once("warm_media_sigs") {
+          graft.queries.MultimodalQueries.warmShared(spark, sfDir)
+        }
+        System.err.println(f"[bench] warm_media_sigs              once  =$wm%8.3f")
+        Seq("warm_media_sigs" -> wm)
+      }
+    val mediaRes = run(mediaNames)
     val restRes = run(restNames)
 
-    val results = warm ++ textRes ++ vecRes ++ restRes
+    val results = warm ++ textRes ++ vecRes ++ warmMedia ++ mediaRes ++ restRes
     import JsonText.q
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE renders "87,487" — invalid JSON (round-3 advice)

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once parquet snapshots of shared bases, keyed by (input dir,
+  * name) — one snapshot per input dataset per JVM.
+  *
+  * Shared bases are CHECKPOINTED to local parquet rather than persist()ed:
+  * round 4's driver bench ran 2.11x of the recorded baseline because RAM
+  * caches did not stay resident under the driver environment's heap
+  * pressure, and round 8 repeated the lesson for the one base left
+  * evictable. A parquet checkpoint costs one deterministic write and makes
+  * every downstream read a plain (OS-page-cached) scan that no GC or
+  * eviction can invalidate. This is also the honest 100 TB shape:
+  * multi-pass dedup pipelines checkpoint the shingle/candidate/signature
+  * tables between passes; a 1000-executor job would use HDFS/S3 where this
+  * uses target/graft-ckpt.
+  *
+  * Factored out of TextQueries in round 9 so the multimodal signature
+  * tables (decode + fingerprint — the m-block's expensive shared pass)
+  * ride the same machinery instead of re-deriving per query.
+  */
+object Snapshot {
+
+  private val promises =
+    scala.collection.mutable.Map[(String, String),
+      scala.concurrent.Promise[DataFrame]]()
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt",
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(p)
+    sys.addShutdownHook { // best-effort cleanup; stale dirs are harmless
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    p
+  }
+
+  /** Collision-proof path component: two distinct input dirs must never
+    * share a snapshot path (a 32-bit hashCode collision would let the
+    * second `overwrite` silently replace the first dataset's files while
+    * its DataFrame still lazily reads them). */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Build-once parquet snapshot of a shared base. The build itself runs
+    * distributed; only the resulting table is written, coalesced to
+    * `files` output files — these bases are a few MB against heavy
+    * lineage, and a 32-file table pays listing/open cost on every
+    * downstream scan. Subsequent calls — including self-joins reading the
+    * frame twice — scan the files.
+    *
+    * Registration is promise-per-key: the registry lock is held only to
+    * install the promise, never during a build, so concurrent callers of
+    * the SAME key await one build while builds of DIFFERENT keys — and
+    * re-entrant dependency builds like jpairs → cands → shingles —
+    * proceed in parallel. That is what lets the warm passes overlap the
+    * base builds as independent Spark jobs. */
+  def checkpointed(spark: SparkSession, dir: String, name: String,
+      files: Int = 1)(build: => DataFrame): DataFrame = {
+    val fresh = scala.concurrent.Promise[DataFrame]()
+    val (winner, promise) = promises.synchronized {
+      promises.get((dir, name)) match {
+        case Some(prior) => (false, prior)
+        case None => promises((dir, name)) = fresh; (true, fresh)
+      }
+    }
+    if (winner) {
+      try {
+        val path = root.resolve(s"$name-${md5Hex(dir)}").toString
+        // coalesce is fine here: these bases are a few MB, so even where
+        // coalesce(files) narrows the final stage the lost parallelism is
+        // microseconds (measured equal to a repartition variant), and it
+        // skips the extra exchange a repartition would add.
+        build.coalesce(files).write.mode("overwrite").parquet(path)
+        fresh.success(spark.read.parquet(path))
+      } catch {
+        case e: Throwable =>
+          // A failed build must not be cached for the JVM's lifetime: drop
+          // the key first (under the lock) so the next caller becomes a
+          // fresh winner and retries, THEN fail the promise for everyone
+          // already awaiting this attempt.
+          promises.synchronized { promises.remove((dir, name)) }
+          fresh.failure(e)
+      }
+    }
+    // blocking{}: callers may await from inside a global-EC future (the
+    // warm passes); mark the wait so the pool spawns a compensating thread
+    // instead of starving the builds it is waiting on.
+    scala.concurrent.blocking {
+      scala.concurrent.Await.result(promise.future,
+        scala.concurrent.duration.Duration.Inf)
+    }
+  }
+
+  /** Bytes on disk under the snapshot root (bench evidence: a nonzero
+    * size proves the consumers read files, not evictable RAM). */
+  def bytes: Long = {
+    val empty = promises.synchronized(promises.isEmpty)
+    if (empty) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+  }
+}

@@ -33,11 +33,17 @@ import graft.multimodal.MultimodalOps
   * over the payload column — embarrassingly parallel, no shuffle; the
   * signature table it emits is ~16 bytes/doc (the only thing the join
   * ever touches — payloads never shuffle). Band join + verify is the
-  * proven d6 plan: 4 x 2^16 buckets bound every candidate surface. At
-  * cluster scale the signature table would be checkpointed between the
-  * fingerprint pass and the pair join exactly like TextQueries' shared
-  * bases; at fixture scale the double lineage read is two cheap decode
-  * passes, not worth a write.
+  * proven d6 plan: 4 x 2^16 buckets bound every candidate surface. The
+  * signature tables are parquet-CHECKPOINTED between the fingerprint
+  * pass and the pair join ([[graft.plans.Snapshot]] — exactly like
+  * TextQueries' shared bases, and since round 9 literally the same
+  * machinery): the decode pass is the m-block's one expensive shared
+  * base, and re-deriving it per query call left m1's cost hostage to
+  * GC/page-cache state (the r8/r9 bench runs each caught one process
+  * with the m-block 3-5x elevated while the plans were unchanged).
+  * [[warmShared]] materializes the three tables as one attributable
+  * bench entry, so each m-query reports its marginal (join-only) cost —
+  * the warm_text_caches discipline.
   */
 object MultimodalQueries {
 
@@ -128,15 +134,56 @@ object MultimodalQueries {
       .orderBy("media_a", "media_b")
   }
 
+  /** Checkpointed signature bases — the decode+fingerprint pass runs once
+    * per (dataset, JVM) and lands on disk; every pair join (and both
+    * sides of its self-join) scans ~16-byte rows from parquet. */
+  private def cachedImageSig(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Snapshot.checkpointed(spark, dir, "m1sig")(
+      signatures(imageCorpus(spark, dir), MultimodalOps.dHash64))
+
+  private def cachedAudioSig(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Snapshot.checkpointed(spark, dir, "m2sig")(
+      signatures(audioCorpus(spark, dir), MultimodalOps.audioHash64))
+
+  /** Checkpointed (media_id, frame_md5) base for m3: render + demux +
+    * frame hash once per (dataset, JVM). */
+  private def cachedFrameTable(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Snapshot.checkpointed(spark, dir, "m3frames")(
+      MultimodalOps
+        .sampleFrames(videoCorpus(spark, dir), MultimodalOps.JdkMediaCodec, stride = 2)
+        .select(col("media_id"), md5(col("frame_payload")).as("frame_md5")))
+
+  /** Materialize the three signature snapshots in one attributable pass
+    * (the TextQueries.warmShared discipline): Bench times this as its own
+    * entry so each m-query below reports its marginal join cost instead
+    * of whichever runs first absorbing the whole decode pass. The three
+    * builds are independent Spark jobs; per-stage seconds go to stderr. */
+  def warmShared(spark: SparkSession, dir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def t(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = body
+      System.err.println(
+        f"[warm-media] $name%-8s ${(System.nanoTime() - t0) / 1e9}%7.3f s  rows=$rows%d")
+    }
+    Seq(
+      Future(t("m1sig")(cachedImageSig(spark, dir).count())),
+      Future(t("m2sig")(cachedAudioSig(spark, dir).count())),
+      Future(t("m3frames")(cachedFrameTable(spark, dir).count()))
+    ).foreach(Await.result(_, Duration.Inf))
+  }
+
   /** m1 — image near-dup pairs: real PNG decode -> dHash -> hamming-band
     * join -> bit_count verify. */
   def m1ImageNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(signatures(imageCorpus(spark, dir), MultimodalOps.dHash64))
+    nearDupPairs(cachedImageSig(spark, dir))
 
   /** m2 — audio near-dup pairs: real WAV decode -> RMS-envelope gradient
     * fingerprint -> the same band join. */
   def m2AudioNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(signatures(audioCorpus(spark, dir), MultimodalOps.audioHash64))
+    nearDupPairs(cachedAudioSig(spark, dir))
 
   /** Video corpus for m3: one REAL AVI container per doc_id
     * (MultimodalOps.renderVideo — uncompressed BI_RGB frames behind a
@@ -176,14 +223,11 @@ object MultimodalQueries {
     * run; MultimodalSpec pins the result to exactly the planted re-mux
     * pairs with all 3 sampled frames shared. */
   def m3VideoSharedFrames(spark: SparkSession, dir: String): DataFrame = {
-    val frames = MultimodalOps
-      .sampleFrames(videoCorpus(spark, dir), MultimodalOps.JdkMediaCodec, stride = 2)
-      .select(col("media_id"), md5(col("frame_payload")).as("frame_md5"))
+    val frames = cachedFrameTable(spark, dir)
       .repartition(col("frame_md5"))
-      // frames are corpus-sized: a planner-picked broadcast (tiny stats at
-      // fixture scale) would sample the corpus once PER SIDE and cannot
-      // survive 100 TB anyway — pin the shuffled hash join so both sides
-      // reuse the one explicit fingerprint exchange
+      // the frame table is corpus-sized: a planner-picked broadcast (tiny
+      // stats at fixture scale) cannot survive 100 TB — pin the shuffled
+      // hash join so both sides reuse the one explicit fingerprint exchange
       .hint("shuffle_hash")
     frames.as("a").join(frames.as("b"),
         col("a.frame_md5") === col("b.frame_md5") &&

@@ -48,109 +48,26 @@ object TextQueries {
 
   // ---- shared-base checkpointing ----
 
-  /** The five shared bases below are CHECKPOINTED to local parquet rather
-    * than persist()ed: round 4's driver bench ran 2.11x of the recorded
-    * baseline because the RAM caches did not stay resident under the
-    * driver environment's heap pressure — warm paid 34 s and the d-block
-    * re-ran lineage anyway (d6 0.3 s -> 4.2 s on an unchanged query). A
-    * parquet checkpoint costs one deterministic write in [[warmShared]]
-    * and makes every downstream read a plain (OS-page-cached) scan that
-    * no GC or eviction can invalidate. This is also the honest 100 TB
-    * shape: multi-pass dedup pipelines checkpoint the shingle/candidate
-    * tables between passes (the comment at [[cachedJpairs]] always said
-    * so); a 1000-executor job would use HDFS/S3 where this uses
-    * target/graft-ckpt. Keyed by (sfDir, name): one snapshot per input
-    * dataset per JVM. */
-  private val ckptPromises =
-    scala.collection.mutable.Map[(String, String),
-      scala.concurrent.Promise[DataFrame]]()
-
-  private lazy val ckptRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt",
-      java.util.UUID.randomUUID().toString)
-    java.nio.file.Files.createDirectories(p)
-    sys.addShutdownHook { // best-effort cleanup; stale dirs are harmless
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } catch { case scala.util.control.NonFatal(_) => }
-    }
-    p
-  }
-
-  /** Collision-proof path component: two distinct input dirs must never
-    * share a snapshot path (a 32-bit hashCode collision would let the
-    * second `overwrite` silently replace the first dataset's files while
-    * its DataFrame still lazily reads them). md5 is already this module's
-    * portability backbone. */
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-
-  /** Build-once parquet snapshot of a shared base. The build itself runs
-    * distributed; only the resulting table is written, coalesced to
-    * `files` output files — these bases are a few MB against heavy
-    * lineage, and a 32-file table pays listing/open cost on every
-    * downstream scan. Subsequent calls — including self-joins reading the
-    * frame twice — scan the files.
-    *
-    * Registration is promise-per-key: the registry lock is held only to
-    * install the promise, never during a build, so concurrent callers of
-    * the SAME key await one build while builds of DIFFERENT keys — and
-    * re-entrant dependency builds like jpairs → cands → shingles —
-    * proceed in parallel. That is what lets [[warmShared]] overlap the
-    * base builds as independent Spark jobs. */
+  /** The shared bases below are CHECKPOINTED to local parquet rather
+    * than persist()ed — see [[graft.plans.Snapshot]] (this module's
+    * machinery through round 8, factored out in round 9 so the multimodal
+    * signature tables ride it too). Round 4's driver bench ran 2.11x of
+    * the recorded baseline because the RAM caches did not stay resident
+    * under the driver environment's heap pressure — warm paid 34 s and
+    * the d-block re-ran lineage anyway (d6 0.3 s -> 4.2 s on an unchanged
+    * query); round 8 repeated the lesson for `toks`, the one base left
+    * evictable. Keyed by (sfDir, name): one snapshot per input dataset
+    * per JVM. */
   private def checkpointed(spark: SparkSession, dir: String, name: String,
-      files: Int = 1)(build: => DataFrame): DataFrame = {
-    val fresh = scala.concurrent.Promise[DataFrame]()
-    val (winner, promise) = ckptPromises.synchronized {
-      ckptPromises.get((dir, name)) match {
-        case Some(prior) => (false, prior)
-        case None => ckptPromises((dir, name)) = fresh; (true, fresh)
-      }
-    }
-    if (winner) {
-      try {
-        val path = ckptRoot.resolve(s"$name-${md5Hex(dir)}").toString
-        // coalesce is fine here: these bases are a few MB, so even where
-        // coalesce(files) narrows the final stage the lost parallelism is
-        // microseconds (measured equal to a repartition variant), and it
-        // skips the extra exchange a repartition would add.
-        build.coalesce(files).write.mode("overwrite").parquet(path)
-        fresh.success(spark.read.parquet(path))
-      } catch {
-        case e: Throwable =>
-          // A failed build must not be cached for the JVM's lifetime: drop
-          // the key first (under the lock) so the next caller becomes a
-          // fresh winner and retries, THEN fail the promise for everyone
-          // already awaiting this attempt.
-          ckptPromises.synchronized { ckptPromises.remove((dir, name)) }
-          fresh.failure(e)
-      }
-    }
-    // blocking{}: callers may await from inside a global-EC future
-    // (warmShared); mark the wait so the pool spawns a compensating thread
-    // instead of starving the builds it is waiting on.
-    scala.concurrent.blocking {
-      scala.concurrent.Await.result(promise.future,
-        scala.concurrent.duration.Duration.Inf)
-    }
-  }
+      files: Int = 1)(build: => DataFrame): DataFrame =
+    graft.plans.Snapshot.checkpointed(spark, dir, name, files)(build)
 
-  /** Bytes on disk under this module's checkpoint root (bench evidence:
-    * a nonzero size proves the d/t block reads files, not evictable RAM). */
-  def checkpointBytes: Long = {
-    val empty = ckptPromises.synchronized(ckptPromises.isEmpty)
-    if (empty) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckptRoot).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(java.nio.file.Files.size(_)).sum
-    }
-  }
+  /** Bytes on disk under the snapshot root (bench evidence: a nonzero
+    * size proves the d/t block reads files, not evictable RAM). Shared
+    * with the media signature snapshots since round 9 — the media bases
+    * build after the text warm pass, so warm-stage attribution still
+    * reflects text bytes only. */
+  def checkpointBytes: Long = graft.plans.Snapshot.bytes
 
   /** Unpersist every cache this module created (blocking=false: eviction
     * proceeds in the background, callers don't wait). Idempotent. */
