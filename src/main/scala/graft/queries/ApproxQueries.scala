@@ -46,12 +46,11 @@ object ApproxQueries {
     * Output exploded to one row per (token, count) — never an array
     * column (driver row-sort constraint, the r01 lesson). */
   def xApproxTopTerms(spark: SparkSession, dir: String): DataFrame =
-    // same augmented corpus as t6 (shared definition, not the cached
-    // tokenized base — this group runs after the text caches release);
-    // tokenization inlined to the t6/toksSql definition
-    TextQueries.corpus(spark, dir)
-      .select(explode(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
-        .as("token"))
+    // t6's corpus + tokenization via the checkpointed toks snapshot —
+    // files survive releaseCaches(), so this reads a stable scan instead
+    // of re-tokenizing after the text block's caches are gone
+    TextQueries.tokenizedCorpus(spark, dir)
+      .select(explode(col("toks")).as("token"))
       .filter(length(col("token")) >= 4)
       .agg(expr("approx_top_k(token, 20, 10000)").as("top"))
       .select(explode(col("top")).as("x"))

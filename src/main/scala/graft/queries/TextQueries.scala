@@ -180,6 +180,16 @@ object TextQueries {
       corpus(spark, dir).withColumn("toks",
         filter(split(trim(col("text")), "\\s+"), t => t =!= "")))
 
+  /** The checkpointed tokenized corpus for sibling query modules
+    * (ApproxQueries' sketch twins share t6's corpus+tokenization): the
+    * snapshot survives releaseCaches() — it is files, not RAM — so
+    * consumers outside the warm-bracketed text block still get a stable
+    * scan instead of re-tokenizing under whatever GC/page-cache state the
+    * process is in (the r9 bench caught exactly that: one process ran the
+    * inline-tokenizing sketch 4.7x over its median). */
+  private[queries] def tokenizedCorpus(spark: SparkSession, dir: String): DataFrame =
+    cachedToks(spark, dir)
+
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
