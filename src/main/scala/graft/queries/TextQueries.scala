@@ -1260,6 +1260,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t18 — corpus-wide duplicate n-gram fraction (the Gopher/RefinedWeb
+    * repetition filter's CROSS-document face): for each document, the
+    * fraction of its shingle positions whose 3-gram also appears in at
+    * least one OTHER document. t11 measures within-doc repetition; this
+    * measures how much of a document is boilerplate the corpus already
+    * contains — the signal web pipelines threshold to drop templated
+    * pages (headers, navigation, license blocks) that exact and near
+    * dedup both miss because no WHOLE document matches.
+    *
+    * Micro-unit discipline as everywhere: integer position counts, one
+    * double multiply + divide + floor for the fraction. Plan shape at
+    * 100 TB: the occurrence explode rides the checkpointed toks base, the
+    * per-shingle distinct-doc count rides the checkpointed distinct-
+    * shingle base (both already materialized for the dedup tier), and the
+    * scoring join is shingle-keyed — no pairwise surface at all, which is
+    * the point: this catches diffuse duplication that pairwise dedup
+    * cannot see without quadratic work. */
+  def t18DupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val occ = shingles(spark, dir) // one row per shingle POSITION
+    val docCount = distinctShingles(spark, dir)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+    occ.join(docCount, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        floor(col("n_dup").cast("double") * 1000000.0 /
+          col("n_shingles").cast("double")).cast("bigint").as("dup_frac_micro"))
+      .orderBy("doc_id")
+  }
+
   /** The t16 signal columns over (text, toks) — ONE definition shared by
     * the batch query and the streaming ingest gate
     * (streaming/EventStream.filterQualityAtIngest), so the keep decision
@@ -1325,7 +1356,8 @@ object TextQueries {
     "t14_unigram_lm" -> t14UnigramLm,
     "t15_cdc_chunk_dedup" -> t15CdcChunkDedup,
     "t16_gopher_rules" -> t16GopherRules,
-    "t17_bigram_lm" -> t17BigramLm)
+    "t17_bigram_lm" -> t17BigramLm,
+    "t18_dup_ngram_frac" -> t18DupNgramFrac)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1745,6 +1777,18 @@ object TextQueries {
           |       CAST(floor(CAST(SUM(cond_micro) AS DOUBLE) / count(*))
           |            AS BIGINT) AS bigram_lm_micro
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "t18_dup_ngram_frac" -> oracle(
+        """, dsh18 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+          |dc18 AS (SELECT shingle, count(*) AS ndocs FROM dsh18 GROUP BY shingle)
+          |SELECT doc_id, n_shingles, n_dup,
+          |       CAST(floor(CAST(n_dup AS DOUBLE) * 1000000.0 /
+          |                  CAST(n_shingles AS DOUBLE)) AS BIGINT) AS dup_frac_micro
+          |FROM (
+          |  SELECT s.doc_id, count(*) AS n_shingles,
+          |         CAST(SUM(CASE WHEN dc18.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          |  FROM shingles s JOIN dc18 ON s.shingle = dc18.shingle
+          |  GROUP BY s.doc_id)
+          |ORDER BY doc_id""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

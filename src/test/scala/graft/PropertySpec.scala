@@ -520,4 +520,33 @@ class PropertySpec extends AnyFunSuite {
         s"copy pair $c has novel transitions despite two occurrences")
     }
   }
+
+  test("t18 dup-ngram fraction: bounded, mass-conserved, copies fully duplicated") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t18_dup_ngram_frac")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, dup, frac) =>
+      assert(dup >= 0L && dup <= n, s"doc $id: $dup dup of $n positions")
+      assert(frac >= 0L && frac <= 1000000L, s"doc $id: frac $frac out of range")
+    }
+    // shingle-position mass: every doc with n >= 3 tokens has exactly
+    // n-2 positions — recomputed independently via t1's token counts
+    val viaT1 = TextQueries.queries("t1_token_stats")(spark, sf)
+      .select(sum(greatest(col("n_tokens").cast("bigint") - 2L, lit(0L))))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == viaT1,
+      "shingle position mass not conserved through the count join")
+    // an exact copy (%7 mutant) shares EVERY shingle with its source, so
+    // both ends of the pair must be 100% duplicated
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    val copies = rows.map(_._1).filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      assert(byId(c) == 1000000L && byId(c - 2000000L) == 1000000L,
+        s"copy pair $c not fully duplicated: ${byId(c)} / ${byId(c - 2000000L)}")
+    }
+    // the signal must discriminate: not every doc is boilerplate
+    assert(rows.exists(_._4 < 1000000L), "every doc fully duplicated — signal is vacuous")
+  }
 }

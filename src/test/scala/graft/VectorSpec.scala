@@ -119,6 +119,33 @@ class VectorSpec extends AnyFunSuite {
     assert(rec >= 0.50, s"v9 binary-sketch recall@5 collapsed: $rec")
   }
 
+  test("v10 int8 SQ: self at rank 1 with the max code dot, near-exact recall") {
+    val rows = VectorQueries.queries("v10_sq_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // integer code dots are bounded by 64 * 127^2, and a vector's dot
+    // with itself is its max-norm code row — self must win every query
+    rows.foreach { case (q, v, qd, rk) =>
+      assert(math.abs(qd) <= 64L * 127 * 127, s"($q,$v): code dot $qd out of range")
+      assert(rk >= 1 && rk <= 5)
+    }
+    (0L until 3L).foreach { q =>
+      val top = rows.filter(_._1 == q).minBy(_._4)
+      assert(top._2 == q, s"query $q: self not at rank 1 (got ${top._2})")
+    }
+    // 8-bit precision should be near-exact on this corpus: measured 14/15
+    // (here) and 15/15 (sf0.1) overlap with the exact cosine top-5
+    val truth = VectorQueries.queries("v1_cosine_topk")(spark, sf)
+      .filter(col("rk") <= 5).select("qid", "vid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val rec = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      .sum / truth.size
+    info(f"v10 int8-SQ recall@5 vs exact: $rec%.2f")
+    assert(rec >= 0.85, s"v10 SQ recall@5 collapsed: $rec")
+  }
+
   test("v8 semantic dedup drops exactly the planted mutants, keeps every original") {
     // a mutant (vec_id + 1,000,000) points within 0.001 cosine of its
     // source and lands in the same quantizer cell, so SemDeDup must drop
