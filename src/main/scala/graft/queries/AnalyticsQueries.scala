@@ -257,7 +257,131 @@ object AnalyticsQueries {
         |                    WHERE l2.l_partkey = lineitem_v.l_partkey)""".stripMargin)
   }
 
+  /** TPC-H Q7 shape: two role-playing copies of the nation dimension
+    * (supplier's vs customer's) with an OR'd nation-pair predicate, by
+    * ship year. Both nation copies broadcast; the only shuffles are the
+    * fact-fact join and the tiny final aggregate. YEAR() on a timestamp
+    * is integer field extraction — identical in both engines. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val ord = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val n1 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), supp("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(disc(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q9 shape (ADAPTED: the fixture ships no partsupp table, so
+    * profit omits the supply-cost term — the join/aggregation shape is
+    * Q9's, the measure is revenue): nation x order-year profit for parts
+    * whose name matches a pattern. part and nation broadcast; LIKE is
+    * evaluated before the fact join so pruned parts never reach it. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part").filter(col("p_name").contains("red"))
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    val supp = table(spark, dir, "supplier")
+    val nation = table(spark, dir, "nation")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(disc(col("l_extendedprice"))).cast("double").as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q13 shape: LEFT OUTER join with a join-side predicate (the
+    * customers-with-zero-orders rows MUST survive), per-customer counts,
+    * then the count-of-counts distribution. count(o_orderkey) skips the
+    * outer join's nulls — that is the whole point of the shape. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q21 shape (ADAPTED: the fixture lineitem has no
+    * receipt/commit dates, so "late" is shipping > 60 days after the
+    * order date): suppliers who were the ONLY late supplier on a
+    * multi-supplier finished order. The correlated EXISTS / NOT EXISTS
+    * pair decorrelates to one per-order aggregate — distinct suppliers
+    * and distinct LATE suppliers — consumed by a filter; counts are per
+    * (order, supplier) pair. One fact-fact shuffle + one per-order
+    * aggregate; supplier broadcast. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    val li = table(spark, dir, "lineitem")
+    val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val stats = joined.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
+    joined.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(stats.filter(col("ns") > 1 && col("nl") === 1), "l_orderkey")
+      .join(broadcast(table(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (ADAPTED: no phone column — the "country code" group
+    * is the nation key, and "no orders" — vacuous on this fixture, every
+    * customer has orders — becomes "no URGENT orders"): customers with
+    * above-average positive balances and no urgent orders. The
+    * above-average test multiplies through by the count
+    * (`bal * n > sum`) so it runs entirely in exact DECIMAL — an AVG of
+    * doubles would make the threshold order-dependent and a boundary row
+    * engine-dependent. The 1-row aggregate broadcasts; the anti join is
+    * the Q4/Q16 semi-join machinery inverted. */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(12,2)")).as("bal_sum"),
+        count(lit(1)).as("bal_n"))
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    cust.crossJoin(broadcast(pos))
+      .filter(col("c_acctbal").cast("decimal(12,2)") * col("bal_n") > col("bal_sum"))
+      .join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q9_product_profit" -> q9ProductProfit,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "q22_global_sales" -> q22GlobalSales,
     "q1_agg" -> q1Agg,
     "q3_top_unshipped" -> q3TopUnshipped,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -275,6 +399,77 @@ object AnalyticsQueries {
     "q17_small_qty_revenue" -> q17SmallQtyRevenue)
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name ASC, o_year DESC""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |        WHERE o_orderstatus = 'F') l
+        |  JOIN (SELECT l_orderkey,
+        |               COUNT(DISTINCT l_suppkey) AS ns,
+        |               COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                                   THEN l_suppkey END) AS nl
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |        WHERE o_orderstatus = 'F'
+        |        GROUP BY l_orderkey) s ON l.l_orderkey = s.l_orderkey
+        |  WHERE l.l_shipdate > l.o_orderdate + INTERVAL 60 DAY
+        |    AND s.ns > 1 AND s.nl = 1)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin,
+    "q22_global_sales" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum,
+        |                       COUNT(*) AS bal_n
+        |                FROM customer WHERE c_acctbal > 0) pos
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_n > bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
