@@ -133,7 +133,8 @@ object TextQueries {
     val candsF = Future(t("cands")(cachedCands(spark, dir).count()))
     val rest = Seq(
       Future(t("simhash")(cachedSimhashSig(spark, dir).count())),
-      Future(t("fps")(cachedFps(spark, dir).count())))
+      Future(t("fps")(cachedFps(spark, dir).count())),
+      Future(t("bigrams")(cachedBigrams(spark, dir).count())))
     val sharedF =
       candsF.map(_ => t("shared")(cachedSharedCounts(spark, dir).count()))
     (candsF +: rest :+ sharedF).foreach(Await.result(_, Duration.Inf))
@@ -914,12 +915,7 @@ object TextQueries {
     * doc_id(+bigram) — per-doc state never leaves its partition group, no
     * global structure anywhere, so the plan is flat at any corpus size. */
   def t11Repetition(spark: SparkSession, dir: String): DataFrame =
-    cachedToks(spark, dir)
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+    cachedBigrams(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
@@ -927,6 +923,31 @@ object TextQueries {
             col("n_bigrams").cast("double") * 1000000.0)
           .cast("bigint").as("rep_micro"))
       .orderBy("doc_id")
+
+  /** Checkpointed per-doc bigram counts (doc_id, w1, bigram, n) — the
+    * shared base of the bigram tier (t11's repetition signal and t17's
+    * LM scoring). Before this base, each consumer re-ran the bigram
+    * explode from toks per table reference — t17 ran it THREE times per
+    * call (c2, c1, and the scoring join), and an r9 post-Verify bench
+    * process caught exactly that at 2.8x (3.2 s) while warm processes
+    * sat at 1.1 s: lineage recompute is where cold-cache pressure bites.
+    * Collapsing positions to per-doc counts first also shrinks every
+    * downstream shuffle: corpus-wide counts become SUM(n) over the
+    * snapshot, and the scoring join matches distinct (doc, bigram) rows
+    * instead of positions. */
+  private def cachedBigrams(spark: SparkSession, dir: String): DataFrame =
+    checkpointed(spark, dir, "bigrams", files = 2)(
+      cachedToks(spark, dir)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(
+              element_at(col("toks"), i + 1).as("w1"),
+              array_join(slice(col("toks"), i + 1, lit(2)), " ").as("bigram"))))
+            .as("t"))
+        .select(col("doc_id"), col("t.w1").as("w1"), col("t.bigram").as("bigram"))
+        .groupBy(col("doc_id"), col("w1"), col("bigram"))
+        .agg(count(lit(1)).as("n")))
 
   /** t9's per-language mixing table, inlined into BOTH the Column plan and
     * the oracle SQL so the twins cannot drift: (lang, keep threshold over
@@ -1236,26 +1257,23 @@ object TextQueries {
     * bigram/head-keyed equi-joins; nothing shuffles by anything but
     * bigram, head token, or doc_id, and no all-pairs surface exists. */
   def t17BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val bg = cachedToks(spark, dir)
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => struct(
-            element_at(col("toks"), i + 1).as("w1"),
-            array_join(slice(col("toks"), i + 1, lit(2)), " ").as("bigram"))))
-          .as("t"))
-      .select(col("doc_id"), col("t.w1").as("w1"), col("t.bigram").as("bigram"))
-    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(c2, "bigram")
+    // tf rides the checkpointed bigram base: corpus counts are SUM(n)
+    // re-aggregations of the snapshot, and the scoring join matches
+    // distinct (doc, bigram) rows weighted by n — position semantics are
+    // recovered exactly by the weights (every position of a bigram has
+    // the same cond_micro)
+    val tf = cachedBigrams(spark, dir)
+    val c2 = tf.groupBy(col("bigram")).agg(sum(col("n")).as("c2"))
+    val c1 = tf.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+    tf.join(c2, "bigram")
       .join(c1, "w1")
       .withColumn("cond_micro",
         floor(col("c2").cast("double") * 1000000.0 / col("c1").cast("double"))
           .cast("bigint"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n_novel"),
-        floor(sum(col("cond_micro")).cast("double") / count(lit(1)))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(when(col("c2") === 1, col("n")).otherwise(0L)).as("n_novel"),
+        floor(sum(col("n") * col("cond_micro")).cast("double") / sum(col("n")))
           .cast("bigint").as("bigram_lm_micro"))
       .orderBy("doc_id")
   }
