@@ -233,6 +233,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q7/q9: nation/part dims broadcast; the only non-broadcast join is the fact-fact equi-join") {
+    for (name <- Seq("q7_volume_shipping", "q9_product_profit")) {
+      val p = planOf(AnalyticsQueries.queries(name)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$name dims not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name: no partial aggregation below the exchange:\n$p")
+    }
+  }
+
+  test("q13: the customer-preserving outer join survives planning (zero-order customers are the point)") {
+    val p = planOf(AnalyticsQueries.queries("q13_order_distribution")(spark, sf))
+    // count(o_orderkey) over the join's null rows must not let Catalyst
+    // rewrite the LEFT OUTER to inner — the distribution's 0-bucket rides
+    // on preserved unmatched customers
+    assert(p.contains("LeftOuter"), s"outer join rewritten away:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21: decorrelated only-late-supplier is equi-joins + per-order aggregate, never a per-row subquery") {
+    val p = planOf(AnalyticsQueries.queries("q21_waiting_supplier")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+    // the EXISTS/NOT-EXISTS pair is hand-decorrelated to countDistinct
+    // aggregates; partial_count below the exchange keeps it map-combining
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q22: above-average filter rides a broadcast 1-row aggregate; no-urgent-orders is an anti join") {
+    val p = planOf(AnalyticsQueries.queries("q22_global_sales")(spark, sf))
+    // the 1-row balance aggregate may legitimately plan as a broadcast
+    // nested-loop (that IS the broadcast-scalar pattern); the urgent-order
+    // exclusion must be a hashed LeftAnti, and nothing may cartesian
+    assert(p.contains("LeftAnti"), s"exclusion not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"1-row aggregate not broadcast:\n$p")
+  }
+
   test("d4/d10 verify: pure arithmetic over the checkpointed shared-counts base — no join in the plan") {
     // the r8 driver bench caught d10 re-deriving the cands⋈shingles⋈shingles
     // chain live (7.4x baseline). Post-fix, BOTH verify queries must plan
