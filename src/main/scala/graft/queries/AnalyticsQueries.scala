@@ -328,20 +328,26 @@ object AnalyticsQueries {
     * multi-supplier finished order. The correlated EXISTS / NOT EXISTS
     * pair decorrelates to one per-order aggregate — distinct suppliers
     * and distinct LATE suppliers — consumed by a filter; counts are per
-    * (order, supplier) pair. One fact-fact shuffle + one per-order
-    * aggregate; supplier broadcast. */
+    * (order, supplier) pair. The fact-fact join collapses to per-pair
+    * rows FIRST (`max(late)` over the pair): both downstream consumers —
+    * the per-order stats and the late-pair probe — then read the same
+    * pair aggregate, so the lineitem join's exchange is planned once and
+    * reused, ONE fact pass instead of the naive three (stats,
+    * late-distinct, probe each re-deriving it); supplier broadcast. */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val ord = table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
     val li = table(spark, dir, "lineitem")
-    val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .as("late"))
-    val stats = joined.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("ns"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
-    joined.filter(col("late"))
-      .select("l_orderkey", "l_suppkey").distinct()
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"))
+    val stats = pairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"),
+        count(when(col("any_late"), lit(1))).as("nl"))
+    pairs.filter(col("any_late"))
+      .select("l_orderkey", "l_suppkey")
       .join(stats.filter(col("ns") > 1 && col("nl") === 1), "l_orderkey")
       .join(broadcast(table(spark, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))

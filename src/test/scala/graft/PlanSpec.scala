@@ -254,13 +254,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q21: decorrelated only-late-supplier is equi-joins + per-order aggregate, never a per-row subquery") {
-    val p = planOf(AnalyticsQueries.queries("q21_waiting_supplier")(spark, sf))
+    val df = AnalyticsQueries.queries("q21_waiting_supplier")(spark, sf)
+    val p = planOf(df)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
-    // the EXISTS/NOT-EXISTS pair is hand-decorrelated to countDistinct
-    // aggregates; partial_count below the exchange keeps it map-combining
+    // the EXISTS/NOT-EXISTS pair is hand-decorrelated to a per-pair
+    // aggregate both consumers share; partial aggregation below the
+    // exchange keeps it map-combining
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the single-fact-pass property (exchange reuse is an AQE runtime
+    // decision): the per-pair aggregate feeds stats AND the late-pair
+    // probe — the executed plan must reuse its exchange, not re-derive
+    // the lineitem join per consumer
+    df.collect()
+    val fin = planOf(df)
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      s"pair aggregate re-derived per consumer — fact joined twice:\n$fin")
   }
 
   test("q22: above-average filter rides a broadcast 1-row aggregate; no-urgent-orders is an anti join") {
