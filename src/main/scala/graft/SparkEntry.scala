@@ -17,7 +17,7 @@ object SparkEntry {
     EncodeQueries.queries ++ AnalyticsQueries.queries ++ StatusQueries.queries ++
       ScalarQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ ApproxQueries.queries ++ JoinQueries.queries ++
-      MultimodalQueries.queries ++ ExportQueries.queries
+      MultimodalQueries.queries ++ ExportQueries.queries ++ MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,6 @@ object SparkEntry {
     * driver records a weaker rows-only check). Kept explicit so the test
     * suite can flag accidental omissions. */
   def rowsOnlyQueries: Set[String] =
-    ApproxQueries.rowsOnly ++ MultimodalQueries.rowsOnly ++ ExportQueries.rowsOnly
+    ApproxQueries.rowsOnly ++ MultimodalQueries.rowsOnly ++
+      ExportQueries.rowsOnly ++ MlQueries.rowsOnly
 }

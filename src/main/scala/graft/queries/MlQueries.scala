@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality scoring — the trained-classifier stage
+  * modern pretraining pipelines (FineWeb-Edu, DCLM) run AFTER the rule
+  * filters: heuristics label a seed set, a cheap classifier generalizes
+  * the judgment to the whole corpus, and the model's score becomes the
+  * retention/mixing signal. The reference has no analogue ([EXT]); the
+  * engine side is pure public Spark MLlib.
+  *
+  * Shape: weak labels come from t16's Gopher rule verdict (shared Column
+  * definitions — no second rule implementation to drift), features are a
+  * HashingTF bag-of-words over the same checkpointed tokenized corpus
+  * every text query reads, and the model is binomial logistic regression
+  * trained on a DETERMINISTIC 30% hash split (`doc_id % 10 < 3`) and
+  * memoized per input dir — the v4 quantizer's train-once pattern.
+  *
+  * Plan shape at 100 TB: training is MLlib's distributed L-BFGS — one
+  * treeAggregate pass over the (sampled) feature frame per iteration, no
+  * shuffle of the corpus itself; production trains on exactly this kind
+  * of hash-sample (the t9 discipline) because label quality, not corpus
+  * size, bounds classifier quality. Scoring broadcasts the fitted
+  * coefficient vector (1024 doubles — model state, the legitimate
+  * broadcast) and is stateless per row: no join, no aggregation, no
+  * exchange but the presentation sort. Scores are rows-only by design:
+  * L-BFGS converges to machine precision, not to bit-identical
+  * coefficients across engines, so no SQL oracle can exist — the spec
+  * pins the semantic contract (held-out ranking quality, in-JVM
+  * determinism, coverage) instead.
+  */
+object MlQueries {
+
+  private val models =
+    scala.collection.mutable.Map[String, LogisticRegressionModel]()
+
+  /** Release memoized model state (test hygiene; bench groups never need
+    * it — the memo IS the measured train-once semantics). */
+  def releaseModels(): Unit = models.synchronized(models.clear())
+
+  private val FeatureDim = 1024
+
+  private def featurized(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextQueries.tokenizedCorpus(spark, dir)
+    val (n, mean, alpha, sym, stops) =
+      TextQueries.gopherSignals(col("text"), col("toks"))
+    val labeled = base.select(col("doc_id"), col("toks"),
+      TextQueries.gopherKeep(n, mean, alpha, sym, stops)
+        .cast("double").as("label"))
+    new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(FeatureDim).transform(labeled)
+  }
+
+  private[graft] def fitted(spark: SparkSession, dir: String): LogisticRegressionModel = {
+    // getOrElseUpdate under the lock is fine here: training is seconds,
+    // callers are bench reps / spec calls, and a duplicated concurrent
+    // train would only waste work, not corrupt the memo
+    models.synchronized {
+      models.getOrElseUpdate(dir, {
+        val train = featurized(spark, dir).filter(pmod(col("doc_id"), lit(10)) < 3)
+        new LogisticRegression().setMaxIter(20).setRegParam(0.01).fit(train)
+      })
+    }
+  }
+
+  /** t19 — classifier quality score for EVERY corpus doc: the rule label
+    * it was weakly supervised by, the model's keep-probability in
+    * micro-units, and the train/held-out split marker (audit surface: a
+    * consumer thresholds `score_micro`, a validator reads `is_train` to
+    * avoid evaluating on the training split). */
+  def t19QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val model = fitted(spark, dir)
+    model.transform(featurized(spark, dir))
+      .select(col("doc_id"),
+        col("label").cast("bigint").as("rule_keep"),
+        floor(vector_to_array(col("probability")).getItem(1) * 1000000.0)
+          .cast("bigint").as("score_micro"),
+        (pmod(col("doc_id"), lit(10)) < 3).cast("bigint").as("is_train"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_quality_classifier" -> t19QualityClassifier)
+
+  /** No SQL oracle can exist (L-BFGS coefficients are not cross-engine
+    * reproducible); the MlSpec contract covers semantics. */
+  val rowsOnly: Set[String] = Set("t19_quality_classifier")
+}

@@ -53,7 +53,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     val modules = Seq(EncodeQueries.queries, AnalyticsQueries.queries,
       StatusQueries.queries, ScalarQueries.queries, EventQueries.queries,
       TextQueries.queries, VectorQueries.queries, ApproxQueries.queries,
-      JoinQueries.queries, MultimodalQueries.queries, ExportQueries.queries)
+      JoinQueries.queries, MultimodalQueries.queries, ExportQueries.queries,
+      MlQueries.queries)
     assert(modules.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query key across modules — one implementation is shadowed")
   }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.MlQueries
+
+/** Semantic contract for the t19 trained quality classifier — the checks
+  * that replace the impossible SQL oracle (L-BFGS coefficients are not
+  * cross-engine reproducible, so the driver records rows only).
+  */
+class MlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t19: scores every corpus doc exactly once, both splits present") {
+    val out = MlQueries.t19QualityClassifier(spark, sf).collect()
+    val corpusN = queries.TextQueries.queries("t1_token_stats")(spark, sf).count()
+    assert(out.length.toLong == corpusN,
+      s"classifier covered ${out.length} docs, corpus has $corpusN")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "duplicate doc_id")
+    val trainN = out.count(_.getLong(3) == 1L)
+    assert(trainN > 0 && trainN < out.length,
+      s"degenerate split: $trainN of ${out.length} in train")
+  }
+
+  test("t19: held-out ranking recovers the rule boundary (AUC well above chance)") {
+    val rows = MlQueries.t19QualityClassifier(spark, sf)
+      .filter("is_train = 0").collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (rule_keep, score_micro)
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty, s"one-class held-out set (${rows.length} rows)")
+    // exact Mann-Whitney AUC: P(score_pos > score_neg) + 0.5 P(tie)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toDouble * neg.length)
+    assert(auc > 0.75, f"held-out AUC $auc%.3f — classifier not learning the rule signal")
+  }
+
+  test("t19: train-once memo makes repeat calls deterministic in-JVM") {
+    val a = MlQueries.t19QualityClassifier(spark, sf).collect().toSeq
+    val b = MlQueries.t19QualityClassifier(spark, sf).collect().toSeq
+    assert(a == b, "two calls over the memoized model diverged")
+  }
+
+  test("t19: scoring is stateless per row — no join, no aggregation, no shuffle but the output sort") {
+    val df = MlQueries.t19QualityClassifier(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoring must not aggregate:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"scoring shuffled the corpus (coefficients must broadcast, not the data):\n$p")
+  }
+
+  test("t19: model state is broadcast-sized (coefficient dim = feature dim)") {
+    val m = MlQueries.fitted(spark, sf)
+    assert(m.coefficients.size == 1024, s"unexpected dim ${m.coefficients.size}")
+  }
+}
