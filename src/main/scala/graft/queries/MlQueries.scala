@@ -44,6 +44,13 @@ object MlQueries {
 
   private val FeatureDim = 1024
 
+  /** The shared featurizer: batch training/scoring and the streaming
+    * ingest twin MUST hash into the same space — a second HashingTF
+    * with its own dim would silently misalign the model's coefficients. */
+  private[graft] def hashingTf: HashingTF =
+    new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(FeatureDim)
+
   private def featurized(spark: SparkSession, dir: String): DataFrame = {
     val base = TextQueries.tokenizedCorpus(spark, dir)
     val (n, mean, alpha, sym, stops) =
@@ -51,8 +58,7 @@ object MlQueries {
     val labeled = base.select(col("doc_id"), col("toks"),
       TextQueries.gopherKeep(n, mean, alpha, sym, stops)
         .cast("double").as("label"))
-    new HashingTF().setInputCol("toks").setOutputCol("features")
-      .setNumFeatures(FeatureDim).transform(labeled)
+    hashingTf.transform(labeled)
   }
 
   private[graft] def fitted(spark: SparkSession, dir: String): LogisticRegressionModel = {

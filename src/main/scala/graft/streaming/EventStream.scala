@@ -96,6 +96,31 @@ object EventStream {
   def filterQualityAtIngest(docs: DataFrame): DataFrame =
     docs.filter(graft.queries.TextQueries.gopherKeepCol(col("text")) === 1L)
 
+  /** Streaming MODEL-quality scoring at ingest — t19's streaming twin and
+    * [[filterQualityAtIngest]]'s upgrade: instead of the hard rule
+    * verdict, every arriving doc gets the trained classifier's
+    * keep-probability in micro-units (`score_micro` appended; downstream
+    * thresholds or routes on it without re-scoring). The model trains
+    * BATCH-side ([[graft.queries.MlQueries.fitted]] — production
+    * retrains offline and redeploys); the stream applies it statelessly:
+    * per-row tokenization (the exact gopherKeepCol split), the SAME
+    * HashingTF the model was trained with (shared instance — a second
+    * featurizer would silently misalign the coefficient space), and the
+    * broadcast coefficient vector. No aggregation, no watermark, no
+    * state store — line-rate like the other three gates, at any scale
+    * where the model state (1024 doubles) broadcasts, i.e. always.
+    * MlSpec pins exact per-doc score parity with the batch t19 query. */
+  def scoreQualityAtIngest(docs: DataFrame,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel): DataFrame = {
+    val withToks = docs.withColumn("toks",
+      filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+    model.transform(graft.queries.MlQueries.hashingTf.transform(withToks))
+      .withColumn("score_micro",
+        floor(org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1) * 1000000.0).cast("bigint"))
+      .drop("toks", "features", "rawPrediction", "probability", "prediction")
+  }
+
   /** Streaming NEAR-dup ingest gate — the streaming face of the d2→d3
     * MinHash/LSH chain, completing the ingest-dedup topology's fourth
     * leg: [[dedupByFingerprint]] kills exact dups within the horizon,

@@ -56,4 +56,32 @@ class MlSpec extends AnyFunSuite {
     val m = MlQueries.fitted(spark, sf)
     assert(m.coefficients.size == 1024, s"unexpected dim ${m.coefficients.size}")
   }
+
+  test("streaming twin: ingest scoring matches batch t19 per doc, schema = input + score_micro") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val model = MlQueries.fitted(spark, sf)
+    // stream the raw corpus docs (the batch query tokenizes these same
+    // texts the same way, so scores must match EXACTLY per doc_id)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs.toSeq: _*)
+    val q = graft.streaming.EventStream.scoreQualityAtIngest(
+        ms.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("mlgate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mlgate")
+      assert(streamed.columns.toSeq == Seq("doc_id", "text", "score_micro"),
+        s"internal columns leaked: ${streamed.columns.mkString(",")}")
+      val got = streamed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = MlQueries.t19QualityClassifier(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.nonEmpty && got.forall { case (id, s) => want.get(id).contains(s) },
+        s"stream/batch score divergence: ${got.filterNot { case (id, s) => want.get(id).contains(s) }.take(5)}")
+    } finally q.stop()
+  }
 }
