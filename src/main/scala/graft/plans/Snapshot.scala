@@ -100,15 +100,24 @@ object Snapshot {
   }
 
   /** Bytes on disk under the snapshot root (bench evidence: a nonzero
-    * size proves the consumers read files, not evictable RAM). */
+    * size proves the consumers read files, not evictable RAM).
+    *
+    * Traversal is java.io.File, NOT Files.walk: the warm pass reads this
+    * after every stage WHILE sibling stage futures are still committing
+    * their writes, and a commit deletes its `_temporary` dir between a
+    * walk's listing and its visit — `Files.walk` then throws
+    * NoSuchFileException and the crash surfaces as a spurious
+    * warm_text_caches bench failure (caught live in an r9 process:
+    * bigrams' accounting read raced simhash's commit). `File.listFiles`
+    * returns null for a vanished dir and `length()` 0 for a vanished
+    * file — inherently race-tolerant. `_temporary` subtrees are skipped
+    * outright: in-flight commit garbage is not residency evidence. */
   def bytes: Long = {
+    def sz(f: java.io.File): Long =
+      if (f.getName == "_temporary") 0L
+      else if (f.isDirectory) Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+      else f.length()
     val empty = promises.synchronized(promises.isEmpty)
-    if (empty) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(java.nio.file.Files.size(_)).sum
-    }
+    if (empty) 0L else sz(root.toFile)
   }
 }
