@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-based document quality scoring — the trained-classifier stage
@@ -89,10 +89,156 @@ object MlQueries {
       .orderBy("doc_id")
   }
 
+  // ---- t20: BPE merge learning (tokenizer training) ----
+
+  /** Corpus word-frequency table — the ONE corpus-wide pass BPE learning
+    * needs. Everything after runs over DISTINCT words weighted by
+    * frequency: at 100 TB the corpus is trillions of token occurrences
+    * but the distinct-word table is millions of rows, which is why
+    * production tokenizer training is corpus-size-independent after this
+    * aggregation. */
+  private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.tokenizedCorpus(spark, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Greedy left-to-right application of one merge rule (l, r) -> l+r
+    * over a symbol array, as one fold: the tail of the accumulator is
+    * replaced when (tail, current) matches the pair. Non-overlapping by
+    * construction — "aaaa" under (a,a) becomes [aa, aa], not three
+    * overlapping merges — exactly the reference BPE replace semantics. A
+    * symbol produced by a merge can never spuriously re-merge as `l`
+    * (produced = l+r, and l+r = l would need r = "", which cannot occur). */
+  private def mergeCol(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, cur) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && cur === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(cur))))
+
+  /** Byte-pair-encoding merge learning (Sennrich et al.'s algorithm,
+    * Spark-first): k rounds of [count adjacent symbol pairs weighted by
+    * word frequency -> take the argmax (count desc, then lexicographic —
+    * fully deterministic) -> apply the merge everywhere]. The pair count
+    * is a groupBy over the exploded adjacent-pair table of DISTINCT
+    * words; the argmax is a 1-row collect (the merge RULE is model
+    * state, the legitimate driver-side scalar); the merge application is
+    * a stateless per-row fold. Each round localCheckpoints the tiny
+    * symbol table to truncate the k-deep expression lineage (at 100 TB
+    * swap in a reliable checkpoint dir — the d9 discipline; the table
+    * being cut is distinct-words-sized, not corpus-sized). Prior rounds'
+    * localCheckpoint blocks are dereferenced as `words` rebinds, so the
+    * ContextCleaner reclaims them on GC; a reliable-dir swap must delete
+    * prior rounds' files explicitly (the d9 cleanup discipline).
+    *
+    * Returns BOTH the merge table and the final (word, syms, freq) frame:
+    * the loop's end state IS the corpus vocabulary encoded under every
+    * learned merge, so the encode query (t21) costs no extra pass. */
+  private[graft] def train(spark: SparkSession, words0: DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    // split("") can emit a trailing "" depending on regex-engine edge
+    // semantics; filter it so the symbol table is exactly the char seq
+    var words = words0
+      .select(col("word"),
+        filter(split(col("word"), ""), s => s =!= lit("")).as("syms"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (round <- 1 to k if !exhausted) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, cnt))
+        words = words
+          .select(col("word"), mergeCol(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  private[graft] def learnMerges(spark: SparkSession, words0: DataFrame, k: Int)
+      : Seq[(Int, String, String, Long)] = train(spark, words0, k)._1
+
+  private val BpeRounds = 16
+
+  private val bpeMemo = scala.collection.mutable
+    .Map[String, (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  /** Train-once memo shared by t20 (the merge table) and t21 (the encoded
+    * vocabulary) — one training pass serves both, like t19/v4. */
+  private def bpeState(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeMemo.synchronized {
+      bpeMemo.getOrElseUpdate(dir,
+        train(spark, wordFreq(spark, dir), BpeRounds))
+    }
+
+  /** t20 — the learned BPE merge table (rank, left, right, merged symbol,
+    * weighted pair count) for the corpus: tokenizer training as a query.
+    * Train-once memo like t19/v4 — production learns the vocabulary once
+    * and ships it. Rows-only: the algorithm is deterministic (BpeSpec
+    * pins EXACT equality with an independent pure-Scala reference
+    * implementation, the t15 standard), but k unrolled argmax rounds are
+    * not practically expressible as one DuckDB SQL statement. */
+  def t20BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeState(spark, dir)._1
+    import spark.implicits._
+    merges.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** t21 — corpus tokenization under the learned BPE vocabulary: per-doc
+    * whitespace-word count, encoded-piece count, and the pieces-per-word
+    * fertility in exact integer micro-units (`DIV` — no doubles). This is
+    * the production "how many tokens is my corpus" pass every training
+    * run prices before a single gradient step.
+    *
+    * Plan shape at 100 TB: the encoded vocabulary falls out of training
+    * at distinct-word scale (t20's loop end state — NO per-document
+    * re-encoding pass exists anywhere). Per-doc word counts aggregate
+    * BEFORE the vocab join (map-side combinable; the join input is
+    * doc-distinct words, not token occurrences), then one doc_id groupBy.
+    * The vocab side is millions of rows — broadcast when it fits, else
+    * a word-keyed shuffle-hash join; AQE picks at runtime. Rows-only:
+    * the vocabulary derives from the k iterative argmax rounds, so no
+    * single SQL statement exists — BpeSpec pins exact per-doc equality
+    * against the independent pure-Scala encoder over the raw parquet. */
+  def t21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeState(spark, dir)._2
+      .select(col("word"), size(col("syms")).cast("bigint").as("word_pieces"))
+    val docWords = TextQueries.tokenizedCorpus(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    docWords.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("word_pieces")).as("n_pieces"))
+      .withColumn("fertility_micro",
+        expr("CAST((n_pieces * 1000000) DIV n_words AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t19_quality_classifier" -> t19QualityClassifier)
+    "t19_quality_classifier" -> t19QualityClassifier,
+    "t20_bpe_merges" -> t20BpeMerges,
+    "t21_bpe_encode" -> t21BpeEncode)
 
   /** No SQL oracle can exist (L-BFGS coefficients are not cross-engine
-    * reproducible); the MlSpec contract covers semantics. */
-  val rowsOnly: Set[String] = Set("t19_quality_classifier")
+    * reproducible; BPE's k argmax rounds are not one SQL statement, and
+    * t21's vocabulary derives from them); the MlSpec/BpeSpec contracts
+    * cover semantics. */
+  val rowsOnly: Set[String] =
+    Set("t19_quality_classifier", "t20_bpe_merges", "t21_bpe_encode")
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.MlQueries
+
+/** Semantic contract for t20 BPE merge learning — the t15 standard: the
+  * Spark implementation must match an INDEPENDENT pure-Scala reference
+  * implementation of Sennrich-style BPE exactly (ranks, pairs, counts),
+  * because the k unrolled argmax rounds cannot be one DuckDB statement
+  * and the driver records rows only.
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Pure-Scala reference BPE: pair counts over distinct words weighted
+    * by frequency; argmax tie-broken by (count desc, left, right) under
+    * UTF-8 binary ordering (Spark's default string collation); greedy
+    * left-to-right non-overlapping merge application. No Spark types —
+    * written directly from the published algorithm. */
+  private def refBpe(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var tbl: Seq[(Vector[String], Long)] =
+      words.map { case (w, f) => (w.toVector.map(_.toString), f) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- tbl; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.toSeq.reduceLeft { (a, b) =>
+          val ((al, ar), ac) = a; val ((bl, br), bc) = b
+          val bWins = bc > ac ||
+            (bc == ac && (utf8Lt(bl, al) ||
+              (bl == al && utf8Lt(br, ar))))
+          if (bWins) b else a
+        }
+        out += ((round, l, r, cnt))
+        tbl = tbl.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          for (s <- syms) {
+            if (acc.nonEmpty && acc.last == l && s == r) acc(acc.length - 1) = l + r
+            else acc += s
+          }
+          (acc.toVector, f)
+        }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("hand-computed case: greedy non-overlap, weighted argmax, early exhaustion") {
+    // words: aaab x3, ab x2
+    //   r1: (a,a)=6 (two overlapping occurrences in aaab), (a,b)=5 -> merge (a,a)
+    //       greedy left-to-right: aaab -> [aa, a, b] (NOT three overlapping merges)
+    //   r2: (a,b)=5 beats (aa,a)=3 -> aaab -> [aa, ab], ab -> [ab]
+    //   r3: (aa,ab)=3 -> [aaab]
+    //   r4: no adjacent pairs remain anywhere -> exhausted at 3 merges
+    import spark.implicits._
+    val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val got = MlQueries.learnMerges(spark, words, 16)
+    val want = Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L))
+    assert(got == want, s"got $got")
+    // and the independent reference agrees with the hand computation
+    assert(refBpe(Seq(("aaab", 3L), ("ab", 2L)), 16) == want)
+  }
+
+  test("tie-break is lexicographic on (left, right) at equal count") {
+    import spark.implicits._
+    // (x,y) and (b,a) both have count 4; (b,a) must win lexicographically
+    val words = Seq(("xy", 4L), ("ba", 4L)).toDF("word", "freq")
+    val first = MlQueries.learnMerges(spark, words, 1)
+    assert(first == Seq((1, "b", "a", 4L)), s"got $first")
+  }
+
+  test("t20 matches the independent reference EXACTLY on the real corpus") {
+    val wf = MlQueries.wordFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = refBpe(wf, 16).map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+    val got = MlQueries.t20BpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want,
+      s"divergence — first mismatch: ${got.zipAll(want, null, null).find(p => p._1 != p._2)}")
+  }
+
+  test("merge counts are non-increasing over rounds (each new pair's support is bounded by the merge that created it)") {
+    val counts = MlQueries.t20BpeMerges(spark, sf).collect().map(_.getLong(4))
+    assert(counts.nonEmpty)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"pair_count increased: ${counts.mkString(",")}")
+  }
+
+  test("t21 matches an independent pure-Scala encode over the raw parquet EXACTLY per doc") {
+    // reference encoder: apply the reference merges in rank order, one
+    // greedy left-to-right pass per rule — the same pass structure the
+    // training loop itself runs, recomputed from scratch on raw text
+    val wf = MlQueries.wordFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = refBpe(wf, 16)
+    val encCache = scala.collection.mutable.Map[String, Long]()
+    def encode(w: String): Long = encCache.getOrElseUpdate(w, {
+      var syms: Vector[String] = w.toVector.map(_.toString)
+      for ((_, l, r, _) <- merges) {
+        val acc = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms) {
+          if (acc.nonEmpty && acc.last == l && s == r) acc(acc.length - 1) = l + r
+          else acc += s
+        }
+        syms = acc.toVector
+      }
+      syms.length.toLong
+    })
+    // replicate the fixture's planted-mutant augmentation (+1e6 = drop
+    // first word for doc_id%5==0, +2e6 = exact copy for doc_id%7==0)
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docs = raw ++
+      raw.collect { case (id, t) if id % 5 == 0 =>
+        (id + 1000000L, t.replaceFirst("^\\S+\\s+", "")) } ++
+      raw.collect { case (id, t) if id % 7 == 0 => (id + 2000000L, t) }
+    val want = docs.flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else {
+          val np = ws.map(encode).sum
+          Some((id, ws.length.toLong, np, np * 1000000L / ws.length))
+        }
+      }.sortBy(_._1).toSeq
+    val got = MlQueries.t21BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.size == want.size, s"${got.size} docs vs ${want.size}")
+    assert(got == want,
+      s"first mismatch: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("t21 fertility is bounded: 1e6 <= fertility_micro <= word-length ceiling, and merges only shrink") {
+    // every word encodes to at least 1 piece and at most its char count,
+    // so fertility lives in [1.0, max word length] micro-units
+    val rows = MlQueries.t21BpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      "a word encoded to fewer than 1 piece")
+    assert(rows.forall(r => r.getLong(3) >= 1000000L),
+      "fertility below 1 piece/word")
+  }
+
+  test("output shape: contiguous ranks from 1, merged == left+right, memoized repeat is identical") {
+    val a = MlQueries.t20BpeMerges(spark, sf).collect().toSeq
+    assert(a.map(_.getInt(0)) == (1 to a.length))
+    assert(a.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    val b = MlQueries.t20BpeMerges(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+}
