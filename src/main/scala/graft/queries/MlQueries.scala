@@ -109,7 +109,7 @@ object MlQueries {
     * overlapping merges — exactly the reference BPE replace semantics. A
     * symbol produced by a merge can never spuriously re-merge as `l`
     * (produced = l+r, and l+r = l would need r = "", which cannot occur). */
-  private def mergeCol(syms: Column, l: String, r: String): Column =
+  private[graft] def mergeCol(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, cur) =>
         when(size(acc) > 0 && element_at(acc, -1) === lit(l) && cur === lit(r),
@@ -174,6 +174,11 @@ object MlQueries {
 
   private val bpeMemo = scala.collection.mutable
     .Map[String, (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  /** The learned merge table for `dir` — the model state a streaming
+    * ingest twin ships to the stream side (like t19's fitted model). */
+  private[graft] def learnedMerges(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = bpeState(spark, dir)._1
 
   /** Train-once memo shared by t20 (the merge table) and t21 (the encoded
     * vocabulary) — one training pass serves both, like t19/v4. */

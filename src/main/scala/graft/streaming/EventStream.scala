@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** [EXT] ST7 — event-time streaming analytics (SURVEY §2.8): the watermarked
@@ -119,6 +119,40 @@ object EventStream {
         floor(org.apache.spark.ml.functions.vector_to_array(col("probability"))
           .getItem(1) * 1000000.0).cast("bigint"))
       .drop("toks", "features", "rawPrediction", "probability", "prediction")
+  }
+
+  /** Streaming BPE token pricing at ingest — batch t21's stateless twin,
+    * completing the ingest family's cost leg: every arriving doc gets
+    * its whitespace-word count, its piece count under the LEARNED merge
+    * table, and the fertility in exact integer micro-units, appended to
+    * the input schema. Merges train BATCH-side ([[graft.queries
+    * .MlQueries.learnedMerges]] — production learns the vocabulary once
+    * and ships it, like t19's fitted model); the stream applies them
+    * per row: chars → the same greedy non-overlapping fold per rule in
+    * rank order ([[graft.queries.MlQueries.mergeCol]] — the SHARED
+    * column builder, so stream and batch cannot drift), summed across
+    * the doc's words. Re-encoding per document is the right shape HERE
+    * — arrivals are one doc each, not a corpus, so the distinct-word
+    * vocabulary join batch t21 rides has nothing to amortize. No
+    * aggregation, no watermark, no state store, no shuffle: line-rate
+    * at any scale where the merge table (k rules) broadcasts, i.e.
+    * always. Wordless docs pass with zero counts (fertility 0 — gating
+    * is [[filterQualityAtIngest]]'s job). BpeSpec pins exact per-doc
+    * parity with batch t21. */
+  def encodeAtIngest(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import graft.queries.MlQueries.mergeCol
+    val words = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    def pieces(w: Column): Column =
+      size(merges.foldLeft(filter(split(w, ""), s => s =!= lit(""))) {
+        case (syms, (_, l, r, _)) => mergeCol(syms, l, r)
+      }).cast("bigint")
+    docs
+      .withColumn("n_words", size(words).cast("bigint"))
+      .withColumn("n_pieces",
+        aggregate(transform(words, w => pieces(w)), lit(0L), (a, b) => a + b))
+      .withColumn("fertility_micro",
+        expr("CAST((n_pieces * 1000000) DIV greatest(n_words, 1) AS BIGINT)"))
   }
 
   /** Streaming NEAR-dup ingest gate — the streaming face of the d2→d3

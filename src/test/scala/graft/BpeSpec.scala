@@ -162,6 +162,38 @@ class BpeSpec extends AnyFunSuite {
       "fertility below 1 piece/word")
   }
 
+  test("streaming twin: encode at ingest matches batch t21 per doc, zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val merges = MlQueries.learnedMerges(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs.toSeq: _*)
+    val q = graft.streaming.EventStream.encodeAtIngest(
+        ms.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpegate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpegate")
+      assert(streamed.columns.toSeq ==
+        Seq("doc_id", "text", "n_words", "n_pieces", "fertility_micro"),
+        s"unexpected schema: ${streamed.columns.mkString(",")}")
+      val got = streamed.collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = MlQueries.t21BpeEncode(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got.nonEmpty)
+      val bad = got.filter { case (id, v) => !want.get(id).contains(v) }
+      assert(bad.isEmpty, s"stream/batch divergence: ${bad.take(5)}")
+      // stateless gate: no state store behind the scan-project pipeline
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "encode-at-ingest must not create streaming state")
+    } finally q.stop()
+  }
+
   test("output shape: contiguous ranks from 1, merged == left+right, memoized repeat is identical") {
     val a = MlQueries.t20BpeMerges(spark, sf).collect().toSeq
     assert(a.map(_.getInt(0)) == (1 to a.length))
