@@ -283,6 +283,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"1-row aggregate not broadcast:\n$p")
   }
 
+  test("t21 BPE encode: word counts aggregate BEFORE the vocab join, nothing cartesians") {
+    // the scale property: the join input is doc-distinct words, not raw
+    // token occurrences — joining occurrences would ship corpus-scale
+    // rows through the exchange for no reason
+    val df = MlQueries.t21BpeEncode(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "vocab join missing from the optimized plan")
+    assert(joins.forall(_.children.exists(
+        _.collectFirst { case a: Aggregate => a }.isDefined)),
+      s"no pre-aggregation below the vocab join:\n${df.queryExecution.optimizedPlan.treeString}")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), s"encode path must be pure built-ins:\n$p")
+  }
+
   test("d4/d10 verify: pure arithmetic over the checkpointed shared-counts base — no join in the plan") {
     // the r8 driver bench caught d10 re-deriving the cands⋈shingles⋈shingles
     // chain live (7.4x baseline). Post-fix, BOTH verify queries must plan
