@@ -181,12 +181,19 @@ object MlQueries {
       : Seq[(Int, String, String, Long)] = bpeState(spark, dir)._1
 
   /** Train-once memo shared by t20 (the merge table) and t21 (the encoded
-    * vocabulary) — one training pass serves both, like t19/v4. */
+    * vocabulary) — one training pass serves both, like t19/v4. The
+    * multi-second, multi-job training runs OUTSIDE the lock (the
+    * quantizer-memo discipline): a concurrent duplicate train computes
+    * identical state (the argmax is deterministic), getOrElseUpdate
+    * keeps one, and an independent dir is never blocked behind another
+    * dir's training. */
   private def bpeState(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeMemo.synchronized {
-      bpeMemo.getOrElseUpdate(dir,
-        train(spark, wordFreq(spark, dir), BpeRounds))
+    bpeMemo.synchronized(bpeMemo.get(dir)) match {
+      case Some(s) => s
+      case None =>
+        val built = train(spark, wordFreq(spark, dir), BpeRounds)
+        bpeMemo.synchronized(bpeMemo.getOrElseUpdate(dir, built))
     }
 
   /** t20 — the learned BPE merge table (rank, left, right, merged symbol,

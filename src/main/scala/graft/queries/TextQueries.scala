@@ -178,8 +178,15 @@ object TextQueries {
     * build's own partition count, so this never adds an exchange). */
   private def cachedToks(spark: SparkSession, dir: String): DataFrame =
     checkpointed(spark, dir, "toks", files = 4)(
-      corpus(spark, dir).withColumn("toks",
-        filter(split(trim(col("text")), "\\s+"), t => t =!= "")))
+      corpus(spark, dir).withColumn("toks", toksCol(col("text"))))
+
+  /** THE whitespace tokenization, as one shared Column definition: the
+    * checkpointed batch base and every streaming ingest twin
+    * (quality/score/band/encode) must segment identically — a second
+    * inline copy of this expression is exactly how stream and batch
+    * would silently drift. */
+  private[graft] def toksCol(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** The checkpointed tokenized corpus for sibling query modules
     * (ApproxQueries' sketch twins share t6's corpus+tokenization): the
@@ -324,7 +331,7 @@ object TextQueries {
     * the signature base the same way). EventStreamSpec pins exact parity
     * with [[corpusBandTable]] over the whole fixture corpus. */
   private[graft] def bandKeysCol(text: Column): Column = {
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val toks = toksCol(text)
     val sh = array_distinct(transform(sequence(lit(0), size(toks) - 3),
       i => array_join(slice(toks, i + 1, lit(3)), " ")))
     val hx = transform(sh, s => md5(s))
@@ -1342,7 +1349,7 @@ object TextQueries {
   /** The keep verdict as a self-contained Column over raw text (tokenizes
     * inline) — the streaming ingest gate's entry point. */
   private[graft] def gopherKeepCol(text: Column): Column = {
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val toks = toksCol(text)
     val (n, mean, alpha, sym, stops) = gopherSignals(text, toks)
     gopherKeep(n, mean, alpha, sym, stops)
   }

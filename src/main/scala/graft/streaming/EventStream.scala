@@ -113,7 +113,7 @@ object EventStream {
   def scoreQualityAtIngest(docs: DataFrame,
       model: org.apache.spark.ml.classification.LogisticRegressionModel): DataFrame = {
     val withToks = docs.withColumn("toks",
-      filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+      graft.queries.TextQueries.toksCol(col("text")))
     model.transform(graft.queries.MlQueries.hashingTf.transform(withToks))
       .withColumn("score_micro",
         floor(org.apache.spark.ml.functions.vector_to_array(col("probability"))
@@ -134,15 +134,23 @@ object EventStream {
     * the doc's words. Re-encoding per document is the right shape HERE
     * — arrivals are one doc each, not a corpus, so the distinct-word
     * vocabulary join batch t21 rides has nothing to amortize. No
-    * aggregation, no watermark, no state store, no shuffle: line-rate
-    * at any scale where the merge table (k rules) broadcasts, i.e.
-    * always. Wordless docs pass with zero counts (fertility 0 — gating
-    * is [[filterQualityAtIngest]]'s job). BpeSpec pins exact per-doc
-    * parity with batch t21. */
+    * aggregation, no watermark, no state store, no shuffle. Each rule
+    * compiles to one nested array fold, so this representation is for
+    * vocab-preview-sized merge tables (the fixture's k=16); a
+    * production tokenizer's tens of thousands of merges need the apply
+    * loop moved to data (mapPartitions over a broadcast rule array),
+    * not an expression tree that deep. Wordless and NULL-text docs pass
+    * with ZERO counts — an ingest pricer never drops rows (gating is
+    * [[filterQualityAtIngest]]'s job), which is the one deliberate
+    * divergence from batch t21, whose corpus query emits no row for a
+    * doc with no tokens. BpeSpec pins exact per-doc parity with batch
+    * t21 on worded docs and the zero-count contract on wordless ones. */
   def encodeAtIngest(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import graft.queries.MlQueries.mergeCol
-    val words = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    // coalesce BEFORE tokenizing: toksCol(NULL) is NULL, and NULL would
+    // propagate size/aggregate into NULL counts instead of zeros
+    val words = graft.queries.TextQueries.toksCol(coalesce(col("text"), lit("")))
     def pieces(w: Column): Column =
       size(merges.foldLeft(filter(split(w, ""), s => s =!= lit(""))) {
         case (syms, (_, l, r, _)) => mergeCol(syms, l, r)

@@ -18,6 +18,14 @@ class BpeSpec extends AnyFunSuite {
     * UTF-8 binary ordering (Spark's default string collation); greedy
     * left-to-right non-overlapping merge application. No Spark types —
     * written directly from the published algorithm. */
+  /** Symbol atoms are CODE POINTS, matching Spark's split(word, "") —
+    * Java regex zero-width matches fall on code-point boundaries, so a
+    * supplementary-plane char is ONE symbol; a per-Char (code unit)
+    * reference would shear surrogate pairs and diverge on non-BMP text
+    * (the non-BMP test below pins this empirically). */
+  private def symbols(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   private def refBpe(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
     def utf8Lt(a: String, b: String): Boolean = {
       val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
@@ -31,7 +39,7 @@ class BpeSpec extends AnyFunSuite {
       x.length < y.length
     }
     var tbl: Seq[(Vector[String], Long)] =
-      words.map { case (w, f) => (w.toVector.map(_.toString), f) }
+      words.map { case (w, f) => (symbols(w), f) }
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     var done = false
@@ -65,6 +73,19 @@ class BpeSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  /** The fixture corpus with its planted-mutant augmentation (+1e6 =
+    * drop first word for doc_id%5==0, +2e6 = exact copy for
+    * doc_id%7==0) — the doc set every batch text query runs over. */
+  private lazy val augmentedDocs: Seq[(Long, String)] = {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    raw ++
+      raw.collect { case (id, t) if id % 5 == 0 =>
+        (id + 1000000L, t.replaceFirst("^\\S+\\s+", "")) } ++
+      raw.collect { case (id, t) if id % 7 == 0 => (id + 2000000L, t) }
+  }
+
   test("hand-computed case: greedy non-overlap, weighted argmax, early exhaustion") {
     // words: aaab x3, ab x2
     //   r1: (a,a)=6 (two overlapping occurrences in aaab), (a,b)=5 -> merge (a,a)
@@ -79,6 +100,18 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
     // and the independent reference agrees with the hand computation
     assert(refBpe(Seq(("aaab", 3L), ("ab", 2L)), 16) == want)
+  }
+
+  test("non-BMP safety: symbol atoms are code points on both sides (surrogate pairs never shear)") {
+    import spark.implicits._
+    // 𐀀 (U+10000, a surrogate pair in UTF-16) followed by 'a': the only
+    // adjacent pair is (𐀀, a) — a code-unit split would instead see the
+    // broken pair (\uDC00, a) and a three-symbol word
+    val w = "𐀀a"
+    val got = MlQueries.learnMerges(spark, Seq((w, 3L)).toDF("word", "freq"), 1)
+    assert(got == refBpe(Seq((w, 3L)), 1), s"engine/reference diverged: $got")
+    assert(got.head._2 == "𐀀",
+      s"left symbol is not the full code point: ${got.head}")
   }
 
   test("tie-break is lexicographic on (left, right) at equal count") {
@@ -116,7 +149,7 @@ class BpeSpec extends AnyFunSuite {
     val merges = refBpe(wf, 16)
     val encCache = scala.collection.mutable.Map[String, Long]()
     def encode(w: String): Long = encCache.getOrElseUpdate(w, {
-      var syms: Vector[String] = w.toVector.map(_.toString)
+      var syms: Vector[String] = symbols(w)
       for ((_, l, r, _) <- merges) {
         val acc = scala.collection.mutable.ArrayBuffer[String]()
         for (s <- syms) {
@@ -127,16 +160,7 @@ class BpeSpec extends AnyFunSuite {
       }
       syms.length.toLong
     })
-    // replicate the fixture's planted-mutant augmentation (+1e6 = drop
-    // first word for doc_id%5==0, +2e6 = exact copy for doc_id%7==0)
-    val raw = spark.read.parquet(s"$sf/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val docs = raw ++
-      raw.collect { case (id, t) if id % 5 == 0 =>
-        (id + 1000000L, t.replaceFirst("^\\S+\\s+", "")) } ++
-      raw.collect { case (id, t) if id % 7 == 0 => (id + 2000000L, t) }
-    val want = docs.flatMap { case (id, text) =>
+    val want = augmentedDocs.flatMap { case (id, text) =>
         val ws = text.trim.split("\\s+").filter(_.nonEmpty)
         if (ws.isEmpty) None
         else {
@@ -151,15 +175,23 @@ class BpeSpec extends AnyFunSuite {
       s"first mismatch: ${got.zip(want).find(p => p._1 != p._2)}")
   }
 
-  test("t21 fertility is bounded: 1e6 <= fertility_micro <= word-length ceiling, and merges only shrink") {
-    // every word encodes to at least 1 piece and at most its char count,
-    // so fertility lives in [1.0, max word length] micro-units
+  test("t21 bounds: n_words <= n_pieces <= per-doc code-point total (merges only shrink)") {
+    // every word encodes to at least 1 piece (fertility >= 1e6) and at
+    // most its code-point count (a merge only ever shrinks a word), so
+    // n_pieces is bracketed by n_words and the doc's total word chars
+    val ceil = augmentedDocs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => w.codePointCount(0, w.length).toLong).sum
+    }.toMap
     val rows = MlQueries.t21BpeEncode(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
       "a word encoded to fewer than 1 piece")
     assert(rows.forall(r => r.getLong(3) >= 1000000L),
       "fertility below 1 piece/word")
+    val over = rows.filter(r => r.getLong(2) > ceil(r.getLong(0)))
+    assert(over.isEmpty,
+      s"merges grew a doc beyond its char total: ${over.take(3).mkString(",")}")
   }
 
   test("streaming twin: encode at ingest matches batch t21 per doc, zero state operators") {
@@ -171,7 +203,10 @@ class BpeSpec extends AnyFunSuite {
       .select($"doc_id", $"text").limit(40)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val ms = MemoryStream[(Long, String)]
-    ms.addData(docs.toSeq: _*)
+    // -1/-2: wordless and NULL-text arrivals — an ingest pricer must
+    // emit them with ZERO counts (batch t21 has no row for them; that
+    // asymmetry is the documented contract, not drift)
+    ms.addData(docs.toSeq :+ (-1L, "   ") :+ (-2L, null.asInstanceOf[String]): _*)
     val q = graft.streaming.EventStream.encodeAtIngest(
         ms.toDF().toDF("doc_id", "text"), merges)
       .writeStream.format("memory").queryName("bpegate").outputMode("append").start()
@@ -186,7 +221,9 @@ class BpeSpec extends AnyFunSuite {
       val want = MlQueries.t21BpeEncode(spark, sf).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       assert(got.nonEmpty)
-      val bad = got.filter { case (id, v) => !want.get(id).contains(v) }
+      assert(got(-1L) == ((0L, 0L, 0L)) && got(-2L) == ((0L, 0L, 0L)),
+        s"wordless/null arrivals must price to zeros: ${got(-1L)}, ${got(-2L)}")
+      val bad = (got - (-1L) - (-2L)).filter { case (id, v) => !want.get(id).contains(v) }
       assert(bad.isEmpty, s"stream/batch divergence: ${bad.take(5)}")
       // stateless gate: no state store behind the scan-project pipeline
       assert(q.lastProgress.stateOperators.isEmpty,
