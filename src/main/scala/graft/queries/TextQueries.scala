@@ -1316,6 +1316,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t22 — the per-(source, lang) mix audit: the provenance-level table a
+    * training run reads BEFORE choosing sampling rates (t9 then executes
+    * the chosen rates) — document count, token count, character mass, and
+    * the distinct-fingerprint count whose gap to n_docs is the per-source
+    * exact-duplication signal, plus mean tokens/doc in exact integer
+    * micro-units (`DIV`, no doubles). Runs over the RAW documents table
+    * (provenance is a raw-corpus property; the planted mutants carry no
+    * source), with token counts ridden off the checkpointed toks base via
+    * a doc_id equi-join rather than re-tokenizing.
+    *
+    * Plan shape at 100 TB: one doc_id-keyed join, then aggregation onto
+    * a (source, lang) key space that is SMALL by construction (sources ×
+    * languages, thousands at most) — partial aggregation collapses each
+    * partition to that key space before the one exchange; the distinct-fp
+    * count plans as the standard two-phase distinct aggregate (partial on
+    * (source, lang, fp)). The fingerprint is [[graft.ops.Fingerprint]] —
+    * the ONE content-identity definition, so "duplicate" here means
+    * exactly what d1/t4 and the ingest gates mean. */
+  def t22SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        fpCol.as("fp"))
+    val ntoks = cachedToks(spark, dir)
+      .filter(col("doc_id") < 1000000L) // raw ids only: prune the mutants at the scan
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_toks"))
+    raw.join(ntoks, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("tot_chars"),
+        countDistinct(col("fp")).as("uniq_fps"))
+      .withColumn("mean_doc_tokens_micro",
+        expr("CAST((n_tokens * 1000000) DIV n_docs AS BIGINT)"))
+      .orderBy("source", "lang")
+  }
+
   /** The t16 signal columns over (text, toks) — ONE definition shared by
     * the batch query and the streaming ingest gate
     * (streaming/EventStream.filterQualityAtIngest), so the keep decision
@@ -1382,7 +1418,8 @@ object TextQueries {
     "t15_cdc_chunk_dedup" -> t15CdcChunkDedup,
     "t16_gopher_rules" -> t16GopherRules,
     "t17_bigram_lm" -> t17BigramLm,
-    "t18_dup_ngram_frac" -> t18DupNgramFrac)
+    "t18_dup_ngram_frac" -> t18DupNgramFrac,
+    "t22_source_mix" -> t22SourceMix)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1814,6 +1851,17 @@ object TextQueries {
           |  FROM shingles s JOIN dc18 ON s.shingle = dc18.shingle
           |  GROUP BY s.doc_id)
           |ORDER BY doc_id""".stripMargin),
+      "t22_source_mix" -> oracle(
+        s"""SELECT d.source, d.lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS tot_chars,
+           |       CAST(count(DISTINCT ${graft.ops.Fingerprint.sql("d.text")}) AS BIGINT) AS uniq_fps,
+           |       CAST((CAST(sum(len(t.toks)) AS BIGINT) * 1000000)
+           |            // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_doc_tokens_micro
+           |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+           |GROUP BY d.source, d.lang
+           |ORDER BY d.source, d.lang""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

@@ -300,6 +300,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"encode path must be pure built-ins:\n$p")
   }
 
+  test("t22 source mix: mutant-id filter reaches the toks scan; equi-join only, map-side partials") {
+    val p = planOf(TextQueries.queries("t22_source_mix")(spark, sf))
+    // the raw-ids restriction must prune the checkpoint scan, not filter
+    // post-read (at 100 TB the mutant share is whatever augmentation ran)
+    assert(p.contains("LessThan(doc_id,1000000)"),
+      s"doc_id bound not pushed to the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"(source, lang) aggregation must combine map-side:\n$p")
+  }
+
   test("d4/d10 verify: pure arithmetic over the checkpointed shared-counts base — no join in the plan") {
     // the r8 driver bench caught d10 re-deriving the cands⋈shingles⋈shingles
     // chain live (7.4x baseline). Post-fix, BOTH verify queries must plan
