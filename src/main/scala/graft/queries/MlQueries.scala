@@ -42,6 +42,12 @@ object MlQueries {
     * it — the memo IS the measured train-once semantics). */
   def releaseModels(): Unit = models.synchronized(models.clear())
 
+  /** Release memoized BPE state ([[bpeState]]'s merge table + encoded
+    * vocabulary — two pinned localCheckpoints): same test-hygiene hook as
+    * [[releaseModels]]; without it a garbage training result for a dir
+    * (e.g. a fixed bad input) would be cached until process restart. */
+  def releaseBpe(): Unit = bpeMemo.synchronized(bpeMemo.clear())
+
   private val FeatureDim = 1024
 
   /** The shared featurizer: batch training/scoring and the streaming
@@ -102,6 +108,17 @@ object MlQueries {
       .select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** The BPE symbol atomization — ONE shared Column definition for batch
+    * training ([[train]]) and the streaming encode twin
+    * ([[graft.streaming.EventStream.encodeAtIngest]]), the toksCol
+    * discipline: a second inline copy is exactly how the stream's piece
+    * counts would silently drift from batch t21 if the atomization ever
+    * changed (byte-level, grapheme clusters, a different empty-string
+    * guard). split("") can emit a trailing "" depending on regex-engine
+    * edge semantics; the filter makes the table exactly the char seq. */
+  private[graft] def symsCol(w: Column): Column =
+    filter(split(w, ""), s => s =!= lit(""))
+
   /** Greedy left-to-right application of one merge rule (l, r) -> l+r
     * over a symbol array, as one fold: the tail of the accumulator is
     * replaced when (tail, current) matches the pair. Non-overlapping by
@@ -134,14 +151,10 @@ object MlQueries {
     * Returns BOTH the merge table and the final (word, syms, freq) frame:
     * the loop's end state IS the corpus vocabulary encoded under every
     * learned merge, so the encode query (t21) costs no extra pass. */
-  private[graft] def train(spark: SparkSession, words0: DataFrame, k: Int)
+  private[graft] def train(words0: DataFrame, k: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    // split("") can emit a trailing "" depending on regex-engine edge
-    // semantics; filter it so the symbol table is exactly the char seq
     var words = words0
-      .select(col("word"),
-        filter(split(col("word"), ""), s => s =!= lit("")).as("syms"),
-        col("freq"))
+      .select(col("word"), symsCol(col("word")).as("syms"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
@@ -167,8 +180,8 @@ object MlQueries {
     (merges.toSeq, words)
   }
 
-  private[graft] def learnMerges(spark: SparkSession, words0: DataFrame, k: Int)
-      : Seq[(Int, String, String, Long)] = train(spark, words0, k)._1
+  private[graft] def learnMerges(words0: DataFrame, k: Int)
+      : Seq[(Int, String, String, Long)] = train(words0, k)._1
 
   private val BpeRounds = 16
 
@@ -192,7 +205,7 @@ object MlQueries {
     bpeMemo.synchronized(bpeMemo.get(dir)) match {
       case Some(s) => s
       case None =>
-        val built = train(spark, wordFreq(spark, dir), BpeRounds)
+        val built = train(wordFreq(spark, dir), BpeRounds)
         bpeMemo.synchronized(bpeMemo.getOrElseUpdate(dir, built))
     }
 

@@ -1323,8 +1323,10 @@ object TextQueries {
     * exact-duplication signal, plus mean tokens/doc in exact integer
     * micro-units (`DIV`, no doubles). Runs over the RAW documents table
     * (provenance is a raw-corpus property; the planted mutants carry no
-    * source), with token counts ridden off the checkpointed toks base via
-    * a doc_id equi-join rather than re-tokenizing.
+    * source), with token counts ridden off the checkpointed toks base and
+    * fingerprints off the checkpointed fps base via doc_id equi-joins
+    * rather than re-tokenizing or re-hashing — so the raw scan reads only
+    * the four provenance columns and prunes `text` entirely.
     *
     * Plan shape at 100 TB: one doc_id-keyed join, then aggregation onto
     * a (source, lang) key space that is SMALL by construction (sources ×
@@ -1336,12 +1338,13 @@ object TextQueries {
     * exactly what d1/t4 and the ingest gates mean. */
   def t22SourceMix(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        fpCol.as("fp"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
     val ntoks = cachedToks(spark, dir)
       .filter(col("doc_id") < 1000000L) // raw ids only: prune the mutants at the scan
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_toks"))
-    raw.join(ntoks, "doc_id")
+    val fps = cachedFps(spark, dir)
+      .filter(col("doc_id") < 1000000L)
+    raw.join(ntoks, "doc_id").join(fps, "doc_id")
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),

@@ -109,11 +109,15 @@ object EventStream {
     * broadcast coefficient vector. No aggregation, no watermark, no
     * state store — line-rate like the other three gates, at any scale
     * where the model state (1024 doubles) broadcasts, i.e. always.
+    * NULL text scores as an empty document (coalesce before tokenizing —
+    * the encodeAtIngest contract: a scorer annotates, it never drops or
+    * crashes on a row; toksCol(NULL) is NULL and HashingTF's transform
+    * NPEs on a NULL token array, which would kill the whole query).
     * MlSpec pins exact per-doc score parity with the batch t19 query. */
   def scoreQualityAtIngest(docs: DataFrame,
       model: org.apache.spark.ml.classification.LogisticRegressionModel): DataFrame = {
     val withToks = docs.withColumn("toks",
-      graft.queries.TextQueries.toksCol(col("text")))
+      graft.queries.TextQueries.toksCol(coalesce(col("text"), lit(""))))
     model.transform(graft.queries.MlQueries.hashingTf.transform(withToks))
       .withColumn("score_micro",
         floor(org.apache.spark.ml.functions.vector_to_array(col("probability"))
@@ -147,12 +151,12 @@ object EventStream {
     * t21 on worded docs and the zero-count contract on wordless ones. */
   def encodeAtIngest(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    import graft.queries.MlQueries.mergeCol
+    import graft.queries.MlQueries.{mergeCol, symsCol}
     // coalesce BEFORE tokenizing: toksCol(NULL) is NULL, and NULL would
     // propagate size/aggregate into NULL counts instead of zeros
     val words = graft.queries.TextQueries.toksCol(coalesce(col("text"), lit("")))
     def pieces(w: Column): Column =
-      size(merges.foldLeft(filter(split(w, ""), s => s =!= lit(""))) {
+      size(merges.foldLeft(symsCol(w)) {
         case (syms, (_, l, r, _)) => mergeCol(syms, l, r)
       }).cast("bigint")
     docs

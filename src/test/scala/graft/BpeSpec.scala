@@ -95,7 +95,7 @@ class BpeSpec extends AnyFunSuite {
     //   r4: no adjacent pairs remain anywhere -> exhausted at 3 merges
     import spark.implicits._
     val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "freq")
-    val got = MlQueries.learnMerges(spark, words, 16)
+    val got = MlQueries.learnMerges(words, 16)
     val want = Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L))
     assert(got == want, s"got $got")
     // and the independent reference agrees with the hand computation
@@ -108,7 +108,7 @@ class BpeSpec extends AnyFunSuite {
     // adjacent pair is (𐀀, a) — a code-unit split would instead see the
     // broken pair (\uDC00, a) and a three-symbol word
     val w = "𐀀a"
-    val got = MlQueries.learnMerges(spark, Seq((w, 3L)).toDF("word", "freq"), 1)
+    val got = MlQueries.learnMerges(Seq((w, 3L)).toDF("word", "freq"), 1)
     assert(got == refBpe(Seq((w, 3L)), 1), s"engine/reference diverged: $got")
     assert(got.head._2 == "𐀀",
       s"left symbol is not the full code point: ${got.head}")
@@ -118,7 +118,7 @@ class BpeSpec extends AnyFunSuite {
     import spark.implicits._
     // (x,y) and (b,a) both have count 4; (b,a) must win lexicographically
     val words = Seq(("xy", 4L), ("ba", 4L)).toDF("word", "freq")
-    val first = MlQueries.learnMerges(spark, words, 1)
+    val first = MlQueries.learnMerges(words, 1)
     assert(first == Seq((1, "b", "a", 4L)), s"got $first")
   }
 
