@@ -167,7 +167,62 @@ object EventQueries {
         round(expr("percentile(value, 0.95)"), 6).as("p95"))
       .orderBy("event_type")
 
+  /** Retention cohort matrix: users grouped by their first active day,
+    * counted on each later day-offset — the table behind every retention
+    * curve. Plan shape at 100 TB: the (user, day) DISTINCT collapses the
+    * event stream to at most users×days rows before anything else runs;
+    * the first-day aggregate and the join both key by user_id, so AQE
+    * plans one user-keyed exchange feeding both; the final aggregate's
+    * key space (days × offsets) is tiny by construction, so partial
+    * aggregation collapses it map-side. A user appears at most once per
+    * (cohort_day, day_offset) because offset is a function of day within
+    * user, so plain COUNT(*) IS the distinct-user count — no second
+    * distinct pass needed. */
+  def e13RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts_utc")).as("day"))
+      .distinct()
+    val firsts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(firsts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Strict sequential conversion funnel with per-step windows: first
+    * view → first click within 1 h of that view → first purchase within
+    * 24 h of that click, one row per funnel-entered user with the step
+    * timestamps and reached depth. Timestamps stay in epoch-micros
+    * (BIGINT) end to end — the engine-shared time axis (see the module
+    * scaladoc), so window arithmetic is exact integer comparison. Plan
+    * shape at 100 TB: every stage is a user_id-keyed aggregate or join —
+    * one partitioning reused down the whole chain; each step's event-type
+    * filter is pushed into the scan, and step N+1 only joins against the
+    * (strictly smaller) survivors of step N, so work decays with funnel
+    * depth instead of rescanning the stream per step. */
+  def e14FunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("t_view") &&
+        col("ts_us") <= col("t_view") + lit(3600L * 1000000L))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("t_click") &&
+        col("ts_us") <= col("t_click") + lit(86400L * 1000000L))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("depth"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_retention_cohorts" -> e13RetentionCohorts,
+    "e14_funnel_steps" -> e14FunnelSteps,
     "e11_unpivot_counts" -> e11UnpivotCounts,
     "e12_value_percentiles" -> e12ValuePercentiles,
     "e9_pivot_user_type" -> e9PivotUserType,
@@ -182,6 +237,31 @@ object EventQueries {
     "e6_viewers_no_error" -> e6ViewersNoError)
 
   val oracleSql: Map[String, String] = Map(
+    "e13_retention_cohorts" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       datediff('day', f.cohort_day, d.day) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM days d JOIN firsts f ON d.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e14_funnel_steps" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        |        AND epoch_us(e.ts) <= v.t_view + 3600000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        |        AND epoch_us(e.ts) <= c.t_click + 86400000000 GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |       1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS depth
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "e11_unpivot_counts" ->
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] large-scale training-data text pipeline (builder brief): exact and
@@ -1355,6 +1356,84 @@ object TextQueries {
       .orderBy("source", "lang")
   }
 
+  /** t23 — Zipf head-mass audit: per-language vocabulary concentration
+    * over the tokenized corpus — token mass share of the top-10 and
+    * top-100 ranked types plus the type/token ratio, the practical
+    * power-law diagnostic a corpus-health dashboard tracks (a crawl slice
+    * whose top-10 share collapses is boilerplate-flooded; one whose TTR
+    * explodes is mojibake/OCR noise). A log-log regression slope is the
+    * textbook Zipf statistic, but ln() is a libm call neither engine
+    * guarantees to the last ulp (the t14 rule) — the concentration curve
+    * carries the same signal in EXACT integer micro-units: pure BIGINT
+    * sums and one `DIV` per share, bit-identical cross-engine.
+    *
+    * Plan shape at 100 TB: one (lang, token)-keyed count shuffle over the
+    * checkpointed toks base (the t6 shape — partial aggregation collapses
+    * each partition to its distinct types first), one per-lang rank
+    * window over the type table (types ≪ tokens; Spark plans
+    * WindowGroupLimit-style pruning is not needed since the aggregate
+    * keeps all ranks), and a final aggregate onto the lang key space —
+    * languages are dozens, so the last two stages are near-free. */
+  def t23ZipfMass(spark: SparkSession, dir: String): DataFrame = {
+    val tok = cachedToks(spark, dir)
+      .select(col("lang"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("token"))
+    freq.select(col("lang"), col("tf"), row_number().over(w).as("rank"))
+      .groupBy(col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("rank") <= 10, col("tf")).otherwise(0L)).as("top10_tf"),
+        sum(when(col("rank") <= 100, col("tf")).otherwise(0L)).as("top100_tf"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        expr("CAST((top10_tf * 1000000) DIV n_tokens AS BIGINT)")
+          .as("top10_share_micro"),
+        expr("CAST((top100_tf * 1000000) DIV n_tokens AS BIGINT)")
+          .as("top100_share_micro"),
+        expr("CAST((n_types * 1000000) DIV n_tokens AS BIGINT)").as("ttr_micro"))
+      .orderBy("lang")
+  }
+
+  /** t24 — deterministic weighted corpus sampling via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each document gets priority w/u with weight
+    * w = n_chars and u an md5-derived uniform in (0, 1]; the k highest
+    * priorities per source are the sample. Character-mass weighting means
+    * the sample covers bytes, not documents — the right frame when
+    * downstream token budgets are what the mix must hit (t9 samples by
+    * rate; this samples a FIXED k per stratum with inclusion probability
+    * proportional to size). Determinism: u = (h+1)/2^32 from the salted
+    * doc_id hash (the t9 mixHash discipline), priority computed as the
+    * EXACT BIGINT product n_chars·2^32 divided by (h+1) — one IEEE
+    * division, correctly rounded by both engines, so ranking (and the
+    * tie-break by doc_id) is bit-identical cross-engine. The product is
+    * exact while n_chars < 2^21 — any per-document character count; a
+    * multi-GB blob would be chunked long before this stage.
+    *
+    * Plan shape at 100 TB: a stateless scan computing (source, priority)
+    * plus one per-source top-k window — Spark 4 plans WindowGroupLimit,
+    * so only each partition's top k rows survive into the shuffle; the
+    * full corpus is never sorted and nothing but the winners moves. This
+    * is the one-pass weighted subsample of a petabyte corpus. */
+  def t24PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(
+        md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val pri = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round((col("n_chars").cast("bigint") * lit(4294967296L)).cast("double") /
+          (h + lit(1L)).cast("double"), 6).as("priority"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    pri.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= PrioritySampleK)
+      .orderBy("source", "rank")
+  }
+
+  /** Per-source sample size for t24 (5 of the fixture's 25 docs/source —
+    * discriminating at sf0.01; production would size this from the token
+    * budget per stratum). Inlined into both the plan and the oracle. */
+  private[graft] val PrioritySampleK = 5
+
   /** The t16 signal columns over (text, toks) — ONE definition shared by
     * the batch query and the streaming ingest gate
     * (streaming/EventStream.filterQualityAtIngest), so the keep decision
@@ -1422,7 +1501,9 @@ object TextQueries {
     "t16_gopher_rules" -> t16GopherRules,
     "t17_bigram_lm" -> t17BigramLm,
     "t18_dup_ngram_frac" -> t18DupNgramFrac,
-    "t22_source_mix" -> t22SourceMix)
+    "t22_source_mix" -> t22SourceMix,
+    "t23_zipf_mass" -> t23ZipfMass,
+    "t24_priority_sample" -> t24PrioritySample)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -1865,6 +1946,42 @@ object TextQueries {
            |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
            |GROUP BY d.source, d.lang
            |ORDER BY d.source, d.lang""".stripMargin),
+      "t23_zipf_mass" -> oracle(
+        """, lt AS (
+          |  SELECT c.lang, unnest(t.toks) AS token
+          |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id),
+          |freq AS (SELECT lang, token, count(*) AS tf FROM lt GROUP BY lang, token),
+          |ranked AS (
+          |  SELECT lang, tf,
+          |         row_number() OVER (PARTITION BY lang
+          |                            ORDER BY tf DESC, token) AS rank
+          |  FROM freq)
+          |SELECT lang,
+          |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          |       CAST(COUNT(*) AS BIGINT) AS n_types,
+          |       CAST((CAST(SUM(CASE WHEN rank <= 10 THEN tf ELSE 0 END) AS BIGINT)
+          |             * 1000000) // CAST(SUM(tf) AS BIGINT) AS BIGINT)
+          |         AS top10_share_micro,
+          |       CAST((CAST(SUM(CASE WHEN rank <= 100 THEN tf ELSE 0 END) AS BIGINT)
+          |             * 1000000) // CAST(SUM(tf) AS BIGINT) AS BIGINT)
+          |         AS top100_share_micro,
+          |       CAST((CAST(COUNT(*) AS BIGINT) * 1000000)
+          |            // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS ttr_micro
+          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+      "t24_priority_sample" ->
+        s"""WITH pri AS (
+           |  SELECT source, doc_id, n_chars,
+           |         round(CAST(n_chars * 4294967296 AS DOUBLE) /
+           |               CAST(CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           |                         AS BIGINT) + 1 AS DOUBLE), 6) AS priority
+           |  FROM documents)
+           |SELECT source, doc_id, n_chars, priority, rank FROM (
+           |  SELECT source, doc_id, n_chars, priority,
+           |         row_number() OVER (PARTITION BY source
+           |                            ORDER BY priority DESC, doc_id) AS rank
+           |  FROM pri)
+           |WHERE rank <= $PrioritySampleK
+           |ORDER BY source, rank""".stripMargin,
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

@@ -67,6 +67,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t24 priority sample: top-k window gets WindowGroupLimit, text column pruned") {
+    val p = planOf(TextQueries.queries("t24_priority_sample")(spark, sf))
+    // rank <= k must prune inside each partition before the shuffle — at
+    // corpus scale the full sort this prevents IS the query's cost model
+    assert(p.contains("WindowGroupLimit"), p)
+    // the sampler reads provenance + weight only, never the payload
+    assert(!p.contains("text"), p)
+  }
+
   test("v1 cosine: query side broadcast, candidate scan not shuffled") {
     val p = planOf(VectorQueries.v1CosineTopk(spark, sf))
     assert(p.contains("Broadcast"), p)

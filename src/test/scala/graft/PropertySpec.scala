@@ -549,4 +549,97 @@ class PropertySpec extends AnyFunSuite {
     // the signal must discriminate: not every doc is boilerplate
     assert(rows.exists(_._4 < 1000000L), "every doc fully duplicated — signal is vacuous")
   }
+
+  test("e13 retention: offset 0 equals cohort size and dominates every later offset") {
+    import graft.queries.EventQueries
+    val rows = EventQueries.e13RetentionCohorts(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, off, n) =>
+      assert(off >= 0L, s"cohort $c: negative offset $off")
+      assert(n > 0L, s"cohort $c offset $off: zero users")
+    }
+    // every member is active on its own first day, and any later-day set
+    // is a subset of the cohort — so offset 0 is the row max per cohort
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c has no offset-0 row")
+      assert(rs.forall(_._3 <= day0.get._3),
+        s"cohort $c: an offset outnumbers the cohort itself")
+    }
+    // conservation: summing each cohort's offset-0 count recovers the
+    // distinct-user population
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
+
+  test("e14 funnel: depth matches the null pattern and steps respect order + windows") {
+    import graft.queries.EventQueries
+    val rows = EventQueries.e14FunnelSteps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tv, tc, tp, depth) =
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4))
+      assert(depth == 1 + tc.size + tp.size, s"depth $depth vs nulls ($tc, $tp)")
+      assert(tp.isEmpty || tc.nonEmpty, "purchase step without click step")
+      tc.foreach { c =>
+        assert(c > tv && c <= tv + 3600L * 1000000L, s"click $c outside view window")
+      }
+      (tc, tp) match {
+        case (Some(c), Some(p)) =>
+          assert(p > c && p <= c + 86400L * 1000000L, s"purchase $p outside click window")
+        case _ => ()
+      }
+    }
+    // step-1 universe: exactly the users with any view event
+    val viewers = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "view")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.length.toLong == viewers)
+  }
+
+  test("t23 Zipf mass: shares monotone, bounded, and types never exceed tokens") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t23_zipf_mass")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nTok, nTyp, top10, top100, ttr) =>
+      assert(nTyp >= 1L && nTyp <= nTok, s"$lang: $nTyp types of $nTok tokens")
+      assert(top10 <= top100, s"$lang: top10 share $top10 > top100 share $top100")
+      assert(top100 <= 1000000L && ttr <= 1000000L, s"$lang: share out of range")
+      // a natural-language slice concentrates: its 10 hottest types carry
+      // more than a uniform distribution's share of the mass
+      assert(top10 * nTyp >= 10L * 1000000L - nTyp,
+        s"$lang: top-10 mass below the uniform floor — ranking is broken")
+    }
+  }
+
+  test("t24 priority sample equals a local Duffield-Lund-Thorup recomputation") {
+    import graft.queries.TextQueries
+    val got = TextQueries.queries("t24_priority_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.map { case (src, id, nc) =>
+      val h = java.lang.Long.parseLong(md5hex(s"ps:$id").substring(0, 8), 16)
+      val pri = BigDecimal((nc * 4294967296L).toDouble / (h + 1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, id, pri)
+    }.groupBy(_._1).flatMap { case (src, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(TextQueries.PrioritySampleK)
+        .zipWithIndex.toSeq
+        .map { case ((_, id, pri), i) => (src, id, pri, i + 1L) }
+    }.toSet
+    assert(got.toSet == want, "sample membership, priorities, or ranks diverge")
+  }
 }
