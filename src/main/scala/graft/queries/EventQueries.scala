@@ -201,17 +201,26 @@ object EventQueries {
     * filter is pushed into the scan, and step N+1 only joins against the
     * (strictly smaller) survivors of step N, so work decays with funnel
     * depth instead of rescanning the stream per step. */
+  /** e14's conversion windows (epoch-micros), shared with the streaming
+    * funnel state machine (streaming/EventStream.funnelAtIngest) so batch
+    * and stream cannot drift — the mixHash/Fingerprint discipline. The
+    * oracle SQL inlines the same literals (EntrySmokeSpec would catch an
+    * edit to one side via the driver gate; the constants are the single
+    * Scala-side source). */
+  private[graft] val FunnelClickWindowUs: Long = 3600L * 1000000L
+  private[graft] val FunnelPurchaseWindowUs: Long = 86400L * 1000000L
+
   def e14FunnelSteps(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("ts_us") > col("t_view") &&
-        col("ts_us") <= col("t_view") + lit(3600L * 1000000L))
+        col("ts_us") <= col("t_view") + lit(FunnelClickWindowUs))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts_us") > col("t_click") &&
-        col("ts_us") <= col("t_click") + lit(86400L * 1000000L))
+        col("ts_us") <= col("t_click") + lit(FunnelPurchaseWindowUs))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
     v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
       .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),

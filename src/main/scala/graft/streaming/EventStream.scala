@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** [EXT] ST7 — event-time streaming analytics (SURVEY §2.8): the watermarked
   * windowed aggregations the reference never had (all its processing was
@@ -206,6 +207,74 @@ object EventStream {
           Seq("bk"), "left_anti")
         .drop("bk")
     }.drop("bk_arr")
+  }
+
+  // ---- streaming conversion funnel ----
+
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long)
+  case class FunnelState(tView: Option[Long], tClick: Option[Long],
+      tPurchase: Option[Long])
+  case class FunnelRow(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long], depth: Int)
+
+  /** One event through the strict-window funnel rules — the SAME
+    * semantics as batch e14 (EventQueries.e14FunnelSteps, whose window
+    * constants this shares): a step timestamp is set once, by the first
+    * qualifying event in fold order, and a step qualifies only strictly
+    * after the previous step and within its window. Because each field
+    * is first-writer-wins, folding a user's events in (ts_us, event_id)
+    * order reproduces the batch min-aggregates exactly. */
+  private[graft] def funnelStep(s: FunnelState, e: FunnelEvent): FunnelState = {
+    import graft.queries.EventQueries.{FunnelClickWindowUs, FunnelPurchaseWindowUs}
+    e.event_type match {
+      case "view" if s.tView.isEmpty => s.copy(tView = Some(e.ts_us))
+      case "click" if s.tClick.isEmpty =>
+        s.tView match {
+          case Some(v) if e.ts_us > v && e.ts_us <= v + FunnelClickWindowUs =>
+            s.copy(tClick = Some(e.ts_us))
+          case _ => s
+        }
+      case "purchase" if s.tPurchase.isEmpty =>
+        s.tClick match {
+          case Some(c) if e.ts_us > c && e.ts_us <= c + FunnelPurchaseWindowUs =>
+            s.copy(tPurchase = Some(e.ts_us))
+          case _ => s
+        }
+      case _ => s
+    }
+  }
+
+  /** Streaming conversion funnel — batch e14's stateful twin: a per-user
+    * state machine over the event stream, emitting the user's current
+    * funnel row (step timestamps + reached depth) every time the user
+    * appears in a micro-batch. Within a batch a user's events fold in
+    * (ts_us, event_id) order; across in-order batches the fold continues
+    * from state, so an in-order feed reproduces batch e14 EXACTLY
+    * (EventStreamSpec pins parity on the real fixture). Events arriving
+    * out of order across batches resolve first-writer-wins — the
+    * documented divergence, the price of emitting at ingest instead of
+    * after a sort; production buys back event-time ordering with a
+    * watermark-delayed emit if it needs it.
+    *
+    * Scale notes: state is three Option[Long] per user ever seen —
+    * production caps the key space with a processing-time TTL via
+    * transformWithState (the latestStatusTws precedent); a funnel whose
+    * campaign window is a day needs no state older than that. Depth-0
+    * rows (no view yet) still emit — an ingest annotator never drops
+    * rows; downstream routes on depth. */
+  def funnelAtIngest(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(FunnelState(None, None, None))
+          val s = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .foldLeft(s0)(funnelStep)
+          state.update(s)
+          FunnelRow(uid, s.tView, s.tClick, s.tPurchase,
+            s.tView.size + s.tClick.size + s.tPurchase.size)
+      }
   }
 
   /** Session windows keyed by user with a 30-min inactivity gap — the

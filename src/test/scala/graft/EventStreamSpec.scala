@@ -246,6 +246,40 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming funnel equals batch e14 on the real fixture fed in order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS ts_us", "event_id")
+      .as[EventStream.FunnelEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id))
+    val ms = MemoryStream[EventStream.FunnelEvent]
+    val q = EventStream.funnelAtIngest(ms.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    // three in-order micro-batches, user histories split across them
+    val third = evs.length / 3
+    Seq(evs.take(third), evs.slice(third, 2 * third), evs.drop(2 * third))
+      .foreach { chunk => ms.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    // funnel state is monotone (fields are first-writer-wins), so each
+    // user's final state is their max-depth emission
+    val finals = spark.table("funnel").as[EventStream.FunnelRow].collect()
+      .groupBy(_.user_id).map { case (_, rows) => rows.maxBy(_.depth) }
+    val got = finals.filter(_.depth >= 1)
+      .map(r => (r.user_id, r.t_view, r.t_click, r.t_purchase, r.depth)).toSet
+    val want = graft.queries.EventQueries.e14FunnelSteps(spark, sf).collect()
+      .map(r => (r.getLong(0), Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4))).toSet
+    assert(got == want, "stream/batch funnel parity broken")
+    // depth-0 users (annotator contract: no row dropped) must be exactly
+    // the users with events but no view
+    val viewless = finals.filter(_.depth == 0).map(_.user_id).toSet
+    val expectViewless = evs.map(_.user_id).toSet -- want.map(_._1)
+    assert(viewless == expectViewless)
+  }
+
   test("session windows split on the 30-min gap per user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
