@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,18 +9,31 @@ import org.apache.spark.sql.functions._
   * JSON-scalar surface the reference never needed but the north-star engine
   * ships. Batch twins of the streaming queries in `graft.streaming`.
   *
-  * Timestamp discipline: `events.ts` is nanosecond-precision parquet. Spark
-  * reads it as epoch-nanos LONG (`spark.sql.legacy.parquet.nanosAsLong`,
-  * set in Verify/Bench/TestSpark); DuckDB truncates TIMESTAMP_NS to
-  * microseconds. Every derivation therefore floors to epoch-micros first
-  * (`ts div 1000` vs `epoch_us(ts)`), keeping both engines bit-identical.
+  * Timestamp discipline: every derivation floors `events.ts` to
+  * epoch-micros first ([[tsUsCol]] vs DuckDB's `epoch_us(ts)`), keeping
+  * both engines bit-identical regardless of which physical timestamp type
+  * the fixture vintage carries.
   */
 object EventQueries {
 
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+  /** Epoch-microsecond column for `events.ts`, robust to both fixture
+    * vintages: TIMESTAMP(NANOS) parquet surfaces as epoch-nanos LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong` (floor-divide to micros);
+    * TIMESTAMP(MICROS) surfaces as TIMESTAMP_NTZ, which the UTC session
+    * every graft entrypoint pins (`spark.sql.session.timeZone=UTC`) makes
+    * a pure reinterpretation under the NTZ→TIMESTAMP cast, so
+    * `unix_micros` lands exactly on DuckDB's `epoch_us(ts)`. */
+  private[graft] def tsUsCol(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", tsUsCol(raw))
       .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+  }
 
   /** Tumbling 1-hour rollup via Spark's native `window()` — at scale one
     * partial-agg shuffle keyed by (hour, type); group count is bounded by

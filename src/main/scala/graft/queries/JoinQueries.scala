@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object JoinQueries {
 
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", EventQueries.tsUsCol(raw))
+  }
 
   /** Each purchase matched to the user's latest view at-or-before it.
     * Right side deduped to one view per (user, instant) so as-of tie

@@ -249,8 +249,11 @@ class EventStreamSpec extends AnyFunSuite {
   test("streaming funnel equals batch e14 on the real fixture fed in order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val evs = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000 AS ts_us", "event_id")
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val evs = raw
+      .select(col("user_id"), col("event_type"),
+        graft.queries.EventQueries.tsUsCol(raw).as("ts_us"), col("event_id"))
       .as[EventStream.FunnelEvent]
       .collect().sortBy(e => (e.ts_us, e.event_id))
     val ms = MemoryStream[EventStream.FunnelEvent]
