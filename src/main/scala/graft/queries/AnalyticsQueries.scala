@@ -382,7 +382,157 @@ object AnalyticsQueries {
       .orderBy("c_nationkey")
   }
 
+  /** Registers every base table as a `<name>_v` temp view for the
+    * SQL-expressed queries (q17's pattern, shared by q2/q11/q20): the
+    * point of running these through `spark.sql` is that Catalyst's
+    * subquery decorrelation — scalar-subquery-to-aggregate-join,
+    * IN-to-left-semi — does the planning exactly as a SQL user of the
+    * engine would hit it. */
+  private def registerViews(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+      .foreach(t => table(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
+
+  /** TPC-H Q2 shape (ADAPTED: no partsupp in the fixture, so "supply
+    * cost" is the lineitem offer price): for each LARGE mid-size part,
+    * the European supplier rows that achieved the region's minimum offer
+    * price — a correlated MIN subquery whose inner side repeats the
+    * supplier→nation→region snowflake. Catalyst decorrelates the
+    * per-part MIN to an aggregated self-join; the equality probe is on
+    * the raw double column (MIN selects an existing value, so the
+    * comparison is bit-exact in both engines, no arithmetic involved). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       CAST(l_extendedprice AS DOUBLE) AS best_price
+        |FROM part_v
+        |JOIN lineitem_v ON p_partkey = l_partkey
+        |JOIN supplier_v ON s_suppkey = l_suppkey
+        |JOIN nation_v ON s_nationkey = n_nationkey
+        |JOIN region_v ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem_v l2
+        |    JOIN supplier_v s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation_v n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q8 shape: national market share — one nation's slice of a
+    * region's PROMO import volume by order year. The nation dimension
+    * role-plays twice (customer's nation fixes the market region,
+    * supplier's nation is the share dimension); all five dimensions
+    * broadcast, so the only shuffles are the two fact joins and a
+    * 2-group aggregate. The share ratio divides two decimal-exact sums
+    * only after both are cast to double (the file-header discipline). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val part = table(spark, dir, "part").filter(col("p_type") === "PROMO")
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val n1 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val region = table(spark, dir, "region").filter(col("r_name") === "AMERICA")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), cust("c_nationkey") === col("n1_key"))
+      .join(broadcast(region), col("n1_region") === region("r_regionkey"))
+      .join(broadcast(n2), supp("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", disc(col("l_extendedprice")))
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("nation_vol"),
+        sum(disc(col("l_extendedprice"))).cast("double").as("total_vol"))
+      .select(col("o_year"),
+        (col("nation_vol") / col("total_vol")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q11 shape (ADAPTED: no partsupp, so "stock value" is revenue):
+    * parts whose revenue exceeds 1/2000 of the corpus total — a scalar
+    * subquery inside HAVING. The threshold test multiplies through by
+    * 2000 so it runs entirely in exact DECIMAL (q22's discipline — a
+    * double fraction would make boundary parts engine-dependent).
+    * Catalyst plans the global sum as a 1-row broadcast against the
+    * grouped aggregate. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS value
+        |FROM lineitem_v
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 2000 >
+        |  (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |   FROM lineitem_v)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+    * view consumed twice, once grouped and once reduced to its MAX. The
+    * view materializes ONCE per action and the 1-row MAX broadcasts back
+    * over it (crossJoin + exact-decimal equality — no double round-trip,
+    * so ties and the boundary row are engine-independent); the supplier
+    * dimension broadcasts onto the one surviving row. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(disc(col("l_extendedprice"))).as("total_rev_dec"))
+    val top = revenue.agg(max(col("total_rev_dec")).as("max_rev_dec"))
+    revenue.crossJoin(broadcast(top))
+      .filter(col("total_rev_dec") === col("max_rev_dec"))
+      .join(broadcast(table(spark, dir, "supplier")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q20 shape (ADAPTED: no partsupp availqty, so "surplus stock"
+    * is cumulative shipped quantity): European suppliers who moved >40
+    * units of any red part over two years — an IN nested inside an IN,
+    * with a grouped HAVING between them. Catalyst rewrites both IN
+    * levels to left-semi joins (part broadcast into the lineitem scan,
+    * the grouped supplier set semi-joined back to supplier). */
+  def q20SurplusSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT s_name, s_acctbal
+        |FROM supplier_v
+        |JOIN nation_v ON s_nationkey = n_nationkey
+        |JOIN region_v ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem_v
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part_v WHERE p_name LIKE '%red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 40)
+        |ORDER BY s_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q8_market_share" -> q8MarketShare,
+    "q11_important_parts" -> q11ImportantParts,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q20_surplus_suppliers" -> q20SurplusSuppliers,
     "q7_volume_shipping" -> q7VolumeShipping,
     "q9_product_profit" -> q9ProductProfit,
     "q13_order_distribution" -> q13OrderDistribution,
@@ -405,6 +555,83 @@ object AnalyticsQueries {
     "q17_small_qty_revenue" -> q17SmallQtyRevenue)
 
   val oracleSql: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       CAST(l_extendedprice AS DOUBLE) AS best_price
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS vol,
+        |         n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q11_important_parts" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 2000 >
+        |  (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |   FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q20_surplus_suppliers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 40)
+        |ORDER BY s_name""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -282,6 +282,26 @@ class PlanSpec extends AnyFunSuite {
       s"pair aggregate re-derived per consumer — fact joined twice:\n$fin")
   }
 
+  test("q10: returned-revenue top-20 keeps the customer broadcast and top-k through AQE") {
+    // the r9 driver run showed q10 at 7.0x its anchor with no pin in
+    // place — an AQE demotion of the customer broadcast (e.g. under
+    // driver memory pressure) to sort-merge would shuffle the whole
+    // grouped fact side and be indistinguishable from host noise. Pin
+    // BOTH the static plan and the executed adaptive plan.
+    val df = AnalyticsQueries.queries("q10_returns")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p")
+    df.collect()
+    val fin = planOf(df)
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"executed plan lost the top-k:\n$fin")
+    assert(fin.contains("BroadcastHashJoin") && !fin.contains("SortMergeJoin"),
+      s"AQE demoted the customer broadcast — grouped fact side shuffles:\n$fin")
+  }
+
   test("q22: above-average filter rides a broadcast 1-row aggregate; no-urgent-orders is an anti join") {
     val p = planOf(AnalyticsQueries.queries("q22_global_sales")(spark, sf))
     // the 1-row balance aggregate may legitimately plan as a broadcast
@@ -290,6 +310,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"exclusion not an anti join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"), s"1-row aggregate not broadcast:\n$p")
+  }
+
+  test("q2: correlated MIN decorrelates to an aggregated join, dims broadcast, nothing cartesians") {
+    val p = planOf(AnalyticsQueries.queries("q2_min_cost_supplier")(spark, sf))
+    // the per-part MIN subquery must rewrite to an aggregate joined back on
+    // p_partkey — a correlated re-execution per outer row would be a
+    // partkey-cardinality scan storm at scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"snowflake dims not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not rank-limited:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val agg = AnalyticsQueries.queries("q2_min_cost_supplier")(spark, sf)
+      .queryExecution.optimizedPlan.collectFirst { case a: Aggregate => a }
+    assert(agg.isDefined, "MIN subquery not decorrelated to an Aggregate")
+  }
+
+  test("q8: both nation role-plays and all dims broadcast; single fact-fact shuffle") {
+    val p = planOf(AnalyticsQueries.queries("q8_market_share")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // five dimension joins (part, customer, supplier, n1+region, n2) must
+    // ALL broadcast — any one demoted to sort-merge shuffles the fact side
+    // that many extra times
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      s"a dimension join lost its broadcast:\n$p")
+  }
+
+  test("q11: HAVING's global scalar rides a broadcast/subquery, partial agg before the exchange") {
+    val p = planOf(AnalyticsQueries.queries("q11_important_parts")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // per-part partial aggregation must combine map-side; the global-total
+    // scalar must not force a second full shuffle of the grouped side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Subquery") || p.contains("BroadcastExchange"),
+      s"global total not planned as a scalar subquery/broadcast:\n$p")
+  }
+
+  test("q15: max-over-view is a broadcast 1-row probe; supplier dim broadcast") {
+    val p = planOf(AnalyticsQueries.queries("q15_top_supplier")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"1-row MAX not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"supplier dim or max probe demoted to sort-merge:\n$p")
+  }
+
+  test("q20: both IN levels plan as semi joins, nothing cartesians") {
+    val p = planOf(AnalyticsQueries.queries("q20_surplus_suppliers")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // part-IN inside supplier-IN: two LeftSemi levels (Catalyst may fold
+    // the part probe into a broadcast semi — either spelling is semi)
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"nested IN chain did not decorrelate to two semi joins:\n$p")
   }
 
   test("t21 BPE encode: word counts aggregate BEFORE the vocab join, nothing cartesians") {
