@@ -336,14 +336,22 @@ class PlanSpec extends AnyFunSuite {
       s"a dimension join lost its broadcast:\n$p")
   }
 
-  test("q11: HAVING's global scalar rides a broadcast/subquery, partial agg before the exchange") {
-    val p = planOf(AnalyticsQueries.queries("q11_important_parts")(spark, sf))
+  test("q11: HAVING's global scalar rides the grouped view's reused exchange — one fact pass") {
+    val df = AnalyticsQueries.queries("q11_important_parts")(spark, sf)
+    val p = planOf(df)
     assert(!p.contains("CartesianProduct"), p)
     // per-part partial aggregation must combine map-side; the global-total
     // scalar must not force a second full shuffle of the grouped side
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Subquery") || p.contains("BroadcastExchange"),
       s"global total not planned as a scalar subquery/broadcast:\n$p")
+    // the scalar side aggregates the GROUP SUMS, so its plan must reuse
+    // the grouped exchange instead of scanning the fact a second time —
+    // at scale this is the difference between one fact pass and two
+    df.collect()
+    val fin = planOf(df)
+    assert(fin.contains("ReusedExchange"),
+      s"scalar subquery re-derived the grouped aggregate — fact scanned twice:\n$fin")
   }
 
   test("q15: max-over-view is a broadcast 1-row probe; supplier dim broadcast") {
