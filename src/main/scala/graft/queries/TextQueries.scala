@@ -1466,6 +1466,60 @@ object TextQueries {
     * budget per stratum). Inlined into both the plan and the oracle. */
   private[graft] val PrioritySampleK = 5
 
+  /** t25 — DSIR-style importance scoring for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * tokens are under a TARGET distribution (here: the corpus's English
+    * slice — the published recipe's "formal text" stand-in) than under
+    * the corpus-wide distribution, both unigram with add-one smoothing.
+    * Docs ranking highest are the ones importance resampling keeps.
+    *
+    * Numeric discipline: the published score is Σ n_w·[ln p_t(w) −
+    * ln p_c(w)], but ln() is a libm call neither engine guarantees to
+    * the last ulp (the t14 rule), so the score here is the RATIO
+    * DIFFERENCE cleared of its doc-independent positive denominators:
+    *   Σ n_w · [(c_t(w)+1)·(N_c+V) − (c_c(w)+1)·(N_t+V)]
+    * — pure BIGINT products and sums, bit-identical cross-engine, and
+    * sign-equivalent to Σ n_w·[p_t(w) − p_c(w)] (the linear-probability
+    * discriminant; monotone in each word's evidence like the log form,
+    * trading its product structure for exactness). Magnitudes: each term
+    * is ≤ n_w·(c+1)·(N+V) ≈ 3e13 at sf0.1 and the per-doc sum stays
+    * far under 2^63; a 100 TB corpus would scale the counts down to
+    * per-million units (or sum in DECIMAL(38,0)) before this overflows —
+    * the structure, one token-keyed join and one doc-keyed aggregate,
+    * is unchanged.
+    *
+    * Plan shape at 100 TB: per-doc term counts aggregate BEFORE the
+    * vocabulary join (the t21 discipline — occurrences never cross an
+    * exchange), the corpus/target count tables are one token-keyed
+    * shuffle each over the cached toks base (the t6/t14 shape), the
+    * doc-independent totals ride a broadcast 1-row aggregate, and the
+    * final score is a doc_id-keyed aggregate. Nothing shuffles by
+    * anything but token/doc_id; no all-pairs surface. */
+  def t25DsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = cachedToks(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+    val docTf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n_w"))
+    val corpusTf = tok.groupBy(col("token")).agg(count(lit(1)).as("c_c"))
+    val targetTf = tok.filter(col("lang") === "en")
+      .groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val vocab = corpusTf.join(targetTf, Seq("token"), "left")
+      .select(col("token"), col("c_c"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val consts = vocab.agg(sum(col("c_c")).cast("bigint").as("n_c"),
+      sum(col("c_t")).cast("bigint").as("n_t"),
+      count(lit(1)).as("v"))
+    docTf.join(vocab, "token")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_w")).cast("bigint").as("n_tokens"),
+        sum(col("n_w") * ((col("c_t") + 1L) * (col("n_c") + col("v")) -
+            (col("c_c") + 1L) * (col("n_t") + col("v"))))
+          .cast("bigint").as("dsir_units"))
+      .orderBy("doc_id")
+  }
+
   /** The t16 signal columns over (text, toks) — ONE definition shared by
     * the batch query and the streaming ingest gate
     * (streaming/EventStream.filterQualityAtIngest), so the keep decision
@@ -1535,7 +1589,8 @@ object TextQueries {
     "t18_dup_ngram_frac" -> t18DupNgramFrac,
     "t22_source_mix" -> t22SourceMix,
     "t23_zipf_mass" -> t23ZipfMass,
-    "t24_priority_sample" -> t24PrioritySample)
+    "t24_priority_sample" -> t24PrioritySample,
+    "t25_dsir_score" -> t25DsirScore)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -2014,6 +2069,26 @@ object TextQueries {
            |  FROM pri)
            |WHERE rank <= $PrioritySampleK
            |ORDER BY source, rank""".stripMargin,
+      "t25_dsir_score" -> oracle(
+        """, tokl AS (SELECT t.doc_id, c.lang, unnest(t.toks) AS token
+          |           FROM toks t JOIN corpus c ON t.doc_id = c.doc_id),
+          |doctf AS (SELECT doc_id, token, count(*) AS n_w
+          |          FROM tokl GROUP BY doc_id, token),
+          |ctf AS (SELECT token, count(*) AS c_c FROM tokl GROUP BY token),
+          |ttf AS (SELECT token, count(*) AS c_t FROM tokl
+          |        WHERE lang = 'en' GROUP BY token),
+          |vocab AS (SELECT c.token, c.c_c, COALESCE(t.c_t, 0) AS c_t
+          |          FROM ctf c LEFT JOIN ttf t ON c.token = t.token),
+          |k AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c,
+          |             CAST(SUM(c_t) AS BIGINT) AS n_t,
+          |             CAST(COUNT(*) AS BIGINT) AS v FROM vocab)
+          |SELECT d.doc_id,
+          |       CAST(SUM(d.n_w) AS BIGINT) AS n_tokens,
+          |       CAST(SUM(d.n_w * ((v2.c_t + 1) * (k.n_c + k.v)
+          |                         - (v2.c_c + 1) * (k.n_t + k.v)))
+          |            AS BIGINT) AS dsir_units
+          |FROM doctf d JOIN vocab v2 ON d.token = v2.token, k
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

@@ -371,6 +371,23 @@ class PlanSpec extends AnyFunSuite {
       s"nested IN chain did not decorrelate to two semi joins:\n$p")
   }
 
+  test("t25 DSIR: per-doc term counts aggregate BEFORE the vocab join, totals broadcast") {
+    val df = TextQueries.queries("t25_dsir_score")(spark, sf)
+    val p = planOf(df)
+    // the only legal nested-loop is the broadcast 1-row totals aggregate
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"doc-independent totals not broadcast:\n$p")
+    // occurrences must never cross the vocab-join exchange: the join reads
+    // (doc_id, token, n_w) — the t21 pre-aggregation discipline
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "vocab join missing from the optimized plan")
+    assert(joins.forall(_.children.exists(
+        _.collectFirst { case a: Aggregate => a }.isDefined)),
+      s"no pre-aggregation below a join:\n${df.queryExecution.optimizedPlan.treeString}")
+  }
+
   test("t21 BPE encode: word counts aggregate BEFORE the vocab join, nothing cartesians") {
     // the scale property: the join input is doc-distinct words, not raw
     // token occurrences — joining occurrences would ship corpus-scale
