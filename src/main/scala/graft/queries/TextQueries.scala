@@ -1520,6 +1520,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t25's model state for the streaming gate: per-token DSIR weight
+    * w(token) = (c_t+1)·(N_c+V) − (c_c+1)·(N_t+V) plus the
+    * out-of-vocabulary weight (c_t = c_c = 0 under the same add-one
+    * smoothing: N_c − N_t). The weight table IS the model — DSIR ships
+    * its importance weights as a fixed-size table (the published recipe
+    * hashes n-grams into 10k buckets precisely so this state stays
+    * bounded; the fixture's word vocabulary is smaller than that
+    * bucket count, so the exact table plays the same role). Collected
+    * once per dataset per JVM (the t20/t19 model-state discipline:
+    * bounded driver scalars are legitimate for MODEL state, never for
+    * data). Batch t25 never sees an OOV token by construction (its
+    * vocab derives from the same corpus it scores); the gate needs the
+    * OOV leg because arrivals are new text. */
+  private val dsirModels =
+    new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Long], Long)]()
+  private[graft] def dsirWeights(spark: SparkSession, dir: String): (Map[String, Long], Long) =
+    dsirModels.computeIfAbsent(dir, _ => {
+      val tok = cachedToks(spark, dir)
+        .select(col("lang"), explode(col("toks")).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(
+        count(lit(1)).as("c_c"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val Array(nC, nT, v) = vocab
+        .agg(sum(col("c_c")), sum(col("c_t")), count(lit(1)))
+        .first() match { case r => Array(r.getLong(0), r.getLong(1), r.getLong(2)) }
+      val weights = vocab.collect().map { r =>
+        val (cT, cC) = (r.getLong(2), r.getLong(1))
+        r.getString(0) -> ((cT + 1L) * (nC + v) - (cC + 1L) * (nT + v))
+      }.toMap
+      (weights, nC - nT)
+    })
+
   /** The t16 signal columns over (text, toks) — ONE definition shared by
     * the batch query and the streaming ingest gate
     * (streaming/EventStream.filterQualityAtIngest), so the keep decision

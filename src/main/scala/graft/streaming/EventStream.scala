@@ -168,6 +168,36 @@ object EventStream {
         expr("CAST((n_pieces * 1000000) DIV greatest(n_words, 1) AS BIGINT)"))
   }
 
+  /** Streaming DSIR importance scoring at ingest — batch t25's stateless
+    * twin, completing the ingest family's data-SELECTION leg: every
+    * arriving doc gets its token count and its exact-BIGINT importance
+    * score (Σ per-token weight) appended, so a router can threshold or
+    * priority-queue arrivals by target-domain relevance without a batch
+    * pass. Weights train BATCH-side ([[graft.queries.TextQueries
+    * .dsirWeights]] — the importance-weight table IS the model, shipped
+    * like t19's coefficients and t21's merges); the stream applies them
+    * per row as one map lookup per token inside an `aggregate` fold —
+    * no aggregation operator, no watermark, no state store, no shuffle.
+    * Tokens outside the batch vocabulary score the OOV weight (add-one
+    * smoothing at zero counts — the one leg batch t25 cannot hit, since
+    * its vocabulary derives from the corpus it scores; EventStreamSpec
+    * pins exact per-doc parity with batch t25 on corpus docs and the
+    * OOV/empty contracts on novel ones). NULL text scores as an empty
+    * doc — zero tokens, zero units — never dropped (the encodeAtIngest
+    * contract: annotators annotate, gates gate). At 100 TB the weight
+    * table is the published fixed-bucket-count kind, so the broadcast
+    * map literal stays bounded regardless of corpus size. */
+  def scoreImportanceAtIngest(docs: DataFrame,
+      weights: Map[String, Long], oovWeight: Long): DataFrame = {
+    val toks = graft.queries.TextQueries.toksCol(coalesce(col("text"), lit("")))
+    val wmap = typedLit(weights)
+    docs
+      .withColumn("n_tokens", size(toks).cast("bigint"))
+      .withColumn("dsir_units",
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + coalesce(element_at(wmap, t), lit(oovWeight))))
+  }
+
   /** Streaming NEAR-dup ingest gate — the streaming face of the d2→d3
     * MinHash/LSH chain, completing the ingest-dedup topology's fourth
     * leg: [[dedupByFingerprint]] kills exact dups within the horizon,

@@ -246,6 +246,44 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming DSIR scoring equals batch t25 per doc; OOV and NULL contracts hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextQueries
+    implicit val sq = spark.sqlContext
+    val (weights, oov) = TextQueries.dsirWeights(spark, sf)
+    // batch truth over the full fixture corpus
+    val want = TextQueries.queries("t25_dsir_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // stream the same docs (plus a novel-token doc and a NULL-text doc,
+    // the two legs batch t25 cannot exercise) through the gate
+    val corpusDocs = TextQueries.corpus(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val novel = (9000001L, "quokka wombat dirigible")
+    val nullDoc = (9000002L, null: String)
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val q = EventStream.scoreImportanceAtIngest(df, weights, oov).writeStream
+      .format("memory").queryName("dsirgate").outputMode("append").start()
+    ms.addData(corpusDocs.toSeq :+ novel :+ nullDoc: _*)
+    q.processAllAvailable()
+    val got = spark.table("dsirgate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_units"))).toMap
+    // exact per-doc parity on every corpus doc batch t25 scored
+    want.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id: stream ${got(id)} != batch $exp") }
+    // all-OOV doc: 3 tokens, 3x the OOV weight; NULL text: zero both
+    assert(got(novel._1) == ((3L, 3L * oov)), got(novel._1).toString)
+    assert(got(nullDoc._1) == ((0L, 0L)), got(nullDoc._1).toString)
+    // annotator contract: nothing dropped, no streaming state
+    assert(got.size == corpusDocs.length + 2)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "importance scoring gate must not create streaming state")
+    q.stop()
+  }
+
   test("streaming funnel equals batch e14 on the real fixture fed in order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
