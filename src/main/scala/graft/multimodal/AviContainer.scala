@@ -10,15 +10,17 @@ package graft.multimodal
   * sizes little-endian.
   *
   * Scope: enough of the format to WRITE structurally valid uncompressed
-  * BI_RGB AVIs (the fixture corpus — re-muxable deterministic frames with
-  * no intra-frame codec dependency) and to DEMUX frame payloads from any
-  * conforming file, which is exactly the operation m3's frame-level dedup
-  * needs: re-muxed duplicates are byte-identical frames inside
-  * byte-different containers. Intra-frame decode beyond DIB (H.264 etc.)
-  * stays out of scope — that is a codec, not a container, and the
-  * [[MultimodalOps.MediaCodec]] seam is where a production build plugs
-  * ffmpeg for it (the reference's own approach — see
-  * /root/reference/encodesrv/job.py:246-257, covered by U1).
+  * BI_RGB and Motion-JPEG AVIs (the fixture corpus — re-muxable
+  * deterministic frames) and to DEMUX frame payloads + pixel format from
+  * any conforming file, which is exactly the operation m3's frame-level
+  * dedup needs: re-muxed duplicates are byte-identical frames inside
+  * byte-different containers. Intra-frame DECODE covers BI_RGB (raw rows)
+  * and MJPG (per-frame JPEG via javax.imageio — see
+  * [[MultimodalOps.JdkMediaCodec]]); inter-frame codecs (H.264 etc.)
+  * stay out of scope — that is where the [[MultimodalOps.MediaCodec]]
+  * seam plugs ffmpeg in a production build (the reference's own
+  * approach — see /root/reference/encodesrv/job.py:246-257, covered by
+  * U1).
   *
   * Scale notes: demux is a single sequential pass over the payload bytes
   * with no allocation beyond the frame copies — it runs inside
@@ -43,6 +45,10 @@ object AviContainer {
   private def list(listType: String, body: Array[Byte]): Array[Byte] =
     chunk("LIST", fourcc(listType) ++ body)
 
+  /** BITMAPINFOHEADER biCompression for Motion-JPEG: the fourcc 'MJPG'
+    * read little-endian. 0 is BI_RGB (uncompressed DIB). */
+  val MjpgFourcc: Int = 0x47504A4D
+
   /** Write an uncompressed BI_RGB AVI. `frames` are raw bottom-up DIB
     * pixel rows (3 bytes/px, rows padded to 4-byte multiples — the
     * caller's job; a width divisible by 4 needs no padding). `junkPad`
@@ -50,8 +56,25 @@ object AviContainer {
     * re-muxes the same frames into a byte-different container, the
     * planted-duplicate fixture for frame-level dedup. */
   def write(frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int,
-      junkPad: Int = 0): Array[Byte] = {
-    val frameBytes = frames.headOption.map(_.length).getOrElse(0)
+      junkPad: Int = 0): Array[Byte] =
+    writeAvi(frames, width, height, fps, junkPad, "DIB ", 0, "00db")
+
+  /** Write a Motion-JPEG AVI: `frames` are complete JFIF/JPEG images,
+    * one per frame, carried in `00dc` (compressed) chunks with
+    * biCompression = 'MJPG'. MJPEG is the one mainstream video codec
+    * whose intra-frame decode the bare JDK can do (every frame is a
+    * plain JPEG — javax.imageio reads it), so this is the honest step
+    * past uncompressed DIB without leaving pure-JVM land; inter-frame
+    * codecs (H.264 etc.) remain the [[MultimodalOps.MediaCodec]] seam's
+    * ffmpeg plug point. */
+  def writeMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int, junkPad: Int = 0): Array[Byte] =
+    writeAvi(frames, width, height, fps, junkPad, "MJPG", MjpgFourcc, "00dc")
+
+  private def writeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int, junkPad: Int, handler: String, biCompression: Int,
+      chunkId: String): Array[Byte] = {
+    val frameBytes = frames.map(_.length).maxOption.getOrElse(0)
     // MainAVIHeader (56 bytes): microseconds/frame, max bytes/sec,
     // granularity, flags(HASINDEX off — no idx1 written), total frames,
     // initial frames, streams, buffer size, width, height, reserved[4]
@@ -62,21 +85,21 @@ object AviContainer {
     // AVIStreamHeader (56 bytes): fccType, fccHandler, flags, prio+lang,
     // initial frames, scale, rate (rate/scale = fps), start, length,
     // buffer size, quality, sample size, rcFrame
-    val strh = fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le32(0) ++
+    val strh = fourcc("vids") ++ fourcc(handler) ++ le32(0) ++ le32(0) ++
       le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
       le32(frameBytes) ++ le32(-1) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
-    // BITMAPINFOHEADER (40 bytes), biCompression = 0 (BI_RGB)
+    // BITMAPINFOHEADER (40 bytes)
     val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++
-      le16(24) ++ le32(0) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++
-      le32(0) ++ le32(0)
+      le16(24) ++ le32(biCompression) ++ le32(frameBytes) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0)
     val hdrl = list("hdrl",
       chunk("avih", avih) ++
         list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val junk =
       if (junkPad > 0) chunk("JUNK", Array.fill(junkPad)(0.toByte))
       else Array.empty[Byte]
-    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk(chunkId, f)))
     val body = fourcc("AVI ") ++ hdrl ++ junk ++ movi
     fourcc("RIFF") ++ le32(body.length) ++ body
   }
@@ -85,6 +108,13 @@ object AviContainer {
     * the payload is not a parseable RIFF-AVI (the codecs' quarantine
     * discipline — a corrupt file degrades, never crashes the stage). */
   def readFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    readVideo(payload).map(_._2)
+
+  /** Demux WITH the stream's pixel format: (strf biCompression, frames).
+    * The compression fourcc is what tells a decoder whether the frame
+    * bytes are raw DIB rows (0 = BI_RGB) or per-frame JPEG images
+    * ([[MjpgFourcc]]) — [[MultimodalOps.JdkMediaCodec]] branches on it. */
+  def readVideo(payload: Array[Byte]): Option[(Int, Vector[Array[Byte]])] =
     try {
       def u32(off: Int): Long =
         (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
@@ -93,6 +123,7 @@ object AviContainer {
       if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
         return None
       val out = Vector.newBuilder[Array[Byte]]
+      var compression = 0 // BI_RGB when no strf is present
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
@@ -101,12 +132,14 @@ object AviContainer {
           val body = off + 8
           if (body + size > payload.length) return // truncated: keep what parsed
           if (id == "LIST") walk(body + 4, body + size) // skip the list type
+          else if (id == "strf" && size >= 20)
+            compression = u32(body + 16).toInt // BITMAPINFOHEADER offset 16
           else if (id == "00db" || id == "00dc")
             out += java.util.Arrays.copyOfRange(payload, body, body + size)
           off = body + size + (size & 1) // word alignment
         }
       }
       walk(12, math.min(payload.length, 8 + u32(4).toInt))
-      Some(out.result())
+      Some((compression, out.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -132,33 +132,63 @@ object MultimodalOps {
       }
 
     /** Video features from the REAL demux: normalized luminance histogram
-      * over every frame's BI_RGB pixels (the ImageIoCodec histogram, fed
-      * by AviContainer frames instead of ImageIO decode — raw bottom-up
-      * BGR triplets need no image codec). Re-muxed containers get
-      * IDENTICAL features by construction: the frames are the content,
-      * the container is packaging. None = not a parseable AVI or no
-      * whole-pixel data — fallback, never garbage. */
+      * over every frame's pixels, branched on the stream's pixel format.
+      * BI_RGB frames are raw bottom-up BGR triplets (no image codec
+      * needed); MJPG frames are complete JPEGs, decoded per frame with
+      * javax.imageio — Motion-JPEG is intra-frame-only, so the bare JDK
+      * really can decode it, the one mainstream codec for which that
+      * holds (inter-frame codecs stay behind the MediaCodec seam).
+      * Re-muxed containers get IDENTICAL features by construction: the
+      * frames are the content, the container is packaging. None = not a
+      * parseable AVI, an unsupported pixel format, no whole-pixel data,
+      * or (MJPG) ANY undecodable frame — a half-decoded video must fall
+      * back whole, not contribute a histogram over a frame subset. */
     private[multimodal] def videoFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
-      AviContainer.readFrames(payload).filter(_.nonEmpty).flatMap { frames =>
-        val hist = new Array[Float](dim)
-        var px = 0L
-        frames.foreach { f =>
-          var off = 0
-          while (off + 2 < f.length) {
-            // BGR byte order (DIB): luminance via the Rec.601 weights
-            val lum = (0.114 * (f(off) & 0xff) + 0.587 * (f(off + 1) & 0xff) +
-              0.299 * (f(off + 2) & 0xff)).toInt.min(255)
-            hist(lum * dim / 256) += 1f
-            px += 1
-            off += 3
+      AviContainer.readVideo(payload).filter(_._2.nonEmpty).flatMap {
+        case (compression, frames) =>
+          val hist = new Array[Float](dim)
+          var px = 0L
+          def lumAdd(lum: Int): Unit = { hist(lum * dim / 256) += 1f; px += 1 }
+          val decoded = compression match {
+            case 0 => // BI_RGB: raw bottom-up BGR triplets
+              frames.foreach { f =>
+                var off = 0
+                while (off + 2 < f.length) {
+                  // BGR byte order (DIB): luminance via the Rec.601 weights
+                  lumAdd((0.114 * (f(off) & 0xff) + 0.587 * (f(off + 1) & 0xff) +
+                    0.299 * (f(off + 2) & 0xff)).toInt.min(255))
+                  off += 3
+                }
+              }
+              true
+            case AviContainer.MjpgFourcc =>
+              frames.forall { f =>
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                img != null && {
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val rgb = img.getRGB(x, y)
+                      lumAdd((0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                        0.299 * ((rgb >> 16) & 0xff)).toInt.min(255))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  true
+                }
+              }
+            case _ => false // unsupported pixel format: quarantine
           }
-        }
-        if (px == 0) None
-        else {
-          var i = 0
-          while (i < dim) { hist(i) /= px.toFloat; i += 1 }
-          Some(hist)
-        }
+          if (!decoded || px == 0) None
+          else {
+            var i = 0
+            while (i < dim) { hist(i) /= px.toFloat; i += 1 }
+            Some(hist)
+          }
       }
 
     /** RMS energy per time bucket over 16-bit PCM frames (first channel),
@@ -390,6 +420,33 @@ object MultimodalOps {
     }
     if (altTail) AviContainer.write(frames, VideoW, VideoH, fps = 30, junkPad = 64)
     else AviContainer.write(frames, VideoW, VideoH, fps = 25)
+  }
+
+  /** REAL Motion-JPEG AVI for media `id`: the same deterministic pixel
+    * content as [[renderVideo]], but each frame JPEG-encoded (javax.imageio
+    * writer) and muxed as `00dc`/MJPG — the fixture for the codec's real
+    * intra-frame decode path. `altTail` re-muxes the IDENTICAL JPEG bytes
+    * into a byte-different container, exactly like the DIB twin, so
+    * frame-level dedup semantics carry over codec-for-codec. */
+  def renderVideoMjpeg(id: Long, altTail: Boolean = false): Array[Byte] = {
+    val frames = (0 until VideoFrames).map { f =>
+      val s = mix(id * (VideoFrames + 1) + f)
+      val img = new java.awt.image.BufferedImage(
+        VideoW, VideoH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < VideoW * VideoH) {
+        val v =
+          if (i < 8) ((s >>> (i * 8)) & 0xff).toInt
+          else (mix(s + i) & 0xff).toInt
+        img.setRGB(i % VideoW, i / VideoW, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    if (altTail) AviContainer.writeMjpeg(frames, VideoW, VideoH, fps = 30, junkPad = 64)
+    else AviContainer.writeMjpeg(frames, VideoW, VideoH, fps = 25)
   }
 
   /** 64-bit dHash of an image payload as four 16-bit quarters (the

@@ -305,6 +305,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(codec.frame(Array[Byte](9, 9), 0) != null) // fallback, no crash
   }
 
+  test("MJPG AVI: per-frame JPEG decode is real, re-mux invariant, frame-corruption quarantines whole") {
+    import graft.multimodal.{AviContainer, MultimodalOps}
+    val codec = MultimodalOps.JdkMediaCodec
+    val avi = MultimodalOps.renderVideoMjpeg(11L)
+    // the demuxer surfaces the MJPG pixel format and JFIF frame payloads
+    val Some((compression, frames)) = AviContainer.readVideo(avi)
+    assert(compression == AviContainer.MjpgFourcc, f"compression=0x$compression%08x")
+    assert(frames.length == MultimodalOps.VideoFrames)
+    frames.foreach(f => assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8,
+      "frame is not a JPEG (no SOI marker)"))
+    // features are a real luminance distribution from DECODED pixels, and
+    // must match the histogram computed via an independent ImageIO decode
+    val fa = codec.features("video", avi, 16)
+    assert(math.abs(fa.sum - 1f) < 1e-3, s"not a distribution: sum=${fa.sum}")
+    val want = new Array[Float](16)
+    var px = 0L
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.299 * ((rgb >> 16) & 0xff)).toInt.min(255)
+        want(lum * 16 / 256) += 1f; px += 1
+      }
+    }
+    (0 until 16).foreach(i => want(i) /= px.toFloat)
+    assert(fa.sameElements(want), "codec histogram != independent per-frame decode")
+    // container is packaging: the re-mux carries byte-identical JPEGs
+    val remux = MultimodalOps.renderVideoMjpeg(11L, altTail = true)
+    assert(!java.util.Arrays.equals(avi, remux))
+    assert(fa.sameElements(codec.features("video", remux, 16)),
+      "re-muxed MJPG features diverged")
+    // distinct content, distinct features
+    assert(!fa.sameElements(codec.features("video",
+      MultimodalOps.renderVideoMjpeg(12L), 16)))
+    // one corrupt frame quarantines the WHOLE file to the stub fallback —
+    // a partial histogram must never masquerade as a real feature
+    val corrupt = AviContainer.writeMjpeg(
+      frames.updated(2, Array[Byte](1, 2, 3)), MultimodalOps.VideoW,
+      MultimodalOps.VideoH, fps = 25)
+    assert(codec.features("video", corrupt, 16)
+      .sameElements(MultimodalOps.FakeCodec.features("video", corrupt, 16)),
+      "corrupt-frame MJPG must fall back whole")
+    // an unsupported pixel format (e.g. H.264's fourcc) also quarantines
+    val h264ish = {
+      val raw = AviContainer.writeMjpeg(frames, MultimodalOps.VideoW,
+        MultimodalOps.VideoH, fps = 25)
+      // readVideo finds strf at a fixed offset in our writer's layout;
+      // patch its biCompression to 'H264' and confirm the codec refuses
+      val idx = raw.indexOfSlice("strf".getBytes("US-ASCII"))
+      val patched = raw.clone()
+      Array('H'.toByte, '2'.toByte, '6'.toByte, '4'.toByte)
+        .copyToArray(patched, idx + 8 + 16)
+      patched
+    }
+    assert(codec.features("video", h264ish, 16)
+      .sameElements(MultimodalOps.FakeCodec.features("video", h264ish, 16)),
+      "unsupported pixel format must fall back, not decode garbage")
+  }
+
   test("video features come from demuxed frames: re-mux invariant, distribution-valid, quarantined") {
     import graft.multimodal.MultimodalOps
     val codec = MultimodalOps.JdkMediaCodec
