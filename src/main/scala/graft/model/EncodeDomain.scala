@@ -139,7 +139,7 @@ object EncodeDomain {
     * LIKE predicates scan (__init__.py:78), NULL video_id (job.py:311), and
     * duplicate priorities (tie-break, SURVEY.md 2.5 W2). */
   def jobsDF(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val o = graft.plans.Tables.table(spark, dir, "orders")
     val id = col("o_orderkey")
     o.select(
       id.as("id"),

@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Memoized base-table reader, keyed (session, path).
+  *
+  * `spark.read.parquet` eagerly lists the path and reads footers to
+  * resolve the schema — ~50–100 ms per table per call on the fixture,
+  * paid again on EVERY query invocation because each query derives its
+  * plan from a fresh reader (measured: the seven-table registration
+  * behind the SQL-expressed analytics queries cost ~0.6 s/call before
+  * the round-10 view memoization; this generalizes that fix to every
+  * base-table read). The cached object is just the resolved logical
+  * plan — immutable, so sharing it across queries is free; actions
+  * re-read the DATA from disk as always, nothing is persisted. Under
+  * the driver's contended regime the footer reads inflate ~3× like all
+  * CPU/IO work, so the fixed overhead this removes is worth triple its
+  * local cost there. Keyed by session so tests with their own sessions
+  * never cross, and by full path so sf dirs never collide. */
+object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    cache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+
+  /** `<dir>/<name>.parquet` — the fixture layout every query object uses. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    parquet(spark, s"$dir/$name.parquet")
+}

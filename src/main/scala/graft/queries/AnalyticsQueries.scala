@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.plans.Tables.table(spark, dir, name)
 
   /** TPC-H Q1 shape: scan-heavy grouped aggregation with map-side partial
     * aggregation; only 6 groups, so the shuffle is a few KB regardless of

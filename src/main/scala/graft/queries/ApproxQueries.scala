@@ -15,7 +15,7 @@ object ApproxQueries {
     * COUNT(DISTINCT user_id): constant memory per group vs a full distinct
     * shuffle — the only viable form when the key cardinality is billions. */
   def xApproxUsers(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.plans.Tables.table(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n_events"))
@@ -27,7 +27,7 @@ object ApproxQueries {
     * ndarrays — it crashed the r01 harness). */
   def xPriceQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.5, 0.95, 0.99)
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    graft.plans.Tables.table(spark, dir, "lineitem")
       .agg(approx_percentile(col("l_extendedprice"),
         array(qs.map(lit): _*), lit(10000)).as("vals"),
         count(lit(1)).as("n"))

@@ -30,7 +30,7 @@ object EventQueries {
     }
 
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.plans.Tables.table(spark, dir, "events")
     raw.withColumn("ts_us", tsUsCol(raw))
       .withColumn("ts_utc", timestamp_micros(col("ts_us")))
   }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
 
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.plans.Tables.table(spark, dir, "events")
     raw.withColumn("ts_us", EventQueries.tsUsCol(raw))
   }
 

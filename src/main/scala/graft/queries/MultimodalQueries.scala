@@ -52,7 +52,7 @@ object MultimodalQueries {
   val MaxHamming = 3
 
   private def docIds(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    graft.plans.Tables.table(spark, dir, "documents").select("doc_id")
 
   /** (media_id, payload) image corpus: one PNG per doc_id plus the
     * planted 1-pixel mutants. Rendering runs in the same mapPartitions

@@ -157,14 +157,14 @@ object StatusQueries {
     * (st2). Jobs with NULL video_id update nothing — the reference's
     * `if job.video_id is not None` guard. */
   def s10VideoEnable(spark: SparkSession, dir: String): DataFrame = {
-    val vf = spark.read.parquet(s"$dir/orders.parquet")
+    val vf = graft.plans.Tables.table(spark, dir, "orders")
       .select(col("o_orderkey").as("id"), lit(false).as("is_enabled"),
         lit(0L).as("size"))
     // floor BEFORE the bigint cast: Spark's decimal->bigint cast truncates
     // toward zero, DuckDB's rounds to nearest — floor of the same decimal
     // is identical everywhere (the repo-wide parity rule); l_quantity is
     // integral today, but the twins must not depend on that
-    val sizes = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sizes = graft.plans.Tables.table(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(floor(sum(col("l_quantity"))).cast("bigint").as("sz"))
     val upd = EncodeDomain.jobsDF(spark, dir)

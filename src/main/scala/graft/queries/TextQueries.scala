@@ -149,7 +149,7 @@ object TextQueries {
   // ---- corpus ----
 
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = graft.plans.Tables.table(spark, dir, "documents")
       .select("doc_id", "text", "lang")
     d.unionByName(
         d.filter(col("doc_id") % 5 === 0)
@@ -1370,7 +1370,7 @@ object TextQueries {
     * the ONE content-identity definition, so "duplicate" here means
     * exactly what d1/t4 and the ingest gates mean. */
   def t22SourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = graft.plans.Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
     val ntoks = cachedToks(spark, dir)
       .filter(col("doc_id") < 1000000L) // raw ids only: prune the mutants at the scan
@@ -1450,7 +1450,7 @@ object TextQueries {
     val h = conv(substring(
         md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
-    val pri = spark.read.parquet(s"$dir/documents.parquet")
+    val pri = graft.plans.Tables.table(spark, dir, "documents")
       .select(col("source"), col("doc_id"), col("n_chars"),
         round((col("n_chars").cast("bigint") * lit(4294967296L)).cast("double") /
           (h + lit(1L)).cast("double"), 6).as("priority"))

@@ -48,7 +48,7 @@ object VectorQueries {
   def activeCacheCount: Int = cacheRegistry.synchronized(cacheRegistry.size)
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.plans.Tables.table(spark, dir, "embeddings")
 
   /** Σ a_i*b_i over two float arrays, double-accumulated left-to-right.
     * Uses the native codegen'd expression (graft.functions.FloatDotProduct,
