@@ -185,22 +185,30 @@ object MultimodalQueries {
   def m2AudioNearDup(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(cachedAudioSig(spark, dir))
 
-  /** Video corpus for m3: one REAL AVI container per doc_id
-    * (MultimodalOps.renderVideo — uncompressed BI_RGB frames behind a
-    * RIFF chunk tree any demuxer can parse) plus planted RE-MUX mutants
-    * at doc_id % 5 == 0 (id + 1,000,000): the same frames written into a
-    * byte-different container (different fps + JUNK padding, both legal
-    * AVI). */
+  /** Video corpus for m3: one REAL AVI container per doc_id plus planted
+    * RE-MUX mutants at doc_id % 5 == 0 (id + 1,000,000): the same frames
+    * written into a byte-different container (different fps + JUNK
+    * padding, both legal AVI). The codec MIXES like a real crawl: odd
+    * ids are Motion-JPEG (per-frame JPEG in `00dc`, the codec the bare
+    * JDK can really decode), even ids uncompressed BI_RGB (`00db`) — a
+    * mutant always keeps its original's codec, so every planted pair
+    * stays byte-identical at the frame level while the two codecs'
+    * frames can never collide (different byte encodings of different
+    * pixel sources). m3's frame fingerprint join is codec-agnostic by
+    * construction; the mixed corpus proves it on both chunk types. */
   private[graft] def videoCorpus(spark: SparkSession, dir: String):
       org.apache.spark.sql.Dataset[MultimodalOps.MediaRow] = {
     import spark.implicits._
     val meta = MultimodalOps.MediaMeta(Some(MultimodalOps.VideoW),
       Some(MultimodalOps.VideoH), None, Some(MultimodalOps.VideoFrames))
     docIds(spark, dir).as[Long].mapPartitions(_.flatMap { id =>
-      val base = MultimodalOps.MediaRow(id, "video", MultimodalOps.renderVideo(id), meta)
+      def render(altTail: Boolean): Array[Byte] =
+        if (id % 2 == 1) MultimodalOps.renderVideoMjpeg(id, altTail)
+        else MultimodalOps.renderVideo(id, altTail)
+      val base = MultimodalOps.MediaRow(id, "video", render(altTail = false), meta)
       if (id % 5 == 0)
         Iterator(base, MultimodalOps.MediaRow(id + 1000000L, "video",
-          MultimodalOps.renderVideo(id, altTail = true), meta))
+          render(altTail = true), meta))
       else Iterator(base)
     })
   }
