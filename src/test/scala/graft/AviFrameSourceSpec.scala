@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{AviContainer, MultimodalOps}
+
+/** The `avi-frames` DataSource V2 connector: container files on disk read
+  * as a frame table — schema, demux fidelity across both codecs, one
+  * partition per file, column pruning reaching the reader, quarantine. */
+class AviFrameSourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeCorpus(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("aviframes").toFile
+    dir.deleteOnExit()
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("a_dib.avi", MultimodalOps.renderVideo(2L))
+    put("b_mjpg.avi", MultimodalOps.renderVideoMjpeg(3L))
+    put("c_garbage.avi", Array[Byte](1, 2, 3, 4, 5))
+    put("ignored.txt", "not a container".getBytes("UTF-8"))
+    dir
+  }
+
+  test("frame table matches the demuxer file-for-file, frame-for-frame, codec-labelled") {
+    val dir = writeCorpus()
+    val df = spark.read.format("avi-frames").load(dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("path", "codec", "n_frames", "frame_no", "frame_bytes"))
+    val rows = df.collect()
+    // garbage quarantines to zero rows; the .txt is never listed
+    assert(rows.map(_.getString(0)).forall(p =>
+      p.endsWith("a_dib.avi") || p.endsWith("b_mjpg.avi")))
+    assert(rows.length == 2 * MultimodalOps.VideoFrames)
+    // every frame byte-identical to an independent demux, codec correct
+    for ((name, id, wantCodec) <- Seq(("a_dib.avi", 2L, "DIB "), ("b_mjpg.avi", 3L, "MJPG"))) {
+      val payload =
+        if (wantCodec == "MJPG") MultimodalOps.renderVideoMjpeg(id)
+        else MultimodalOps.renderVideo(id)
+      val want = AviContainer.readFrames(payload).get
+      val got = rows.filter(_.getString(0).endsWith(name)).sortBy(_.getInt(3))
+      assert(got.length == want.length)
+      got.foreach { r =>
+        assert(r.getString(1) == wantCodec, s"$name codec ${r.getString(1)}")
+        assert(r.getInt(2) == want.length)
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("frame_bytes"),
+          want(r.getInt(3))), s"$name frame ${r.getInt(3)} diverged")
+      }
+    }
+  }
+
+  test("one input partition per container file; pruned scans drop frame_bytes from the schema") {
+    val dir = writeCorpus()
+    val df = spark.read.format("avi-frames").load(dir.getAbsolutePath)
+    // partition-per-file: 3 .avi files listed -> 3 partitions (the
+    // quarantined garbage file still gets a partition, it just yields 0 rows)
+    assert(df.select("path", "frame_no").rdd.getNumPartitions == 3)
+    // column pruning reaches the scan: the physical read schema of a
+    // keys-only query must not contain the payload column
+    val pruned = df.groupBy("path").agg(count(lit(1)).as("n"))
+    val scanSchema = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.schema.fieldNames.toSeq).head
+    assert(!scanSchema.contains("frame_bytes"),
+      s"payload column survived pruning: $scanSchema")
+    val counts = pruned.collect().map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(counts == Map("a_dib.avi" -> MultimodalOps.VideoFrames.toLong,
+      "b_mjpg.avi" -> MultimodalOps.VideoFrames.toLong))
+  }
+
+  test("frame-level dedup runs straight off the connector: re-muxed files pair by shared frames") {
+    val dir = java.nio.file.Files.createTempDirectory("aviframes2").toFile
+    dir.deleteOnExit()
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    // a re-mux pair (same MJPG frames, different container bytes) + a stranger
+    put("orig.avi", MultimodalOps.renderVideoMjpeg(7L))
+    put("remux.avi", MultimodalOps.renderVideoMjpeg(7L, altTail = true))
+    put("other.avi", MultimodalOps.renderVideoMjpeg(8L))
+    val frames = spark.read.format("avi-frames").load(dir.getAbsolutePath)
+      .select(col("path"), md5(col("frame_bytes")).as("fp"))
+    val pairs = frames.as("a").join(frames.as("b"),
+        col("a.fp") === col("b.fp") && col("a.path") < col("b.path"))
+      .groupBy(col("a.path").as("pa"), col("b.path").as("pb"))
+      .agg(count(lit(1)).as("shared"))
+      .collect()
+    assert(pairs.length == 1, pairs.mkString(";"))
+    assert(pairs(0).getAs[String]("pa").endsWith("orig.avi") &&
+      pairs(0).getAs[String]("pb").endsWith("remux.avi"))
+    assert(pairs(0).getAs[Long]("shared") == MultimodalOps.VideoFrames.toLong)
+  }
+}
