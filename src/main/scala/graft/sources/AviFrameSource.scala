@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,7 +78,7 @@ private class AviFrameTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"avi-frames:$path"
   override def schema(): StructType = AviFrameSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AviScanBuilder(path)
 }
@@ -94,20 +95,63 @@ private class AviScan(path: String, required: StructType) extends Scan with Batc
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // one partition per container file: demux is a sequential byte walk,
-    // so a file is the indivisible work unit; listing happens ONCE on the
-    // driver (cheap: names only), payload bytes are read on executors
+  override def planInputPartitions(): Array[InputPartition] =
+    AviScan.list(path).map(f => AviFilePartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AviReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AviMicroBatchStream(path, required)
+}
+
+private object AviScan {
+  /** One work unit per container file, name-sorted: demux is a
+    * sequential byte walk, so a file is indivisible; listing happens on
+    * the driver (names only), payload bytes are read on executors. */
+  def list(path: String): Array[String] = {
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
       else Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".avi"))
-    files.sortBy(_.getName).map(f => AviFilePartition(f.getAbsolutePath): InputPartition)
+    files.map(_.getAbsolutePath).sorted
   }
+}
 
+/** Streaming face of the connector: the landing-zone tail. Offsets are
+  * positions in the NAME-SORTED file listing, so the directory contract
+  * is the standard ingest convention — arriving files sort AFTER every
+  * already-committed file (timestamp- or sequence-prefixed names, the
+  * way landing zones are laid out on purpose); a file landing behind
+  * the committed offset would be skipped, exactly like a file mutated
+  * in place under Spark's own file source. Each micro-batch is the
+  * files between the two offsets, one partition per file, through the
+  * SAME reader as the batch scan — so quarantine (zero rows for a
+  * corrupt container) and pruning behave identically in both faces.
+  * Files are immutable once landed (the file-source contract); commit
+  * is a no-op because the offset IS the durable state Spark checkpoints. */
+private class AviMicroBatchStream(path: String, required: StructType)
+    extends MicroBatchStream {
+  private def snapshot(): Array[String] = AviScan.list(path)
+  // the listing at planning time, pinned per (start, end) plan — files
+  // past `end` may keep arriving while this batch runs
+  override def initialOffset(): Offset = AviFileOffset(0)
+  override def latestOffset(): Offset = AviFileOffset(snapshot().length)
+  override def deserializeOffset(json: String): Offset =
+    AviFileOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[AviFileOffset].n, end.asInstanceOf[AviFileOffset].n)
+    snapshot().slice(s, e).map(f => AviFilePartition(f): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new AviReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class AviFileOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
 }
 
 private case class AviFilePartition(file: String) extends InputPartition

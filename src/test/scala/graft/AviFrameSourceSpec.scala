@@ -68,6 +68,33 @@ class AviFrameSourceSpec extends AnyFunSuite {
       "b_mjpg.avi" -> MultimodalOps.VideoFrames.toLong))
   }
 
+  test("streaming face tails the landing zone: only files past the committed offset arrive") {
+    val dir = java.nio.file.Files.createTempDirectory("avistream").toFile
+    dir.deleteOnExit()
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    // landing-zone naming contract: arrivals sort after committed files
+    put("000-first.avi", MultimodalOps.renderVideo(1L))
+    val q = spark.readStream.format("avi-frames").load(dir.getAbsolutePath)
+      .select(col("path"), col("frame_no"))
+      .writeStream.format("memory").queryName("avitail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avitail").count() == MultimodalOps.VideoFrames.toLong)
+      // a second landing: only ITS frames arrive in the next batch
+      put("001-second.avi", MultimodalOps.renderVideoMjpeg(2L))
+      q.processAllAvailable()
+      val byFile = spark.table("avitail").groupBy("path").count().collect()
+        .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+      assert(byFile == Map(
+        "000-first.avi" -> MultimodalOps.VideoFrames.toLong,
+        "001-second.avi" -> MultimodalOps.VideoFrames.toLong), byFile.toString)
+      // the stream is stateless source-side tailing: no state operators
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("frame-level dedup runs straight off the connector: re-muxed files pair by shared frames") {
     val dir = java.nio.file.Files.createTempDirectory("aviframes2").toFile
     dir.deleteOnExit()
