@@ -620,6 +620,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("t25 DSIR scores discriminate the target slice: en mean positive, every other negative") {
+    import graft.queries.TextQueries
+    val scores = TextQueries.queries("t25_dsir_score")(spark, sf)
+      .join(graft.plans.Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(avg(col("dsir_units")).as("mean"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the score's whole purpose: the target (en) slice must rank above
+    // EVERY other language's mean, and be the only positive-mean slice —
+    // an exactness-green but non-discriminating score would be useless
+    val en = scores("en")
+    scores.filterNot(_._1 == "en").foreach { case (lang, m) =>
+      assert(en > m, s"en mean $en not above $lang mean $m")
+      assert(m < 0, s"non-target $lang has positive mean $m")
+    }
+    assert(en > 0, s"target slice mean not positive: $en")
+  }
+
   test("t24 priority sample equals a local Duffield-Lund-Thorup recomputation") {
     import graft.queries.TextQueries
     val got = TextQueries.queries("t24_priority_sample")(spark, sf).collect()
