@@ -123,7 +123,14 @@ object AviContainer {
       if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
         return None
       val out = Vector.newBuilder[Array[Byte]]
-      var compression = 0 // BI_RGB when no strf is present
+      var compression = 0 // BI_RGB when no video strf is present
+      // strf's layout depends on the stream TYPE its strl declares: only a
+      // 'vids' stream's strf is a BITMAPINFOHEADER — taking any stream's
+      // strf would read audio-format bytes (WAVEFORMATEX) as the pixel
+      // format on a standard video+audio file. Bind to the FIRST video
+      // stream: track the preceding strh's fccType, capture once.
+      var inVids = false
+      var haveVids = false
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
@@ -132,8 +139,12 @@ object AviContainer {
           val body = off + 8
           if (body + size > payload.length) return // truncated: keep what parsed
           if (id == "LIST") walk(body + 4, body + size) // skip the list type
-          else if (id == "strf" && size >= 20)
+          else if (id == "strh" && size >= 4)
+            inVids = cc(body) == "vids"
+          else if (id == "strf" && size >= 20 && inVids && !haveVids) {
             compression = u32(body + 16).toInt // BITMAPINFOHEADER offset 16
+            haveVids = true
+          }
           else if (id == "00db" || id == "00dc")
             out += java.util.Arrays.copyOfRange(payload, body, body + size)
           off = body + size + (size & 1) // word alignment

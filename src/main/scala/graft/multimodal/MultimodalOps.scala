@@ -167,16 +167,17 @@ object MultimodalOps {
                   try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
                   catch { case scala.util.control.NonFatal(_) => null }
                 img != null && {
-                  var y = 0
-                  while (y < img.getHeight) {
-                    var x = 0
-                    while (x < img.getWidth) {
-                      val rgb = img.getRGB(x, y)
-                      lumAdd((0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-                        0.299 * ((rgb >> 16) & 0xff)).toInt.min(255))
-                      x += 1
-                    }
-                    y += 1
+                  // bulk getRGB: one array fetch per frame — the per-pixel
+                  // getRGB(x, y) path pays a ColorModel conversion per call
+                  // and dominates the decode pass
+                  val w = img.getWidth; val h = img.getHeight
+                  val px2 = img.getRGB(0, 0, w, h, null, 0, w)
+                  var k = 0
+                  while (k < px2.length) {
+                    val rgb = px2(k)
+                    lumAdd((0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                      0.299 * ((rgb >> 16) & 0xff)).toInt.min(255))
+                    k += 1
                   }
                   true
                 }

@@ -10,13 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plan from a fresh reader (measured: the seven-table registration
   * behind the SQL-expressed analytics queries cost ~0.6 s/call before
   * the round-10 view memoization; this generalizes that fix to every
-  * base-table read). The cached object is just the resolved logical
-  * plan — immutable, so sharing it across queries is free; actions
-  * re-read the DATA from disk as always, nothing is persisted. Under
-  * the driver's contended regime the footer reads inflate ~3× like all
-  * CPU/IO work, so the fixed overhead this removes is worth triple its
-  * local cost there. Keyed by session so tests with their own sessions
-  * never cross, and by full path so sf dirs never collide. */
+  * base-table read). The cached object is the resolved logical plan
+  * INCLUDING its file listing — actions re-read data BYTES from disk
+  * (nothing is persisted), but the part-file list and schema are pinned
+  * at first read, which is exactly right for this engine's contract:
+  * the driver tables are immutable fixtures (TESTDATA.md: read-only).
+  * A deployment whose tables are rewritten in place needs catalog
+  * tables with REFRESH semantics, not this memo. Under the driver's
+  * contended regime the footer reads inflate ~3× like all CPU/IO work,
+  * so the fixed overhead this removes is worth triple its local cost
+  * there. Keyed by session so tests with their own sessions never
+  * cross (entries live for the JVM — fine at one session per process,
+  * this repo's shape), and by full path so sf dirs never collide. */
 object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -397,9 +397,18 @@ object AnalyticsQueries {
     * dataset). */
   private val viewsDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   private def registerViews(spark: SparkSession, dir: String): Unit =
-    if (viewsDir.put(spark, dir) != dir)
-      Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
-        .foreach(t => table(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
+    // lock around the whole check+register: the dir is recorded only AFTER
+    // every view registered (a failed registration must not poison the memo
+    // into skipping — or worse, into silently serving the PREVIOUS dir's
+    // views — the Snapshot.checkpointed failed-build discipline), and a
+    // concurrent caller cannot observe the half-registered window
+    viewsDir.synchronized {
+      if (viewsDir.get(spark) != dir) {
+        Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+          .foreach(t => table(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
+        viewsDir.put(spark, dir)
+      }
+    }
 
   /** TPC-H Q2 shape (ADAPTED: no partsupp in the fixture, so "supply
     * cost" is the lineitem offer price): for each LARGE mid-size part,

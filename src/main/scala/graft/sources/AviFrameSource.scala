@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -119,30 +117,35 @@ private object AviScan {
   }
 }
 
-/** Streaming face of the connector: the landing-zone tail. Offsets are
-  * positions in the NAME-SORTED file listing, so the directory contract
-  * is the standard ingest convention — arriving files sort AFTER every
-  * already-committed file (timestamp- or sequence-prefixed names, the
-  * way landing zones are laid out on purpose); a file landing behind
-  * the committed offset would be skipped, exactly like a file mutated
-  * in place under Spark's own file source. Each micro-batch is the
-  * files between the two offsets, one partition per file, through the
-  * SAME reader as the batch scan — so quarantine (zero rows for a
-  * corrupt container) and pruning behave identically in both faces.
-  * Files are immutable once landed (the file-source contract); commit
-  * is a no-op because the offset IS the durable state Spark checkpoints. */
+/** Streaming face of the connector: the landing-zone tail. An offset is
+  * the NAME of the last committed file ("" before any), and a
+  * micro-batch is every listed file with a name in (start, end] — so
+  * the directory contract is the standard ingest convention: arriving
+  * files sort AFTER every already-committed file (timestamp- or
+  * sequence-prefixed names, the way landing zones are laid out on
+  * purpose). Name-interval offsets — not listing indices — survive
+  * retention: deleting an already-committed file shifts no window,
+  * because later files are identified by their own names, never by
+  * position (an index-based offset would silently skip or re-emit a
+  * file after any deletion). A file landing BEHIND the committed name
+  * is skipped, exactly like a file mutated in place under Spark's own
+  * file source. Each batch reads through the SAME reader as the batch
+  * scan — quarantine (zero rows for a corrupt container) and pruning
+  * behave identically in both faces. Files are immutable once landed;
+  * commit is a no-op because the offset IS the durable state Spark
+  * checkpoints. */
 private class AviMicroBatchStream(path: String, required: StructType)
     extends MicroBatchStream {
   private def snapshot(): Array[String] = AviScan.list(path)
-  // the listing at planning time, pinned per (start, end) plan — files
-  // past `end` may keep arriving while this batch runs
-  override def initialOffset(): Offset = AviFileOffset(0)
-  override def latestOffset(): Offset = AviFileOffset(snapshot().length)
-  override def deserializeOffset(json: String): Offset =
-    AviFileOffset(json.trim.toInt)
+  override def initialOffset(): Offset = AviFileOffset("")
+  override def latestOffset(): Offset =
+    AviFileOffset(snapshot().lastOption.getOrElse(""))
+  override def deserializeOffset(json: String): Offset = AviFileOffset(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[AviFileOffset].n, end.asInstanceOf[AviFileOffset].n)
-    snapshot().slice(s, e).map(f => AviFilePartition(f): InputPartition)
+    val s = start.asInstanceOf[AviFileOffset].name
+    val e = end.asInstanceOf[AviFileOffset].name
+    snapshot().filter(f => f > s && f <= e)
+      .map(f => AviFilePartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AviReaderFactory(required)
@@ -150,8 +153,8 @@ private class AviMicroBatchStream(path: String, required: StructType)
   override def stop(): Unit = ()
 }
 
-private case class AviFileOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+private case class AviFileOffset(name: String) extends Offset {
+  override def json(): String = name
 }
 
 private case class AviFilePartition(file: String) extends InputPartition
@@ -189,7 +192,14 @@ private class AviFrameReader(file: String, required: StructType)
   })
 
   override def next(): Boolean = { i += 1; i < n }
-  override def get(): InternalRow =
-    InternalRow.fromSeq(getters.toSeq.map(g => g(i)))
+  override def get(): InternalRow = {
+    // one values array per row, no Array->Seq re-wrap per call (the row
+    // must own its array: Spark may buffer rows, so reusing one buffer
+    // across get() calls would alias every buffered row to the last)
+    val values = new Array[Any](getters.length)
+    var c = 0
+    while (c < getters.length) { values(c) = getters(c)(i); c += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
   override def close(): Unit = ()
 }
