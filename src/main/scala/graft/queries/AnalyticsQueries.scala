@@ -40,9 +40,12 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 shape: fact-fact join (orders x lineitem shuffle on the join
-    * key) + dimension semi-filter + top-k. customer is small relative to the
-    * facts -> broadcast; the orders<->lineitem join co-partitions on
-    * l_orderkey/o_orderkey. */
+    * key) + dimension semi-filter + top-k. customer is UNHINTED (r10
+    * verdict): it grows linearly with scale, so a forced broadcast is a
+    * build-side OOM at 100x — the planner's size stats pick broadcast at
+    * fixture scale (PlanSpec pins it) and AQE flips to a shuffled join
+    * when the table outgrows the threshold. Only the bounded dimensions
+    * (nation/region/encode_formats) carry hints in this module. */
   def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
     val cust = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = table(spark, dir, "orders")
@@ -50,7 +53,7 @@ object AnalyticsQueries {
     val li = table(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
@@ -60,8 +63,10 @@ object AnalyticsQueries {
   }
 
   /** TPC-H Q5 shape: snowflake join region->nation->customer->orders->
-    * lineitem->supplier with a same-nation constraint. All dimensions
-    * broadcast; the only shuffles are the two fact joins and the final
+    * lineitem->supplier with a same-nation constraint. The bounded
+    * dimensions (nation/region) broadcast by hint; customer/supplier are
+    * left to planner stats + AQE (they scale with the corpus — q3's
+    * rationale); the only shuffles are the two fact joins and the final
     * 25-group aggregate. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
@@ -73,8 +78,8 @@ object AnalyticsQueries {
     val li = table(spark, dir, "lineitem")
     val supp = table(spark, dir, "supplier")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust),
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust,
         ord("o_custkey") === cust("c_custkey") &&
           cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
@@ -121,7 +126,7 @@ object AnalyticsQueries {
     val ord = table(spark, dir, "orders")
     val li = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sum(disc(col("l_extendedprice"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -146,14 +151,15 @@ object AnalyticsQueries {
       .orderBy(col("l_linestatus"))
   }
 
-  /** TPC-H Q14 shape: promo revenue share — broadcast part join, two
-    * conditional decimal sums, final double ratio. */
+  /** TPC-H Q14 shape: promo revenue share — part join (planner-picked
+    * strategy, q3's rationale), two conditional decimal sums, final
+    * double ratio. */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
     val part = table(spark, dir, "part")
     val li = table(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", disc(col("l_extendedprice")))
           .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
@@ -165,12 +171,12 @@ object AnalyticsQueries {
   }
 
   /** TPC-H Q16 shape: distinct-count by part attributes with an exclusion
-    * predicate pushed to the broadcast side. */
+    * predicate pushed to the part side before the join. */
   def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
     val part = table(spark, dir, "part")
       .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13, 17, 21))
     val li = table(spark, dir, "lineitem")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -188,7 +194,7 @@ object AnalyticsQueries {
     val ord = table(spark, dir, "orders")
     val cust = table(spark, dir, "customer")
     big.join(ord, col("big_okey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -200,7 +206,7 @@ object AnalyticsQueries {
   def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
     val part = table(spark, dir, "part")
     val li = table(spark, dir, "lineitem")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey") &&
+    li.join(part, li("l_partkey") === part("p_partkey") &&
         ((part("p_brand") === "Brand#1" && part("p_size").between(1, 15) &&
           li("l_quantity").between(1, 21)) ||
          (part("p_brand") === "Brand#13" && part("p_size").between(1, 25) &&
@@ -258,9 +264,10 @@ object AnalyticsQueries {
 
   /** TPC-H Q7 shape: two role-playing copies of the nation dimension
     * (supplier's vs customer's) with an OR'd nation-pair predicate, by
-    * ship year. Both nation copies broadcast; the only shuffles are the
-    * fact-fact join and the tiny final aggregate. YEAR() on a timestamp
-    * is integer field extraction — identical in both engines. */
+    * ship year. Both nation copies broadcast by hint (bounded dims);
+    * customer/supplier joins are planner-picked (q3's rationale). YEAR()
+    * on a timestamp is integer field extraction — identical in both
+    * engines. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
@@ -273,8 +280,8 @@ object AnalyticsQueries {
     val n2 = table(spark, dir, "nation")
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(n1), supp("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
@@ -288,17 +295,18 @@ object AnalyticsQueries {
   /** TPC-H Q9 shape (ADAPTED: the fixture ships no partsupp table, so
     * profit omits the supply-cost term — the join/aggregation shape is
     * Q9's, the measure is revenue): nation x order-year profit for parts
-    * whose name matches a pattern. part and nation broadcast; LIKE is
-    * evaluated before the fact join so pruned parts never reach it. */
+    * whose name matches a pattern. nation broadcasts by hint; part and
+    * supplier are planner-picked (q3's rationale); LIKE is evaluated
+    * before the fact join so pruned parts never reach it. */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val part = table(spark, dir, "part").filter(col("p_name").contains("red"))
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
     val supp = table(spark, dir, "supplier")
     val nation = table(spark, dir, "nation")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(disc(col("l_extendedprice"))).cast("double").as("profit"))
@@ -332,7 +340,8 @@ object AnalyticsQueries {
     * the per-order stats and the late-pair probe — then read the same
     * pair aggregate, so the lineitem join's exchange is planned once and
     * reused, ONE fact pass instead of the naive three (stats,
-    * late-distinct, probe each re-deriving it); supplier broadcast. */
+    * late-distinct, probe each re-deriving it); the supplier join is
+    * planner-picked (q3's rationale). */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val ord = table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
     val li = table(spark, dir, "lineitem")
@@ -348,7 +357,7 @@ object AnalyticsQueries {
     pairs.filter(col("any_late"))
       .select("l_orderkey", "l_suppkey")
       .join(stats.filter(col("ns") > 1 && col("nl") === 1), "l_orderkey")
-      .join(broadcast(table(spark, dir, "supplier")),
+      .join(table(spark, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -442,10 +451,12 @@ object AnalyticsQueries {
   /** TPC-H Q8 shape: national market share — one nation's slice of a
     * region's PROMO import volume by order year. The nation dimension
     * role-plays twice (customer's nation fixes the market region,
-    * supplier's nation is the share dimension); all five dimensions
-    * broadcast, so the only shuffles are the two fact joins and a
-    * 2-group aggregate. The share ratio divides two decimal-exact sums
-    * only after both are cast to double (the file-header discipline). */
+    * supplier's nation is the share dimension); the bounded dims
+    * (nation x2, region) broadcast by hint, part/customer/supplier are
+    * planner-picked (q3's rationale), so the only shuffles are the two
+    * fact joins and a 2-group aggregate. The share ratio divides two
+    * decimal-exact sums only after both are cast to double (the
+    * file-header discipline). */
   def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
@@ -459,10 +470,10 @@ object AnalyticsQueries {
     val n2 = table(spark, dir, "nation")
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
     val region = table(spark, dir, "region").filter(col("r_name") === "AMERICA")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(n1), cust("c_nationkey") === col("n1_key"))
       .join(broadcast(region), col("n1_region") === region("r_regionkey"))
       .join(broadcast(n2), supp("s_nationkey") === col("n2_key"))
@@ -508,7 +519,8 @@ object AnalyticsQueries {
     * view materializes ONCE per action and the 1-row MAX broadcasts back
     * over it (crossJoin + exact-decimal equality — no double round-trip,
     * so ties and the boundary row are engine-independent); the supplier
-    * dimension broadcasts onto the one surviving row. */
+    * join is planner-picked (q3's rationale — the probe side is one
+    * surviving row, so any strategy is cheap). */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val revenue = table(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -518,7 +530,7 @@ object AnalyticsQueries {
     val top = revenue.agg(max(col("total_rev_dec")).as("max_rev_dec"))
     revenue.crossJoin(broadcast(top))
       .filter(col("total_rev_dec") === col("max_rev_dec"))
-      .join(broadcast(table(spark, dir, "supplier")),
+      .join(table(spark, dir, "supplier"),
         col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev_dec").cast("double").as("total_revenue"))

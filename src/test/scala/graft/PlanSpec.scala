@@ -417,6 +417,54 @@ class PlanSpec extends AnyFunSuite {
       s"(source, lang) aggregation must combine map-side:\n$p")
   }
 
+  test("unhinted customer/supplier/part joins broadcast from planner STATS at fixture scale") {
+    // round-11: the forced broadcast() hints on the linearly-growing
+    // tables were dropped (a hint-forced multi-GB build is the classic
+    // 100x OOM); at fixture scale the parquet size stats must still give
+    // the planner the broadcast pick — this pin is the hint's replacement
+    for (name <- Seq("q3_top_unshipped", "q5_local_supplier",
+        "q14_promo_share", "q16_supplier_count", "q18_large_orders",
+        "q19_brackets")) {
+      val p = planOf(AnalyticsQueries.queries(name)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: stats no longer pick broadcast for the dim join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("q5: dims broadcast through AQE, no sort-merge demotion (r10 regime-note pin)") {
+    // the r10 driver run put q5 at 4.9x its anchor; the local antagonist
+    // repro (BASELINE.md r11 note) attributes that to a contended host
+    // window, not a plan change — this executed-plan pin keeps the plan
+    // leg of that attribution checkable without a rerun
+    val df = AnalyticsQueries.queries("q5_local_supplier")(spark, sf)
+    df.collect()
+    val fin = planOf(df)
+    assert(fin.contains("BroadcastHashJoin"), s"q5 dims not broadcast:\n$fin")
+    assert(!fin.contains("SortMergeJoin"),
+      s"AQE demoted a q5 dim join to sort-merge:\n$fin")
+    assert(!fin.contains("CartesianProduct"), fin)
+  }
+
+  test("f3 loudness: one broadcast dim join, pure codegen expressions, no shuffle (r10 regime-note pin)") {
+    val p = planOf(ScalarQueries.queries("f3_loudness_gain")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"formats dim not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF crept into the loudness math:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"loudness chain must not shuffle (sort excepted):\n$p")
+  }
+
+  test("f14 stale failures: rank-1 view gets WindowGroupLimit; one window shuffle only (r10 regime-note pin)") {
+    val p = planOf(StatusQueries.queries("f14_stale_failures")(spark, sf))
+    // latest-per-job must rank-limit inside partitions before the shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 filter not pushed into the window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than the one window shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("d4/d10 verify: pure arithmetic over the checkpointed shared-counts base — no join in the plan") {
     // the r8 driver bench caught d10 re-deriving the cands⋈shingles⋈shingles
     // chain live (7.4x baseline). Post-fix, BOTH verify queries must plan
