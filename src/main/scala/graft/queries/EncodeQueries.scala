@@ -19,7 +19,7 @@ object EncodeQueries {
     * place the verify directory is named, referenced by s6's oracle twin —
     * DuckDB `read_blob` needs a literal path, so a future sf change is this
     * one-line edit instead of a silently hash-mismatching s6. */
-  val VerifyDir = "/root/testdata/sf0.01"
+  val VerifyDir = graft.plans.VerifyExports.VerifyDir
 
   /** S1+W1+W2 — the dequeue: projection + equality filter + priority-desc
     * top-k with a deterministic id tie-break (reference: one SQL statement,

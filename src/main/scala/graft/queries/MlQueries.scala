@@ -214,14 +214,21 @@ object MlQueries {
     * Train-once memo like t19/v4 — production learns the vocabulary once
     * and ships it. Rows-only: the algorithm is deterministic (BpeSpec
     * pins EXACT equality with an independent pure-Scala reference
-    * implementation, the t15 standard), but k unrolled argmax rounds are
-    * not practically expressible as one DuckDB SQL statement. */
+    * implementation, the t15 standard — that spec is the real gate), but
+    * k unrolled argmax rounds are not practically expressible as one
+    * DuckDB SQL statement. Round-11: the merge table is EXPORTED at the
+    * verify scale and the oracle reads it back — a round-trip pin (value
+    * equality of the shipped model artifact through an independent
+    * parquet read), upgrading the driver gate from rows-only to
+    * hash-match on the artifact itself. */
   def t20BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeState(spark, dir)._1
     import spark.implicits._
-    merges.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+    val df = merges.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
+    graft.plans.VerifyExports.maybeExport(dir, "t20_bpe_merges")(df)
+    df
   }
 
   /** t21 — corpus tokenization under the learned BPE vocabulary: per-doc
@@ -236,13 +243,18 @@ object MlQueries {
     * BEFORE the vocab join (map-side combinable; the join input is
     * doc-distinct words, not token occurrences), then one doc_id groupBy.
     * The vocab side is millions of rows — broadcast when it fits, else
-    * a word-keyed shuffle-hash join; AQE picks at runtime. Rows-only:
-    * the vocabulary derives from the k iterative argmax rounds, so no
-    * single SQL statement exists — BpeSpec pins exact per-doc equality
-    * against the independent pure-Scala encoder over the raw parquet. */
+    * a word-keyed shuffle-hash join; AQE picks at runtime. Oracle
+    * (round-11, was rows-only): the vocabulary still derives from the k
+    * iterative argmax rounds no single SQL statement can run, but under
+    * a FIXED exported vocab the whole scoring tier — tokenize, per-doc
+    * word counts, vocab join, exact-integer aggregation — is plain SQL;
+    * the (word, word_pieces) table is exported at the verify scale and
+    * DuckDB recomputes everything downstream of it independently.
+    * BpeSpec still pins the vocab itself against the pure-Scala encoder. */
   def t21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val vocab = bpeState(spark, dir)._2
       .select(col("word"), size(col("syms")).cast("bigint").as("word_pieces"))
+    graft.plans.VerifyExports.maybeExport(dir, "t21_bpe_vocab")(vocab)
     val docWords = TextQueries.tokenizedCorpus(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
@@ -260,10 +272,35 @@ object MlQueries {
     "t20_bpe_merges" -> t20BpeMerges,
     "t21_bpe_encode" -> t21BpeEncode)
 
-  /** No SQL oracle can exist (L-BFGS coefficients are not cross-engine
-    * reproducible; BPE's k argmax rounds are not one SQL statement, and
-    * t21's vocabulary derives from them); the MlSpec/BpeSpec contracts
-    * cover semantics. */
-  val rowsOnly: Set[String] =
-    Set("t19_quality_classifier", "t20_bpe_merges", "t21_bpe_encode")
+  /** t19 stays rows-only (L-BFGS coefficients are not cross-engine
+    * reproducible, so no SQL oracle can exist; MlSpec covers semantics).
+    * t20/t21 graduated to oracle-checked in round 11 via the
+    * [[graft.plans.VerifyExports]] model-state exports. */
+  val rowsOnly: Set[String] = Set("t19_quality_classifier")
+
+  val oracleSql: Map[String, String] = {
+    import graft.plans.VerifyExports.sqlPath
+    Map(
+      // round-trip pin of the shipped model artifact ("left"/"right" are
+      // reserved words in DuckDB — quoted)
+      "t20_bpe_merges" ->
+        s"""SELECT rank, "left", "right", merged, pair_count
+           |FROM ${sqlPath("t20_bpe_merges")} ORDER BY rank""".stripMargin,
+      // independent recompute of the scoring tier under the fixed vocab
+      "t21_bpe_encode" -> TextQueries.oracle(
+        s"""SELECT doc_id, n_words, n_pieces,
+           |       CAST((n_pieces * 1000000) // n_words AS BIGINT) AS fertility_micro
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(SUM(cnt) AS BIGINT) AS n_words,
+           |         CAST(SUM(cnt * word_pieces) AS BIGINT) AS n_pieces
+           |  FROM (
+           |    SELECT doc_id, word, COUNT(*) AS cnt
+           |    FROM (SELECT doc_id, unnest(toks) AS word FROM toks)
+           |    GROUP BY doc_id, word)
+           |  JOIN (SELECT word, word_pieces FROM ${sqlPath("t21_bpe_vocab")})
+           |  USING (word)
+           |  GROUP BY doc_id)
+           |ORDER BY doc_id""".stripMargin))
+  }
 }

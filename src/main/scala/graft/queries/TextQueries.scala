@@ -225,7 +225,9 @@ object TextQueries {
        |                i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
        |  FROM toks WHERE len(toks) >= 3)""".stripMargin
 
-  private def oracle(body: String): String =
+  /** Shared with MlQueries (t21's oracle recomputes the per-doc encode
+    * aggregation over the same corpus/toks CTEs). */
+  private[queries] def oracle(body: String): String =
     s"WITH $corpusCte,\n$shinglesCte\n$body"
 
   /** Normalised-content fingerprint (shared definition: ops/Fingerprint). */
