@@ -24,7 +24,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EncodeQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ StatusQueries.oracleSql ++
       ScalarQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
-      VectorQueries.oracleSql ++ JoinQueries.oracleSql ++ MlQueries.oracleSql
+      VectorQueries.oracleSql ++ JoinQueries.oracleSql ++ MlQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 
   /** Queries deliberately shipped WITHOUT an oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test

@@ -176,14 +176,27 @@ object MultimodalQueries {
   }
 
   /** m1 — image near-dup pairs: real PNG decode -> dHash -> hamming-band
-    * join -> bit_count verify. */
-  def m1ImageNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(cachedImageSig(spark, dir))
+    * join -> bit_count verify. The decode tier can never be oracled
+    * (DuckDB runs no codecs), but the band-join/verify tier is plain SQL
+    * over the signature table — exported at the verify scale
+    * ([[graft.plans.VerifyExports]], round-11) so DuckDB recomputes the
+    * whole pair tier independently and the driver gate hash-matches it;
+    * MultimodalSpec keeps pinning the decode tier (planted-pair
+    * exactness). */
+  def m1ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = cachedImageSig(spark, dir)
+    graft.plans.VerifyExports.maybeExport(dir, "m1_sig")(sig)
+    nearDupPairs(sig)
+  }
 
   /** m2 — audio near-dup pairs: real WAV decode -> RMS-envelope gradient
-    * fingerprint -> the same band join. */
-  def m2AudioNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(cachedAudioSig(spark, dir))
+    * fingerprint -> the same band join (oracle: m1's exported-signature
+    * scheme). */
+  def m2AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = cachedAudioSig(spark, dir)
+    graft.plans.VerifyExports.maybeExport(dir, "m2_sig")(sig)
+    nearDupPairs(sig)
+  }
 
   /** Video corpus for m3: one REAL AVI container per doc_id plus planted
     * RE-MUX mutants at doc_id % 5 == 0 (id + 1,000,000): the same frames
@@ -227,10 +240,13 @@ object MultimodalQueries {
     * ReuseExchange move). Shared-frame counts bound the pair surface by
     * actual content overlap — disjoint corpora produce zero pairs.
     *
-    * No oracle: frame extraction needs the demuxer, which DuckDB cannot
-    * run; MultimodalSpec pins the result to exactly the planted re-mux
-    * pairs with all 3 sampled frames shared. */
+    * Frame extraction needs the demuxer, which DuckDB cannot run;
+    * MultimodalSpec pins the decode tier to exactly the planted re-mux
+    * pairs with all 3 sampled frames shared. The pair tier rides m1's
+    * exported-signature oracle scheme over the frame table. */
   def m3VideoSharedFrames(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VerifyExports.maybeExport(dir, "m3_frames")(
+      cachedFrameTable(spark, dir))
     val frames = cachedFrameTable(spark, dir)
       .repartition(col("frame_md5"))
       // the frame table is corpus-sized: a planner-picked broadcast (tiny
@@ -251,7 +267,52 @@ object MultimodalQueries {
     "m2_audio_near_dup" -> m2AudioNearDup,
     "m3_video_shared_frames" -> m3VideoSharedFrames)
 
-  /** No oracle by design: DuckDB cannot decode media payloads. Exactness
-    * is pinned by MultimodalSpec's planted-pair assertions instead. */
-  val rowsOnly: Set[String] = queries.keySet
+  /** DuckDB cannot decode media payloads, so the decode tier stays
+    * spec-pinned (MultimodalSpec planted pairs) — but since round 11 the
+    * pair tier is oracle-checked over the exported signature tables, so
+    * nothing here is rows-only anymore. */
+  val rowsOnly: Set[String] = Set.empty
+
+  /** The d6-shaped band-join/verify tier over an exported 4-quarter
+    * signature table, in DuckDB SQL (the exact twin of [[nearDupPairs]]):
+    * quarters are band keys, candidates equi-join on (band, bkey), the
+    * hamming verify runs on candidates only, DISTINCT collapses
+    * multi-band collisions. b0..b3 are INT32 in the parquet — the 64-bit
+    * reassembly must widen BEFORE multiplying (b1*65536 overflows i32). */
+  private def pairTierSql(export: String): String = {
+    val sig = graft.plans.VerifyExports.sqlPath(export)
+    s"""WITH full_sig AS (
+       |  SELECT media_id,
+       |         CAST(b0 AS BIGINT) + CAST(b1 AS BIGINT) * 65536 AS ph_lo,
+       |         CAST(b2 AS BIGINT) + CAST(b3 AS BIGINT) * 65536 AS ph_hi,
+       |         b0, b1, b2, b3
+       |  FROM $sig),
+       |bands AS (
+       |  SELECT media_id, ph_hi, ph_lo, band,
+       |         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+       |                   WHEN 2 THEN b2 ELSE b3 END AS bkey
+       |  FROM full_sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band))
+       |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |       CAST(bit_count(xor(a.ph_lo, b.ph_lo)) +
+       |            bit_count(xor(a.ph_hi, b.ph_hi)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+       |WHERE bit_count(xor(a.ph_lo, b.ph_lo)) +
+       |      bit_count(xor(a.ph_hi, b.ph_hi)) <= $MaxHamming
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_image_near_dup" -> pairTierSql("m1_sig"),
+    "m2_audio_near_dup" -> pairTierSql("m2_sig"),
+    "m3_video_shared_frames" -> {
+      val frames = graft.plans.VerifyExports.sqlPath("m3_frames")
+      s"""SELECT media_a, media_b, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+         |FROM (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM $frames a JOIN $frames b
+         |    ON a.frame_md5 = b.frame_md5 AND a.media_id < b.media_id)
+         |GROUP BY media_a, media_b
+         |ORDER BY media_a, media_b""".stripMargin
+    })
 }
