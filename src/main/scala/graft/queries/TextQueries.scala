@@ -1522,36 +1522,81 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** t25's model state for the streaming gate: per-token DSIR weight
-    * w(token) = (c_t+1)·(N_c+V) − (c_c+1)·(N_t+V) plus the
-    * out-of-vocabulary weight (c_t = c_c = 0 under the same add-one
-    * smoothing: N_c − N_t). The weight table IS the model — DSIR ships
-    * its importance weights as a fixed-size table (the published recipe
-    * hashes n-grams into 10k buckets precisely so this state stays
-    * bounded; the fixture's word vocabulary is smaller than that
-    * bucket count, so the exact table plays the same role). Collected
-    * once per dataset per JVM (the t20/t19 model-state discipline:
-    * bounded driver scalars are legitimate for MODEL state, never for
-    * data). Batch t25 never sees an OOV token by construction (its
-    * vocab derives from the same corpus it scores); the gate needs the
-    * OOV leg because arrivals are new text. */
+  /** DSIR's fixed bucket-space width (the published construction hashes
+    * tokens/n-grams into ~10k buckets precisely so the weight table is
+    * size-INDEPENDENT model state — round-10's exact-vocab map was
+    * corpus-sized plan state, the one unbounded-driver-state seam the
+    * r10 verdict flagged). */
+  private[graft] val DsirBuckets = 10000
+
+  /** THE token→bucket map, one shared Column definition for batch t26,
+    * the streaming gate, and (via the same md5-prefix idiom) the DuckDB
+    * oracle — the toksCol discipline: a second inline copy is how batch
+    * and stream would silently drift. The md5 prefix is non-negative
+    * (< 2^32), so plain % equals pmod in both engines. */
+  private[graft] def dsirBucketCol(token: Column): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("bigint") % DsirBuckets
+
+  /** t26 — bucketed DSIR importance scoring: t25's discriminant computed
+    * over the fixed bucket space instead of the exact vocabulary. Same
+    * exact-BIGINT algebra with V := B (the bucket count, a CONSTANT —
+    * add-one smoothing over buckets), so the score is bit-stable
+    * cross-engine and the model state a stream twin ships is B longs
+    * regardless of corpus size. Plan shape is t25's: per-doc bucket
+    * counts aggregate before the bucket join (occurrences never cross
+    * an exchange), the bucket count table is B rows (broadcastable at
+    * any corpus scale — THE point of bucketing), totals ride a 1-row
+    * broadcast. */
+  def t26DsirBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tok = cachedToks(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+      .select(col("doc_id"), col("lang"),
+        dsirBucketCol(col("token")).as("bucket"))
+    val docTf = tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_w"))
+    val bucketTf = tok.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_c"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val consts = bucketTf.agg(sum(col("c_c")).cast("bigint").as("n_c"),
+      sum(col("c_t")).cast("bigint").as("n_t"))
+    docTf.join(bucketTf, "bucket")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_w")).cast("bigint").as("n_tokens"),
+        sum(col("n_w") *
+            ((col("c_t") + 1L) * (col("n_c") + DsirBuckets) -
+             (col("c_c") + 1L) * (col("n_t") + DsirBuckets)))
+          .cast("bigint").as("dsir_units"))
+      .orderBy("doc_id")
+  }
+
+  /** The streaming gate's model state: t26's per-bucket weight
+    * w(b) = (c_t+1)·(N_c+B) − (c_c+1)·(N_t+B) as a B-length array —
+    * collected once per dataset per JVM (the t20/t19 model-state
+    * discipline: bounded driver scalars are legitimate for MODEL state,
+    * never for data; B is fixed, so this stays 10k longs at 100 TB).
+    * An untouched bucket (c_c = c_t = 0) naturally carries the add-one
+    * weight N_c − N_t — the OOV leg needs no special case: novel
+    * arrival tokens hash into buckets like any other. */
   private val dsirModels =
-    new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Long], Long)]()
-  private[graft] def dsirWeights(spark: SparkSession, dir: String): (Map[String, Long], Long) =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private[graft] def dsirBucketWeights(spark: SparkSession, dir: String): Array[Long] =
     dsirModels.computeIfAbsent(dir, _ => {
       val tok = cachedToks(spark, dir)
         .select(col("lang"), explode(col("toks")).as("token"))
-      val vocab = tok.groupBy(col("token")).agg(
+        .select(col("lang"), dsirBucketCol(col("token")).as("bucket"))
+      val bucketTf = tok.groupBy(col("bucket")).agg(
         count(lit(1)).as("c_c"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
-      val Array(nC, nT, v) = vocab
-        .agg(sum(col("c_c")), sum(col("c_t")), count(lit(1)))
-        .first() match { case r => Array(r.getLong(0), r.getLong(1), r.getLong(2)) }
-      val weights = vocab.collect().map { r =>
-        val (cT, cC) = (r.getLong(2), r.getLong(1))
-        r.getString(0) -> ((cT + 1L) * (nC + v) - (cC + 1L) * (nT + v))
-      }.toMap
-      (weights, nC - nT)
+      val Array(nC, nT) = bucketTf
+        .agg(sum(col("c_c")), sum(col("c_t")))
+        .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val weights = Array.fill(DsirBuckets)(nC - nT) // empty-bucket default
+      bucketTf.collect().foreach { r =>
+        val (b, cC, cT) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2))
+        weights(b) = (cT + 1L) * (nC + DsirBuckets) - (cC + 1L) * (nT + DsirBuckets)
+      }
+      weights
     })
 
   /** The t16 signal columns over (text, toks) — ONE definition shared by
@@ -1624,7 +1669,8 @@ object TextQueries {
     "t22_source_mix" -> t22SourceMix,
     "t23_zipf_mass" -> t23ZipfMass,
     "t24_priority_sample" -> t24PrioritySample,
-    "t25_dsir_score" -> t25DsirScore)
+    "t25_dsir_score" -> t25DsirScore,
+    "t26_dsir_bucketed" -> t26DsirBucketed)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -2123,6 +2169,26 @@ object TextQueries {
           |            AS BIGINT) AS dsir_units
           |FROM doctf d JOIN vocab v2 ON d.token = v2.token, k
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+      "t26_dsir_bucketed" -> oracle(
+        s""", tokb AS (SELECT t.doc_id, c.lang,
+           |           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+           |             % $DsirBuckets AS bucket
+           |           FROM (SELECT doc_id, unnest(toks) AS token FROM toks) t
+           |           JOIN corpus c ON t.doc_id = c.doc_id),
+           |doctf AS (SELECT doc_id, bucket, count(*) AS n_w
+           |          FROM tokb GROUP BY doc_id, bucket),
+           |btf AS (SELECT bucket, count(*) AS c_c,
+           |               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+           |        FROM tokb GROUP BY bucket),
+           |k AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c,
+           |             CAST(SUM(c_t) AS BIGINT) AS n_t FROM btf)
+           |SELECT d.doc_id,
+           |       CAST(SUM(d.n_w) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(d.n_w * ((b.c_t + 1) * (k.n_c + $DsirBuckets)
+           |                         - (b.c_c + 1) * (k.n_t + $DsirBuckets)))
+           |            AS BIGINT) AS dsir_units
+           |FROM doctf d JOIN btf b ON d.bucket = b.bucket, k
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
       "t11_repetition" -> oracle(
         """, bigrams AS (
           |  SELECT doc_id,

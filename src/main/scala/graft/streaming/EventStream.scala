@@ -168,34 +168,38 @@ object EventStream {
         expr("CAST((n_pieces * 1000000) DIV greatest(n_words, 1) AS BIGINT)"))
   }
 
-  /** Streaming DSIR importance scoring at ingest — batch t25's stateless
+  /** Streaming DSIR importance scoring at ingest — batch t26's stateless
     * twin, completing the ingest family's data-SELECTION leg: every
     * arriving doc gets its token count and its exact-BIGINT importance
-    * score (Σ per-token weight) appended, so a router can threshold or
-    * priority-queue arrivals by target-domain relevance without a batch
-    * pass. Weights train BATCH-side ([[graft.queries.TextQueries
-    * .dsirWeights]] — the importance-weight table IS the model, shipped
-    * like t19's coefficients and t21's merges); the stream applies them
-    * per row as one map lookup per token inside an `aggregate` fold —
-    * no aggregation operator, no watermark, no state store, no shuffle.
-    * Tokens outside the batch vocabulary score the OOV weight (add-one
-    * smoothing at zero counts — the one leg batch t25 cannot hit, since
-    * its vocabulary derives from the corpus it scores; EventStreamSpec
-    * pins exact per-doc parity with batch t25 on corpus docs and the
-    * OOV/empty contracts on novel ones). NULL text scores as an empty
-    * doc — zero tokens, zero units — never dropped (the encodeAtIngest
-    * contract: annotators annotate, gates gate). At 100 TB the weight
-    * table is the published fixed-bucket-count kind, so the broadcast
-    * map literal stays bounded regardless of corpus size. */
+    * score (Σ per-token bucket weight) appended, so a router can
+    * threshold or priority-queue arrivals by target-domain relevance
+    * without a batch pass. Weights train BATCH-side
+    * ([[graft.queries.TextQueries.dsirBucketWeights]] — the published
+    * DSIR construction: tokens hash into a FIXED bucket space, so the
+    * weight table is B longs regardless of corpus size; round 10's
+    * exact-vocab map was corpus-sized plan state, the seam this
+    * closes); the stream applies them per row as one array index per
+    * token inside an `aggregate` fold — no aggregation operator, no
+    * watermark, no state store, no shuffle. Novel tokens need no OOV
+    * leg: they hash into buckets like any corpus token (an untouched
+    * bucket carries the add-one weight N_c − N_t by construction).
+    * NULL text scores as an empty doc — zero tokens, zero units —
+    * never dropped (the encodeAtIngest contract: annotators annotate,
+    * gates gate). EventStreamSpec pins exact per-doc parity with batch
+    * t26 on corpus docs and the novel/NULL contracts against an
+    * independent pure-JVM bucket computation. */
   def scoreImportanceAtIngest(docs: DataFrame,
-      weights: Map[String, Long], oovWeight: Long): DataFrame = {
+      bucketWeights: Array[Long]): DataFrame = {
+    require(bucketWeights.length == graft.queries.TextQueries.DsirBuckets,
+      s"weight table must cover the fixed bucket space: " +
+        s"${bucketWeights.length} != ${graft.queries.TextQueries.DsirBuckets}")
     val toks = graft.queries.TextQueries.toksCol(coalesce(col("text"), lit("")))
-    val wmap = typedLit(weights)
+    val warr = typedLit(bucketWeights)
     docs
       .withColumn("n_tokens", size(toks).cast("bigint"))
       .withColumn("dsir_units",
-        aggregate(toks, lit(0L),
-          (acc, t) => acc + coalesce(element_at(wmap, t), lit(oovWeight))))
+        aggregate(toks, lit(0L), (acc, t) => acc + element_at(warr,
+          (graft.queries.TextQueries.dsirBucketCol(t) + 1L).cast("int"))))
   }
 
   /** Streaming NEAR-dup ingest gate — the streaming face of the d2→d3

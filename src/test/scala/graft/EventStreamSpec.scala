@@ -246,36 +246,50 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
-  test("streaming DSIR scoring equals batch t25 per doc; OOV and NULL contracts hold") {
+  test("streaming DSIR scoring equals batch t26 per doc; novel-token and NULL contracts hold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     import graft.queries.TextQueries
     implicit val sq = spark.sqlContext
-    val (weights, oov) = TextQueries.dsirWeights(spark, sf)
-    // batch truth over the full fixture corpus
-    val want = TextQueries.queries("t25_dsir_score")(spark, sf).collect()
+    val weights = TextQueries.dsirBucketWeights(spark, sf)
+    // the model is size-independent: exactly B longs, whatever the corpus
+    assert(weights.length == TextQueries.DsirBuckets)
+    // batch truth over the full fixture corpus (the BUCKETED variant —
+    // stream and batch share the bucket space by construction)
+    val want = TextQueries.queries("t26_dsir_bucketed")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // stream the same docs (plus a novel-token doc and a NULL-text doc,
-    // the two legs batch t25 cannot exercise) through the gate
+    // the two legs batch t26 cannot exercise) through the gate
     val corpusDocs = TextQueries.corpus(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val novel = (9000001L, "quokka wombat dirigible")
     val nullDoc = (9000002L, null: String)
+    // independent pure-JVM twin of the token→bucket map (MessageDigest,
+    // no Spark expression shared with the implementation under test)
+    def bucketOf(token: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(token.getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (v % TextQueries.DsirBuckets).toInt
+    }
+    val novelUnits = novel._2.split("\\s+").map(t => weights(bucketOf(t))).sum
     val ms = MemoryStream[(Long, String)]
     val df = ms.toDF().toDF("doc_id", "text")
-    val q = EventStream.scoreImportanceAtIngest(df, weights, oov).writeStream
+    val q = EventStream.scoreImportanceAtIngest(df, weights).writeStream
       .format("memory").queryName("dsirgate").outputMode("append").start()
     ms.addData(corpusDocs.toSeq :+ novel :+ nullDoc: _*)
     q.processAllAvailable()
     val got = spark.table("dsirgate").collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_units"))).toMap
-    // exact per-doc parity on every corpus doc batch t25 scored
+    // exact per-doc parity on every corpus doc batch t26 scored
     want.foreach { case (id, exp) =>
       assert(got(id) == exp, s"doc $id: stream ${got(id)} != batch $exp") }
-    // all-OOV doc: 3 tokens, 3x the OOV weight; NULL text: zero both
-    assert(got(novel._1) == ((3L, 3L * oov)), got(novel._1).toString)
+    // novel doc: 3 tokens, each scoring its bucket's weight (no OOV leg —
+    // hashing IS the out-of-vocabulary story); NULL text: zero both
+    assert(got(novel._1) == ((3L, novelUnits)), got(novel._1).toString)
     assert(got(nullDoc._1) == ((0L, 0L)), got(nullDoc._1).toString)
     // annotator contract: nothing dropped, no streaming state
     assert(got.size == corpusDocs.length + 2)
