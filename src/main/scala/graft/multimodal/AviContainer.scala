@@ -104,7 +104,7 @@ object AviContainer {
     fourcc("RIFF") ++ le32(body.length) ++ body
   }
 
-  /** Demux: every `00db`/`00dc` frame payload in file order, or None if
+  /** Demux: every video-stream frame payload in file order, or None if
     * the payload is not a parseable RIFF-AVI (the codecs' quarantine
     * discipline — a corrupt file degrades, never crashes the stage). */
   def readFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
@@ -113,44 +113,125 @@ object AviContainer {
   /** Demux WITH the stream's pixel format: (strf biCompression, frames).
     * The compression fourcc is what tells a decoder whether the frame
     * bytes are raw DIB rows (0 = BI_RGB) or per-frame JPEG images
-    * ([[MjpgFourcc]]) — [[MultimodalOps.JdkMediaCodec]] branches on it. */
-  def readVideo(payload: Array[Byte]): Option[(Int, Vector[Array[Byte]])] =
+    * ([[MjpgFourcc]]) — [[MultimodalOps.JdkMediaCodec]] branches on it.
+    * Materializes every frame (the in-memory corpus path); a file-backed
+    * consumer that must bound memory rides [[scanVideo]] +
+    * [[readFrameAt]] instead. */
+  def readVideo(payload: Array[Byte]): Option[(Int, Vector[Array[Byte]])] = {
+    val ch = new BytesChannel(payload)
+    scanVideo(ch).map { meta =>
+      (meta.compression,
+        meta.frames.map { case (off, sz) => readFrameAt(ch, off, sz) })
+    }
+  }
+
+  /** Frame-table metadata from ONE header walk: the video stream's
+    * biCompression plus each frame chunk's (offset, size). Payload bytes
+    * are never read by the walk — memory is bounded by the frame COUNT
+    * (16 bytes/frame), not the container size, which is what lets the
+    * `avi-frames` reader demux a multi-GB file without holding it. */
+  final case class AviVideoMeta(compression: Int, frames: Vector[(Long, Int)])
+
+  /** Read one frame payload at a (offset, size) from [[scanVideo]]. */
+  def readFrameAt(ch: java.nio.channels.SeekableByteChannel,
+      off: Long, size: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(size)
+    ch.position(off)
+    while (buf.hasRemaining && ch.read(buf) >= 0) {}
+    if (buf.hasRemaining)
+      throw new java.io.EOFException(s"frame truncated at $off+$size")
+    buf.array()
+  }
+
+  /** Streaming header walk over a seekable channel: chunk headers are
+    * read (8–16 bytes each) and every body — frame payloads included —
+    * is SKIPPED by seeking, so a multi-GB container costs kilobytes of
+    * reads. None iff the channel is not a parseable RIFF-AVI
+    * (quarantine); a TRUNCATED file keeps the frames that parsed.
+    *
+    * strf's layout depends on the stream TYPE its strl declares: only a
+    * 'vids' stream's strf is a BITMAPINFOHEADER — taking any stream's
+    * strf would read audio-format bytes (WAVEFORMATEX) as the pixel
+    * format on a standard video+audio file. The walk binds to the FIRST
+    * vids stream by its strl ORDINAL and accepts that stream's `##db`/
+    * `##dc` chunks — so a conforming file whose video is stream 1
+    * ('01dc' after an audio stream 0) demuxes its actual frames rather
+    * than quarantining (round-11, was hardcoded to stream 00). A file
+    * with no strh at all falls back to stream 00's chunk ids. */
+  def scanVideo(ch: java.nio.channels.SeekableByteChannel): Option[AviVideoMeta] =
     try {
-      def u32(off: Int): Long =
-        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
-          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
-      def cc(off: Int): String = new String(payload, off, 4, "US-ASCII")
-      if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
-        return None
-      val out = Vector.newBuilder[Array[Byte]]
+      val fileSize = ch.size()
+      def bytesAt(off: Long, n: Int): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        ch.position(off)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        if (buf.hasRemaining) throw new java.io.EOFException(s"header at $off")
+        buf.array()
+      }
+      def u32(b: Array[Byte], off: Int): Long =
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      def cc(b: Array[Byte], off: Int): String =
+        new String(b, off, 4, "US-ASCII")
+      if (fileSize < 12) return None
+      val head = bytesAt(0, 12)
+      if (cc(head, 0) != "RIFF" || cc(head, 8) != "AVI ") return None
+      val frames = Vector.newBuilder[(Long, Int)]
       var compression = 0 // BI_RGB when no video strf is present
-      // strf's layout depends on the stream TYPE its strl declares: only a
-      // 'vids' stream's strf is a BITMAPINFOHEADER — taking any stream's
-      // strf would read audio-format bytes (WAVEFORMATEX) as the pixel
-      // format on a standard video+audio file. Bind to the FIRST video
-      // stream: track the preceding strh's fccType, capture once.
-      var inVids = false
+      var streamIdx = -1 // ordinal of the strh most recently seen
+      var vidsStream = -1 // ordinal of the FIRST vids stream
       var haveVids = false
-      def walk(start: Int, end: Int): Unit = {
+      def walk(start: Long, end: Long): Unit = {
         var off = start
         while (off + 8 <= end) {
-          val id = cc(off)
-          val size = u32(off + 4).toInt
+          val hdr = bytesAt(off, 8)
+          val id = cc(hdr, 0)
+          val size = u32(hdr, 4).toInt
           val body = off + 8
-          if (body + size > payload.length) return // truncated: keep what parsed
+          if (body + size > fileSize) return // truncated: keep what parsed
+          val streamTag = if (vidsStream >= 0) f"$vidsStream%02d" else "00"
           if (id == "LIST") walk(body + 4, body + size) // skip the list type
-          else if (id == "strh" && size >= 4)
-            inVids = cc(body) == "vids"
-          else if (id == "strf" && size >= 20 && inVids && !haveVids) {
-            compression = u32(body + 16).toInt // BITMAPINFOHEADER offset 16
+          else if (id == "strh" && size >= 4) {
+            streamIdx += 1
+            if (cc(bytesAt(body, 4), 0) == "vids" && vidsStream < 0)
+              vidsStream = streamIdx
+          } else if (id == "strf" && size >= 20 && !haveVids &&
+              streamIdx >= 0 && streamIdx == vidsStream) {
+            compression = u32(bytesAt(body + 16, 4), 0).toInt // BITMAPINFOHEADER offset 16
             haveVids = true
-          }
-          else if (id == "00db" || id == "00dc")
-            out += java.util.Arrays.copyOfRange(payload, body, body + size)
+          } else if (id == streamTag + "db" || id == streamTag + "dc")
+            frames += ((body, size))
           off = body + size + (size & 1) // word alignment
         }
       }
-      walk(12, math.min(payload.length, 8 + u32(4).toInt))
-      Some((compression, out.result()))
+      walk(12, math.min(fileSize, 8 + u32(head, 4)))
+      Some(AviVideoMeta(compression, frames.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Read-only SeekableByteChannel over a byte array — lets the
+    * in-memory entry points ([[readVideo]]) share the one channel
+    * walker instead of keeping a second byte-offset copy of the chunk
+    * grammar. */
+  private final class BytesChannel(bytes: Array[Byte])
+      extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var openFlag = true
+    override def read(dst: java.nio.ByteBuffer): Int =
+      if (pos >= bytes.length) -1
+      else {
+        val n = math.min(dst.remaining().toLong, bytes.length - pos).toInt
+        dst.put(bytes, pos.toInt, n); pos += n; n
+      }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new java.nio.channels.NonWritableChannelException
+    override def position(): Long = pos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      require(p >= 0); pos = p; this
+    }
+    override def size(): Long = bytes.length.toLong
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new java.nio.channels.NonWritableChannelException
+    override def isOpen: Boolean = openFlag
+    override def close(): Unit = openFlag = false
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,8 +16,8 @@ import graft.multimodal.AviContainer
 
 /** DataSource V2 connector `avi-frames`: a directory of AVI container
   * files read as a FRAME TABLE — one row per demuxed frame —
-  * `spark.read.format("avi-frames").load(dir)` with schema
-  * `(path STRING, codec STRING, n_frames INT, frame_no INT,
+  * `spark.read.format("avi-frames").load(dir)` (or `.load(d1, d2, …)`)
+  * with schema `(path STRING, codec STRING, n_frames INT, frame_no INT,
   * frame_bytes BINARY)`.
   *
   * This is the engine-level shape of media ingest at 100 TB: frame
@@ -27,23 +27,37 @@ import graft.multimodal.AviContainer
   * is a sequential byte walk, so splitting inside one is pointless and
   * merging files only loses locality), and the frame rows flow straight
   * into the same fingerprint/dedup plans the in-memory corpus uses.
-  * Column pruning is pushed into the reader: a query over
-  * `(path, frame_no)` — m3's join key space — never materializes
-  * `frame_bytes` into rows, so counting or keying frames reads payload
-  * bytes once (the demux walk) and copies nothing.
+  *
+  * Pushdown, both kinds (round-11 completes the filter half):
+  *  - COLUMN pruning reaches the reader: since the header walk never
+  *    touches payload bytes, a query over `(path, frame_no)` — m3's
+  *    join key space — does not even READ frame payloads off disk.
+  *  - FILTERS on `path` prune the FILE LISTING on the driver: equality,
+  *    IN, prefix/suffix/contains are evaluated against each candidate
+  *    file's full path before any partition is planned, so
+  *    `.filter(col("path") === f)` demuxes exactly one file instead of
+  *    walking the whole landing zone. `path` is constant per file, so
+  *    the pruned filters are FULLY satisfied — no residual re-check.
   *
   * Codec surfaces as the fourcc string ("DIB " for BI_RGB, "MJPG", or
   * the raw fourcc otherwise) so a consumer can route frames to the
   * right decoder ([[graft.multimodal.MultimodalOps.JdkMediaCodec]]'s
   * branch, or the ffmpeg seam for inter-frame codecs). Unparseable
   * files yield ZERO rows rather than failing the scan — the codecs'
-  * quarantine discipline at the source level; a production build would
-  * side-channel the quarantined paths.
+  * quarantine discipline at the source level — and every quarantined
+  * path is recorded in [[AviFrameSource.quarantined]] (a per-JVM side
+  * channel: drainable in local mode and per-executor on a cluster,
+  * where a production build would feed it to a metrics sink), so
+  * zero-row files are observable instead of silent.
   *
-  * Scope: batch read only (TableCapability.BATCH_READ). Local
-  * filesystem listing (java.io) — the fixture's reality; an object-store
-  * build swaps the listing for the Hadoop FileSystem API, the reader
-  * logic is byte-identical. */
+  * Memory: the reader holds ONE open channel and the frame offset table
+  * (16 bytes/frame); payloads are seek-read one frame at a time — a
+  * multi-GB container never lives in executor memory (round-11; the
+  * prior reader readAllBytes'd the container).
+  *
+  * Scope: batch + micro-batch read. Local filesystem listing (java.io)
+  * — the fixture's reality; an object-store build swaps the listing for
+  * the Hadoop FileSystem API, the reader logic is byte-identical. */
 class AviFrameSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "avi-frames"
 
@@ -51,9 +65,21 @@ class AviFrameSource extends TableProvider with DataSourceRegister {
     AviFrameSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new AviFrameTable(Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("avi-frames: .load(<dir>) path is required")))
+      properties: util.Map[String, String]): Table = {
+    // .load(p) lands in 'path'; .load(p1, p2, …) lands in 'paths' as a
+    // JSON array (DataFrameReader's convention) — handle both, so a
+    // multi-path load works instead of failing with the misleading
+    // "path is required" (round-11 advice)
+    val paths = Option(properties.get("paths")) match {
+      case Some(json) =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(json, classOf[Array[String]]).toSeq
+      case None => Option(properties.get("path")).map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException(
+          "avi-frames: .load(<dir>[, <dir>…]) path is required"))
+    }
+    new AviFrameTable(paths)
+  }
 }
 
 object AviFrameSource {
@@ -64,6 +90,21 @@ object AviFrameSource {
     StructField("frame_no", IntegerType, nullable = false),
     StructField("frame_bytes", BinaryType, nullable = false)))
 
+  /** Streaming-face option: skip files whose mtime is within this many
+    * ms of now when advancing the offset, so a file still being written
+    * when listed is not demuxed half-landed and then skipped forever by
+    * the name-interval offset (round-11 advice). Default 0: the
+    * documented landing contract is temp-name + rename (files are
+    * immutable once their final name exists), under which no grace is
+    * needed; producers that write in place opt in. */
+  val GraceMsOption = "grace.ms"
+
+  /** Quarantined container paths (files that yielded zero rows because
+    * they failed to open or parse), per-JVM. A side CHANNEL, not part
+    * of any query result: local-mode tests and operators drain it to
+    * tell "empty valid file" from "quarantined garbage". */
+  val quarantined = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private[sources] def fourccString(compression: Int): String =
     if (compression == 0) "DIB "
     else new String(Array(
@@ -72,48 +113,91 @@ object AviFrameSource {
       "US-ASCII")
 }
 
-private class AviFrameTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"avi-frames:$path"
+private class AviFrameTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"avi-frames:${paths.mkString(",")}"
   override def schema(): StructType = AviFrameSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AviScanBuilder(path)
+    new AviScanBuilder(paths,
+      options.getLong(AviFrameSource.GraceMsOption, 0L))
 }
 
-private class AviScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private class AviScanBuilder(paths: Seq[String], graceMs: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = AviFrameSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AviScan(path, required)
+
+  /** Accept exactly the `path` predicates the listing can evaluate on a
+    * full file path; everything else stays with Spark. Accepted filters
+    * are fully absorbed (path is constant per file and the listing
+    * applies the very same predicate), so they are NOT returned as
+    * residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo("path", _: String) => true
+      case In("path", vs) => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith("path", _) => true
+      case StringEndsWith("path", _) => true
+      case StringContains("path", _) => true
+      case IsNotNull("path") => true // vacuous on a non-nullable column
+      case _ => false
+    }
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new AviScan(paths, required, pushed, graceMs)
 }
 
-private class AviScan(path: String, required: StructType) extends Scan with Batch {
+private class AviScan(paths: Seq[String], required: StructType,
+    pushed: Array[Filter], graceMs: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    AviScan.list(path).map(f => AviFilePartition(f): InputPartition)
+    AviScan.list(paths, pushed).map(f => AviFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AviReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AviMicroBatchStream(path, required)
+    new AviMicroBatchStream(paths, required, pushed, graceMs)
+
+  override def description(): String =
+    s"avi-frames ${paths.mkString(",")} PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 private object AviScan {
   /** One work unit per container file, name-sorted: demux is a
     * sequential byte walk, so a file is indivisible; listing happens on
-    * the driver (names only), payload bytes are read on executors. */
-  def list(path: String): Array[String] = {
-    val dir = new java.io.File(path)
-    val files =
+    * the driver (names only), payload bytes are read on executors.
+    * Pushed `path` filters prune HERE — a pruned file never becomes a
+    * partition, so its container is never opened, let alone demuxed. */
+  def list(paths: Seq[String], pushed: Array[Filter]): Array[String] =
+    listFiles(paths).map(_.getAbsolutePath).filter(p => keep(p, pushed)).sorted
+
+  def listFiles(paths: Seq[String]): Array[java.io.File] =
+    paths.toArray.flatMap { path =>
+      val dir = new java.io.File(path)
       if (dir.isFile) Array(dir)
-      else Option(dir.listFiles()).getOrElse(Array.empty)
+      else Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".avi"))
-    files.map(_.getAbsolutePath).sorted
+    }
+
+  def keep(path: String, pushed: Array[Filter]): Boolean = pushed.forall {
+    case EqualTo(_, v) => path == v
+    case In(_, vs) => vs.exists(_ == path)
+    case StringStartsWith(_, p) => path.startsWith(p)
+    case StringEndsWith(_, s) => path.endsWith(s)
+    case StringContains(_, s) => path.contains(s)
+    case IsNotNull(_) => true
+    case f => throw new IllegalStateException(s"unprunable filter pushed: $f")
   }
 }
 
@@ -131,15 +215,38 @@ private object AviScan {
   * is skipped, exactly like a file mutated in place under Spark's own
   * file source. Each batch reads through the SAME reader as the batch
   * scan — quarantine (zero rows for a corrupt container) and pruning
-  * behave identically in both faces. Files are immutable once landed;
+  * behave identically in both faces; pushed `path` filters prune each
+  * batch's listing too.
+  *
+  * LANDING CONTRACT: files must be immutable once their final name
+  * exists — land via temp-name (non-.avi suffix) + atomic rename. A
+  * producer that instead writes .avi bytes in place risks the tail
+  * demuxing a half-written file (quarantine or short frames) and the
+  * offset committing PAST it — its frames are then lost forever, since
+  * re-reads only look above the committed name. For such producers the
+  * `grace.ms` option skips files whose mtime is younger than the
+  * window when ADVANCING the offset, leaving them for a later batch;
   * commit is a no-op because the offset IS the durable state Spark
   * checkpoints. */
-private class AviMicroBatchStream(path: String, required: StructType)
-    extends MicroBatchStream {
-  private def snapshot(): Array[String] = AviScan.list(path)
+private class AviMicroBatchStream(paths: Seq[String], required: StructType,
+    pushed: Array[Filter], graceMs: Long) extends MicroBatchStream {
+  private def snapshot(): Array[String] = AviScan.list(paths, pushed)
+  /** The offset-advancing view: under a grace window, a too-fresh file
+    * must not become the latest offset (it would commit past files
+    * still being written). planInputPartitions keeps using the full
+    * snapshot — a graced file whose name sorts inside an already-chosen
+    * window is still read, just never skipped-by-commit. */
+  private def settled(): Array[String] =
+    if (graceMs <= 0) snapshot()
+    else {
+      val cutoff = System.currentTimeMillis() - graceMs
+      AviScan.listFiles(paths)
+        .filter(f => f.lastModified() <= cutoff)
+        .map(_.getAbsolutePath).filter(p => AviScan.keep(p, pushed)).sorted
+    }
   override def initialOffset(): Offset = AviFileOffset("")
   override def latestOffset(): Offset =
-    AviFileOffset(snapshot().lastOption.getOrElse(""))
+    AviFileOffset(settled().lastOption.getOrElse(""))
   override def deserializeOffset(json: String): Offset = AviFileOffset(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[AviFileOffset].name
@@ -167,27 +274,37 @@ private class AviReaderFactory(required: StructType)
 
 private class AviFrameReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
-  // the payload is read and demuxed ONCE per file, on the executor;
-  // unparseable files surface as zero rows (quarantine, not crash)
-  private val parsed: (Int, Vector[Array[Byte]]) = {
-    val bytes =
-      try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
-      catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
-    AviContainer.readVideo(bytes).getOrElse((0, Vector.empty))
-  }
-  private val codec = UTF8String.fromString(AviFrameSource.fourccString(parsed._1))
+  // ONE open channel per file: the header walk (scanVideo) seeks over
+  // payload bytes, so executor memory holds the offset table plus at
+  // most one frame — never the container. Unopenable or unparseable
+  // files surface as zero rows (quarantine, not crash) and land on the
+  // side channel so the silence is observable.
+  private val channel: Option[java.nio.channels.SeekableByteChannel] =
+    try Some(java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(file)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  private val meta: AviContainer.AviVideoMeta =
+    channel.flatMap(AviContainer.scanVideo) match {
+      case Some(m) => m
+      case None =>
+        AviFrameSource.quarantined.add(file)
+        AviContainer.AviVideoMeta(0, Vector.empty)
+    }
+  private val codec = UTF8String.fromString(AviFrameSource.fourccString(meta.compression))
   private val pathUtf = UTF8String.fromString(file)
-  private val n = parsed._2.length
+  private val n = meta.frames.length
   private var i = -1
 
   // resolve the projection ONCE: a pruned scan that omits frame_bytes
-  // never copies frame payloads into rows
+  // never reads a single payload byte off disk (the offsets suffice)
   private val getters: Array[Int => Any] = required.fields.map(_.name match {
     case "path" => (_: Int) => pathUtf
     case "codec" => (_: Int) => codec
     case "n_frames" => (_: Int) => n
     case "frame_no" => (f: Int) => f
-    case "frame_bytes" => (f: Int) => parsed._2(f)
+    case "frame_bytes" => (f: Int) => {
+      val (off, size) = meta.frames(f)
+      AviContainer.readFrameAt(channel.get, off, size)
+    }
     case other => throw new IllegalArgumentException(s"unknown column $other")
   })
 
@@ -201,5 +318,5 @@ private class AviFrameReader(file: String, required: StructType)
     while (c < getters.length) { values(c) = getters(c)(i); c += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
-  override def close(): Unit = ()
+  override def close(): Unit = channel.foreach(_.close())
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.{AviContainer, MultimodalOps}
+import graft.sources.AviFrameSource
 
 /** The `avi-frames` DataSource V2 connector: container files on disk read
   * as a frame table — schema, demux fidelity across both codecs, one
@@ -93,6 +94,103 @@ class AviFrameSourceSpec extends AnyFunSuite {
       // the stream is stateless source-side tailing: no state operators
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
+  }
+
+  test("path filter pushdown prunes the file listing: only matching files are planned or opened") {
+    val dir = writeCorpus()
+    AviFrameSource.quarantined.clear()
+    val df = spark.read.format("avi-frames").load(dir.getAbsolutePath)
+    val one = df.filter(col("path").endsWith("b_mjpg.avi"))
+    // the pushed filter must reach the scan (DSv2 renders pushedFilters
+    // through Scan.description) and prune partition PLANNING, not rows
+    val pruned = one.select("path", "frame_no")
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"filter did not prune the listing: ${pruned.rdd.getNumPartitions} partitions")
+    assert(one.count() == MultimodalOps.VideoFrames.toLong)
+    // c_garbage.avi was never opened: a pruned file cannot quarantine
+    assert(!AviFrameSource.quarantined.contains(
+      new java.io.File(dir, "c_garbage.avi").getAbsolutePath),
+      "pruned-out garbage file was still opened")
+    // equality + IN prune to exactly the named files
+    val aPath = new java.io.File(dir, "a_dib.avi").getAbsolutePath
+    val eq = df.filter(col("path") === aPath).select("path", "frame_no")
+    assert(eq.rdd.getNumPartitions == 1)
+    // unrelated predicates (frame_no) must NOT be absorbed: rows still filter
+    assert(df.filter(col("frame_no") === 0).count() == 2)
+  }
+
+  test("quarantined files land on the side channel; multi-path load unions listings") {
+    val dir = writeCorpus()
+    AviFrameSource.quarantined.clear()
+    val df = spark.read.format("avi-frames").load(dir.getAbsolutePath)
+    assert(df.count() == 2 * MultimodalOps.VideoFrames)
+    val garbage = new java.io.File(dir, "c_garbage.avi").getAbsolutePath
+    assert(AviFrameSource.quarantined.contains(garbage),
+      s"zero-row garbage file not observable: ${AviFrameSource.quarantined}")
+    // .load(p1, p2): the 'paths' JSON key, round-11 advice — both dirs list
+    val dir2 = java.nio.file.Files.createTempDirectory("aviframes3").toFile
+    dir2.deleteOnExit()
+    java.nio.file.Files.write(new java.io.File(dir2, "d.avi").toPath,
+      MultimodalOps.renderVideo(9L))
+    val multi = spark.read.format("avi-frames")
+      .load(dir.getAbsolutePath, dir2.getAbsolutePath)
+    assert(multi.count() == 3 * MultimodalOps.VideoFrames)
+  }
+
+  test("streaming grace window holds back too-fresh files until they settle") {
+    val dir = java.nio.file.Files.createTempDirectory("avigrace").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "000-fresh.avi")
+    java.nio.file.Files.write(f.toPath, MultimodalOps.renderVideo(1L))
+    val q = spark.readStream.format("avi-frames")
+      .option(AviFrameSource.GraceMsOption, "3600000") // 1 h: nothing settles
+      .load(dir.getAbsolutePath)
+      .select(col("path"), col("frame_no"))
+      .writeStream.format("memory").queryName("avigrace")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the just-written file is within the grace window: the offset must
+      // not advance past it (a half-landed file would be lost forever)
+      assert(spark.table("avigrace").count() == 0,
+        "grace window did not hold back a fresh file")
+      // age the file past the window: the next batch picks it up
+      assert(f.setLastModified(System.currentTimeMillis() - 7200000L))
+      q.processAllAvailable()
+      assert(spark.table("avigrace").count() == MultimodalOps.VideoFrames.toLong)
+    } finally q.stop()
+  }
+
+  test("multi-stream container: video as stream 1 (01dc after an audio stream) demuxes its frames") {
+    // hand-built RIFF (independent of AviContainer's writer): strl[0] is
+    // an audio stream, strl[1] the MJPG video stream, frames in 01dc —
+    // the file the round-10 demuxer quarantined by hardcoding stream 00
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]) =
+      cc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(t: String, body: Array[Byte]) = chunk("LIST", cc(t) ++ body)
+    val frames = Vector(Array.fill(10)(7.toByte), Array.fill(11)(9.toByte))
+    val audStrh = cc("auds") ++ cc("    ") ++ Array.fill(48)(0.toByte)
+    val audStrf = Array.fill(18)(0.toByte) // WAVEFORMATEX-sized blob
+    val vidStrh = cc("vids") ++ cc("MJPG") ++ Array.fill(48)(0.toByte)
+    val vidStrf = le32(40) ++ le32(4) ++ le32(3) ++ Array[Byte](1, 0, 24, 0) ++
+      le32(AviContainer.MjpgFourcc) ++ Array.fill(20)(0.toByte)
+    val hdrl = list("hdrl",
+      list("strl", chunk("strh", audStrh) ++ chunk("strf", audStrf)) ++
+        list("strl", chunk("strh", vidStrh) ++ chunk("strf", vidStrf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("01dc", f)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val payload = cc("RIFF") ++ le32(body.length) ++ body
+    val got = AviContainer.readVideo(payload)
+    assert(got.isDefined, "multi-stream file quarantined")
+    val (compression, fs) = got.get
+    assert(compression == AviContainer.MjpgFourcc,
+      f"picked the wrong strf: 0x$compression%08x")
+    assert(fs.length == 2 && fs.zip(frames).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) }, "01dc frames not demuxed")
   }
 
   test("frame-level dedup runs straight off the connector: re-muxed files pair by shared frames") {
