@@ -86,6 +86,10 @@ object BatchPipeline {
     RoundResult(events, finalJobs)
   }
 
+  /** Shard manifest + the per-language row counts of the frame that was
+    * written, both derived from ONE evaluation of the clean-corpus chain. */
+  case class ExportAudit(manifest: DataFrame, expected: DataFrame)
+
   /** The LLM-corpus counterpart of [[runRound]]: prepare-and-export in one
     * pass. Runs the full corpus-prep composition (t12: dedup keep-set ∖
     * contamination, quality floor, PII-redacted text), restores the
@@ -96,12 +100,32 @@ object BatchPipeline {
     * shared bases; the only new work is one doc_id equi-join and the
     * export shuffle (one task per routing value). */
   def exportCleanCorpus(spark: SparkSession, dir: String, outDir: String,
-      maxRecordsPerFile: Int = 10000): DataFrame = {
+      maxRecordsPerFile: Int = 10000): DataFrame =
+    exportCleanCorpusAudited(spark, dir, outDir, maxRecordsPerFile).manifest
+
+  /** [[exportCleanCorpus]] plus the conservation baseline: the clean frame
+    * is persisted, the write materializes it, and the per-language expected
+    * counts ride the SAME materialization (the write input, counted once) —
+    * so the rows_conserved audit checks the WRITER against its input
+    * without paying a second clean-corpus chain. The counts collapse to
+    * one bounded row per routing value (languages), the legitimate
+    * driver-side scalar, and the cache is dropped before returning. */
+  def exportCleanCorpusAudited(spark: SparkSession, dir: String,
+      outDir: String, maxRecordsPerFile: Int = 10000): ExportAudit = {
     val clean = graft.queries.TextQueries.queries("t12_clean_corpus")(spark, dir)
       .join(graft.queries.TextQueries.corpus(spark, dir).select("doc_id", "lang"),
         "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.sinks.ShardWriter.writeShards(
       clean, outDir, "lang", "doc_id", maxRecordsPerFile)
-    graft.sinks.ShardWriter.manifest(spark, outDir, "lang", "doc_id")
+    val expectedDf = clean.groupBy(col("lang"))
+      .agg(count(lit(1)).as("expected_rows"))
+    val expectedRows = expectedDf.collect() // n_langs rows, rides the cache
+    clean.unpersist(blocking = false)
+    val expected = spark.createDataFrame(
+      java.util.Arrays.asList(expectedRows: _*), expectedDf.schema)
+    ExportAudit(
+      graft.sinks.ShardWriter.manifest(spark, outDir, "lang", "doc_id"),
+      expected)
   }
 }

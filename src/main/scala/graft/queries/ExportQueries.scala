@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * pins the exported CONTENT, ShardWriterSpec pins layout/cap/rerun
   * determinism, and this query carries row CONSERVATION in its own output
   * — `rows_conserved` compares the manifest's written rows per language
-  * against an independent count of the clean corpus, so a lost or
-  * double-written shard flips a visible column, not a hidden invariant.
+  * against the per-language count of the write-input frame (counted once
+  * off the same materialization the writer consumed — the check targets
+  * the WRITER, so a lost or double-written shard flips a visible column,
+  * not a hidden invariant, without paying a second clean-corpus chain).
   *
   * Scale shape: the export is ShardWriter's one routing-keyed shuffle; the
   * audit is one groupBy over the (files × languages)-sized manifest plus a
@@ -34,11 +36,10 @@ object ExportQueries {
       .toString
 
   def xExportManifest(spark: SparkSession, dir: String): DataFrame = {
-    val manifest =
-      graft.pipeline.BatchPipeline.exportCleanCorpus(spark, dir, outDirFor(dir))
-    val expected = TextQueries.queries("t12_clean_corpus")(spark, dir)
-      .join(TextQueries.corpus(spark, dir).select("doc_id", "lang"), "doc_id")
-      .groupBy(col("lang")).agg(count(lit(1)).as("expected_rows"))
+    val audit = graft.pipeline.BatchPipeline
+      .exportCleanCorpusAudited(spark, dir, outDirFor(dir))
+    val manifest = audit.manifest
+    val expected = audit.expected
     manifest.groupBy(col("lang"))
       .agg(countDistinct(col("file")).as("n_shards"),
         sum(col("n_rows")).as("written_rows"))
