@@ -269,8 +269,11 @@ object VectorQueries {
           (col("nrm") * col("cn")), 6).as("ccos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
+    // ccos (the rounded cosine to the assigned centroid) rides along:
+    // v11's prototypicality IS this value, and keeping it costs nothing —
+    // every other caller projects it away explicitly
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
   }
 
   /** Memoized IVF quantizer training — Lloyd: seeds -> (assign -> mean) x
@@ -595,7 +598,80 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
+  /** v11's prune fraction as exact integer arithmetic: a cell of n keeps
+    * all but ceil(n/4) = (n+3) div 4 vectors — no doubles near the cut. */
+  private val ProtoPruneDen = 4
+
+  /** v11 — prototype pruning (the SSL-prototypes data-pruning shape): a
+    * vector's PROTOTYPICALITY is its cosine to its own cluster centroid —
+    * the most prototypical vectors in each cluster are the most redundant
+    * with the cluster's core, and on large corpora the published recipe
+    * prunes the easy/prototypical fraction, keeping the diverse tail.
+    * Reuses the SAME memoized IVF quantizer as v4/v6/v8 (train once, every
+    * consumer probes): assign each corpus vector to its cell, rank within
+    * the cell by assigned-centroid cosine (desc, vec_id ties), and mark
+    * the top ceil(n_cell/4) pruned.
+    *
+    * Plan shape at 100 TB: quantizer broadcast (K x dims), assignment is
+    * the one stateless broadcast join + per-vector argmax, then ONE
+    * cell-keyed window carries rank and cell size together — a single
+    * shuffle keyed by cell, no pairwise surface at all (this is the whole
+    * point vs v8: pruning by centroid distance costs O(N), not O(N²/K)).
+    * Cells are ~constant-size at production K ~ sqrt(N), so the window
+    * partitions stay bounded. */
+  def v11PrototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
+    val a = assignCells(cent, emb(spark, dir), 1)
+      .select(col("vec_id"), col("cell"), col("ccos"))
+    val wProto = Window.partitionBy(col("cell"))
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    val wCell = Window.partitionBy(col("cell"))
+    a.withColumn("proto_rank", row_number().over(wProto).cast("bigint"))
+      .withColumn("n_cell", count(lit(1)).over(wCell))
+      .select(col("vec_id"), col("cell"), col("ccos"), col("proto_rank"),
+        when(col("proto_rank") <=
+          expr(s"(n_cell + ${ProtoPruneDen - 1}) div $ProtoPruneDen"), 0L)
+          .otherwise(1L).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** v12 — cluster-balanced subsampling: flatten the cluster-size
+    * distribution by capping every cluster at the MEAN cell size
+    * (budget = N div K), choosing each cell's survivors by a deterministic
+    * md5-slice order (the t9 sampling discipline — rerun-identical, no
+    * RNG). Over-represented clusters (boilerplate-heavy modes in a real
+    * corpus) are truncated to the mean; under-represented ones pass
+    * whole — the diversity-balancing selection step a pretraining mix
+    * applies after semantic dedup.
+    *
+    * Plan shape at 100 TB: same single cell-keyed window as v11 (the hash
+    * is a per-row scalar, the budget is a 1-row broadcast aggregate — the
+    * t14/t25 `tot` pattern); no pairwise surface, no skew (the hash order
+    * is uniform within every cell). */
+  def v12BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
+    val a = assignCells(cent, emb(spark, dir), 1)
+      .select(col("vec_id"), col("cell"))
+    val budget = a.agg((count(lit(1)) cast "bigint").as("n"))
+      .select(expr(s"n div $IvfCells").as("cell_budget"))
+    val h = conv(substring(md5(concat(lit("bal:"), col("vec_id").cast("string"))),
+      1, 8), 16, 10).cast("bigint")
+    val wSamp = Window.partitionBy(col("cell"))
+      .orderBy(col("hv").asc, col("vec_id").asc)
+    a.withColumn("hv", h)
+      .withColumn("samp_rank", row_number().over(wSamp).cast("bigint"))
+      .crossJoin(broadcast(budget))
+      .select(col("vec_id"), col("cell"), col("samp_rank"),
+        when(col("samp_rank") <= col("cell_budget"), 1L).otherwise(0L)
+          .as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_prototype_prune" -> v11PrototypePrune,
+    "v12_balanced_sample" -> v12BalancedSample,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -776,7 +852,64 @@ object VectorQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** v11 oracle: the shared Lloyd chain, then a final corpus assignment
+    * that KEEPS the rounded assigned-centroid cosine (the standard assign
+    * CTE discards it — prototypicality is that value), then one
+    * cell-partitioned rank against the exact ceil(n/4) integer cut. */
+  private def protoPruneOracle: String = {
+    val L = LloydIters
+    s"""WITH $valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |ascored AS (
+       |  SELECT vec_id, cell, ccos FROM (
+       |    SELECT d.vec_id, d.cell, round(d.dp / (n.nrm * cn.cn), 6) AS ccos,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |                              ORDER BY round(d.dp / (n.nrm * cn.cn), 6) DESC,
+       |                                       d.cell ASC) AS rk
+       |    FROM (SELECT x.vec_id, c.cell, SUM(x.v * c.cv) AS dp
+       |          FROM vals x JOIN cent$L c ON x.pos = c.pos
+       |          GROUP BY 1, 2) d
+       |    JOIN norms n ON d.vec_id = n.vec_id
+       |    JOIN cn$L cn ON d.cell = cn.cell)
+       |  WHERE rk = 1),
+       |sized AS (SELECT cell, COUNT(*) AS n_cell FROM ascored GROUP BY cell),
+       |ranked AS (
+       |  SELECT vec_id, cell, ccos,
+       |         row_number() OVER (PARTITION BY cell
+       |                            ORDER BY ccos DESC, vec_id ASC) AS proto_rank
+       |  FROM ascored)
+       |SELECT r.vec_id, r.cell, r.ccos, CAST(r.proto_rank AS BIGINT) AS proto_rank,
+       |       CAST(CASE WHEN r.proto_rank <= (s.n_cell + ${ProtoPruneDen - 1}) // $ProtoPruneDen
+       |            THEN 0 ELSE 1 END AS BIGINT) AS is_kept
+       |FROM ranked r JOIN sized s ON r.cell = s.cell
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
+  /** v12 oracle: shared Lloyd chain + standard final assignment; the
+    * budget is COUNT(*) // cells and the within-cell order is the same
+    * md5-slice the Spark plan computes. */
+  private def balancedSampleOracle: String = {
+    val fin = LloydIters + 1
+    s"""WITH $valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |${ivfAssignCte(fin, "fassign", 1)},
+       |budget AS (SELECT COUNT(*) // $IvfCells AS cell_budget FROM fassign),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY cell
+       |           ORDER BY CAST(('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |                    vec_id ASC) AS samp_rank
+       |  FROM fassign)
+       |SELECT r.vec_id, r.cell, CAST(r.samp_rank AS BIGINT) AS samp_rank,
+       |       CAST(CASE WHEN r.samp_rank <= b.cell_budget THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM ranked r, budget b ORDER BY r.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "v11_prototype_prune" -> protoPruneOracle,
+    "v12_balanced_sample" -> balancedSampleOracle,
     "v10_sq_ann" ->
       s"""WITH $valsCte,
          |gmax AS (SELECT MAX(abs(v)) AS g FROM vals),

@@ -245,4 +245,35 @@ class VectorSpec extends AnyFunSuite {
       .select("cell").distinct().count()
     assert(c8 == 8, "default K must remain the fixture pin")
   }
+
+  test("v11 prototype prune: exact ceil(n/4) cut per cell, pruned are the most prototypical") {
+    val rows = VectorQueries.v11PrototypePrune(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n, "one verdict per corpus vector")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.groupBy(_.getLong(1)).foreach { case (cell, cellRows) =>
+      val (pruned, kept) = cellRows.partition(_.getLong(4) == 0L)
+      assert(pruned.length == (cellRows.length + 3) / 4,
+        s"cell $cell: pruned ${pruned.length} of ${cellRows.length}")
+      if (kept.nonEmpty && pruned.nonEmpty)
+        // the cut is by prototypicality: every pruned cosine >= every kept
+        assert(pruned.map(_.getDouble(2)).min >= kept.map(_.getDouble(2)).max,
+          s"cell $cell: a kept vector out-prototypes a pruned one")
+    }
+  }
+
+  test("v12 balanced sample: every cell capped at the mean size, under-mean cells pass whole") {
+    val rows = VectorQueries.v12BalancedSample(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n)
+    val budget = n / 8 // N div IvfCells, the plan's broadcast scalar
+    rows.groupBy(_.getLong(1)).foreach { case (cell, cellRows) =>
+      val kept = cellRows.count(_.getLong(3) == 1L)
+      assert(kept == math.min(cellRows.length.toLong, budget),
+        s"cell $cell: kept $kept of ${cellRows.length}, budget $budget")
+    }
+    // deterministic: the md5-slice order makes reruns byte-identical
+    val again = VectorQueries.v12BalancedSample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
