@@ -55,7 +55,7 @@ object VectorQueries {
     * registered via GraftExtensions) — bit-identical to the higher-order
     * `aggregate(zip_with(...))` fold it replaced, minus the per-element
     * lambda dispatch and array allocation (VectorSpec pins the equality). */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     call_function("float_dot", a, b)
 
   /** The HOF form the custom expression replaced — kept for the equality
@@ -64,7 +64,7 @@ object VectorQueries {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** 8-bit sign-bucket of the first 8 dims (the LSH/IVF cell key). */
   private def bucket(a: Column): Column =
@@ -288,12 +288,21 @@ object VectorQueries {
   private[graft] def trainedCentroids(spark: SparkSession, dir: String,
       cells: Int = IvfCells): DataFrame = {
     import spark.implicits._
+    quantizerRows(spark, dir, cells).toDF("cell", "cvec")
+  }
+
+  /** The memoized quantizer's local rows — the (K x dims) model state
+    * itself, for consumers that need it driver-side (the streaming gate's
+    * per-row assignment expression). */
+  private[graft] def quantizerRows(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
     val e = emb(spark, dir)
     def toLocal(c: DataFrame): DataFrame =
       c.select(col("cell").cast("bigint"), col("cvec"))
         .as[(Long, Seq[Double])].collect().toSeq
         .toDF("cell", "cvec")
-    val centRows = quantizers.synchronized(quantizers.get((dir, cells))).getOrElse {
+    quantizers.synchronized(quantizers.get((dir, cells))).getOrElse {
       val seeds = e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
@@ -309,8 +318,42 @@ object VectorQueries {
       val rows = trained.as[(Long, Seq[Double])].collect().toSeq
       quantizers.synchronized(quantizers.getOrElseUpdate((dir, cells), rows))
     }
-    centRows.toDF("cell", "cvec")
   }
+
+  /** Per-row cell assignment as a pure Column expression over the LOCAL
+    * quantizer rows — the streaming-safe form of [[assignCells]] (no
+    * window, no shuffle, no state): each centroid contributes one rounded
+    * cosine term, and a cell-ascending strict-greater fold reproduces the
+    * batch argmax (ccos desc, cell asc ties) exactly. The centroid norms
+    * are driver-computed with the same left-to-right double fold the
+    * codegen'd float_dot uses, so every value is bit-identical to the
+    * batch assignment. Expression size is K terms: fine through hundreds
+    * of cells; at production K (up to 2^16) the same arithmetic moves to
+    * a mapPartitions probe over a broadcast centroid matrix. */
+  private[graft] def cellAssignCol(e: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    val n = norm(e)
+    val scored = cents.sortBy(_._1).map { case (cell, cv) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      (lit(cell).cast("bigint"),
+        round(dot(e, typedLit(cv)) / (n * lit(cn)), 6))
+    }
+    scored.tail.foldLeft(
+      struct(scored.head._2.as("s"), scored.head._1.as("cell"))) { (acc, sc) =>
+        when(sc._2 > acc.getField("s"),
+          struct(sc._2.as("s"), sc._1.as("cell"))).otherwise(acc)
+    }.getField("cell")
+  }
+
+  /** Static side of the streaming semantic gate (and any cell probe): the
+    * corpus assigned to its quantizer cells with per-vector norms — the
+    * same frame v4/v8 build internally, surfaced for stream-static joins.
+    * At 100 TB this is a bucketed parquet table keyed by cell, re-read
+    * per micro-batch. */
+  def corpusCellIndex(spark: SparkSession, dir: String): DataFrame =
+    assignCells(trainedCentroids(spark, dir), emb(spark, dir), 1)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        norm(col("embedding")).as("nrm"))
 
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -437,7 +480,7 @@ object VectorQueries {
 
   /** Within-cell duplicate threshold for v8 — same rounded-cosine bar as
     * v5, shared with the oracle twin. */
-  private val SemDedupCosine = "0.999"
+  private[graft] val SemDedupCosine = "0.999"
 
   /** v8 — SEMANTIC dedup (the SemDeDup shape): cluster the corpus with the
     * SAME trained IVF quantizer as v4/v6, compute exact rounded cosine only

@@ -243,6 +243,46 @@ object EventStream {
     }.drop("bk_arr")
   }
 
+  /** Streaming SEMANTIC near-dup gate — the embedding-modality leg of the
+    * ingest-dedup topology (v8's SemDeDup discipline at ingest): an
+    * arriving vector dies when any corpus vector in its quantizer cell is
+    * within the shared cosine bar. An arrival is by definition newer than
+    * every corpus member, so "drop the arrival" is exactly v8's
+    * drop-the-greater-id pair rule.
+    *
+    * The arrival's cell is computed PER ROW by [[graft.queries
+    * .VectorQueries.cellAssignCol]] — the batch argmax as a pure
+    * expression over the memoized (K x dims) quantizer rows, bit-identical
+    * to the batch assignment — so the stream side needs no window, no
+    * aggregation, no state store. The kill itself is ONE stream-static
+    * LEFT ANTI join whose condition carries both the cell equality and
+    * the rounded-cosine bar: stateless, and the static index is re-read
+    * per micro-batch so a corpus compaction is picked up live.
+    *
+    * Scale notes: the static side is [[graft.queries.VectorQueries
+    * .corpusCellIndex]] — at 100 TB a bucketed parquet table keyed by
+    * cell, so the anti-join prunes to the arrival's cell before any
+    * cosine is computed (~N/K candidates per arrival, SemDeDup's published
+    * cost model); the quantizer stays bounded model state (<= 2^16 cells
+    * by the ivfCellsFor cap). */
+  def semanticGateAtIngest(vecs: DataFrame, corpusIndex: DataFrame,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    import graft.queries.VectorQueries
+    val withCell = vecs
+      .withColumn("gate_cell",
+        VectorQueries.cellAssignCol(col("embedding"), centroids))
+      .withColumn("gate_nrm", VectorQueries.norm(col("embedding")))
+    withCell.join(
+        corpusIndex.select(col("cell").as("c_cell"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+        col("gate_cell") === col("c_cell") &&
+          round(VectorQueries.dot(col("embedding"), col("c_emb")) /
+            (col("gate_nrm") * col("c_nrm")), 6)
+            >= VectorQueries.SemDedupCosine.toDouble,
+        "left_anti")
+      .drop("gate_cell", "gate_nrm")
+  }
+
   // ---- streaming conversion funnel ----
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long,

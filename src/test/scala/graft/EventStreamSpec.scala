@@ -354,4 +354,63 @@ class EventStreamSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_events") == 1)
     q.stop()
   }
+
+  test("streaming semantic gate kills cell-mate near-dups, passes novel vectors, keeps no state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.VectorQueries
+    implicit val sq = spark.sqlContext
+    val cents = VectorQueries.quantizerRows(spark, sf)
+    val corpusIndex = VectorQueries.corpusCellIndex(spark, sf)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    // arrivals: exact copy + one-ulp-ish mutant (cosine ~1 to a corpus
+    // vector → must die), negated vectors (anti-aligned with their source
+    // → should pass), all adjudicated by the independent twin below
+    val arrivals: Seq[(Long, Seq[Float])] = Seq(
+      9000001L -> base(7L),
+      9000002L -> base(23L).updated(0, base(23L).head + 1e-4f),
+      9000003L -> base(11L).map(x => -x),
+      9000004L -> base(42L).map(x => -x))
+    // independent pure-JVM twin of the whole gate (no Spark expression
+    // shared with the implementation under test): same left-to-right
+    // double folds, same HALF_UP round-to-6, same argmax tie-break
+    def pdF(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    def pdD(a: Seq[Float], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nrm(a: Seq[Float]): Double = math.sqrt(pdF(a, a))
+    def cellOf(v: Seq[Float]): Long =
+      cents.sortBy(_._1).map { case (c, cv) =>
+        val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+        (c, r6(pdD(v, cv) / (nrm(v) * cn)))
+      }.foldLeft((-1L, -2.0)) { case (acc, (c, s)) =>
+        if (s > acc._2) (c, s) else acc }._1
+    val corpusByCell = base.toSeq.groupBy { case (_, v) => cellOf(v) }
+    val expectKeep = arrivals.filter { case (_, v) =>
+      !corpusByCell.getOrElse(cellOf(v), Seq.empty).exists { case (_, w) =>
+        r6(pdF(v, w) / (nrm(v) * nrm(w))) >= 0.999 }
+    }.map(_._1).toSet
+    // the fixture must exercise both outcomes; the exact copy can't pass
+    assert(!expectKeep(9000001L) && expectKeep.nonEmpty, s"got $expectKeep")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val df = ms.toDF().toDF("vec_id", "embedding")
+    // survivors keep the input schema: cell and norm are gate internals
+    assert(EventStream.semanticGateAtIngest(df, corpusIndex, cents)
+      .schema.fieldNames.sameElements(df.schema.fieldNames))
+    val q = EventStream.semanticGateAtIngest(df, corpusIndex, cents)
+      .writeStream.format("memory").queryName("semgate")
+      .outputMode("append").start()
+    ms.addData(arrivals: _*)
+    q.processAllAvailable()
+    val got = spark.table("semgate").select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expectKeep, s"stream kept $got, expected $expectKeep")
+    // stateless: per-row assignment + one stream-static anti join
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "semantic ingest gate must not create streaming state")
+    q.stop()
+  }
 }
