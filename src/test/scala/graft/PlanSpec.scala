@@ -476,4 +476,18 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("Scan parquet"), s"$name not reading the checkpoint:\n$p")
     }
   }
+
+  test("v11/v12: broadcast quantizer assignment, no pairwise surface, window shuffles only") {
+    // the whole point of centroid-distance pruning/sampling vs v8's
+    // within-cell pairs: O(N) plans — the only joins are the broadcast
+    // centroid pairing (and v12's 1-row budget), never a corpus self-join
+    for (name <- Seq("v11_prototype_prune", "v12_balanced_sample")) {
+      val p = planOf(graft.queries.VectorQueries.queries(name)(TestSpark.spark, sf))
+      assert(p.contains("BroadcastExchange"),
+        s"$name: quantizer/budget not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: a corpus-sized join crept in:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
