@@ -380,6 +380,44 @@ object VectorQueries {
       .orderBy("qid", "rk")
   }
 
+  /** v13 — FILTERED ANN (label-constrained IVF probe): the production
+    * vector-search feature every metadata-scoped query needs — "nearest
+    * neighbors among vectors WHERE label = X". Pre-filter discipline: the
+    * label predicate joins into the candidate set BEFORE any cosine is
+    * computed (post-filtering a top-k starves recall when the filter is
+    * selective — the classic filtered-search failure), over the same
+    * multi-probe cell surface as v6.
+    *
+    * Plan shape at 100 TB: the metadata column would live IN the
+    * cell-bucketed index table (here it joins back on vec_id — one
+    * equi-join against the corpus-sized label projection); the probe is
+    * still cells x filter before distances, so candidate volume only ever
+    * shrinks vs v6. */
+  def v13FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
+    val labels = e.select(col("vec_id"), col("label"))
+    val assigned = assignCells(cent, e, 1)
+      .join(labels, "vec_id")
+      .withColumn("nrm", norm(col("embedding")))
+    val q = assignCells(cent, e.filter(col("vec_id") < 3), IvfProbes)
+      .join(labels, "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
+        norm(col("embedding")).as("qn"), col("label").as("qlabel"))
+    val c = assigned.select(col("vec_id").as("vid"), col("embedding").as("ce"),
+      col("cell").as("c_cell"), col("nrm").as("cn"), col("label").as("clabel"))
+    val probed = c.join(broadcast(q),
+        col("c_cell") === col("cell") && col("clabel") === col("qlabel"))
+      .select(col("qid"), col("vid"), col("cell"), col("clabel").as("label"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid").asc)
+    probed.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vid", "cell", "label", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** PQ geometry shared by the Spark plan and its oracle twin: 64 dims =
     * [[PqSubspaces]] x [[PqSubDim]], [[PqCodes]] sub-centroids per
     * subspace, seeds = the subvectors of vec_id < PqCodes, one Lloyd
@@ -715,6 +753,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v11_prototype_prune" -> v11PrototypePrune,
     "v12_balanced_sample" -> v12BalancedSample,
+    "v13_filtered_ann" -> v13FilteredAnn,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -950,9 +989,44 @@ object VectorQueries {
        |FROM ranked r, budget b ORDER BY r.vec_id""".stripMargin
   }
 
+  /** v13 oracle: the shared Lloyd chain + v6's two-probe query assignment,
+    * with the label equality joined into the candidate set before any
+    * distance (the same pre-filter discipline as the Spark plan). */
+  private def filteredAnnOracle: String = {
+    val fin = LloydIters + 1
+    s"""WITH $valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |${ivfAssignCte(fin, s"assign$fin", 1)},
+       |${ivfAssignCte(fin, "qassign", IvfProbes)},
+       |labels AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vid, ac.cell, lc.label,
+       |         SUM(q.v * c.v) AS dp
+       |  FROM vals q
+       |  JOIN qassign aq ON q.vec_id = aq.vec_id AND q.vec_id < 3
+       |  JOIN labels lq ON q.vec_id = lq.vec_id
+       |  JOIN assign$fin ac ON ac.cell = aq.cell
+       |  JOIN labels lc ON ac.vec_id = lc.vec_id AND lc.label = lq.label
+       |  JOIN vals c ON c.vec_id = ac.vec_id AND q.pos = c.pos
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT qid, vid, cell, label, cosine, rk FROM (
+       |  SELECT qid, vid, cell, label, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cosine DESC, vid ASC) AS rk
+       |  FROM (
+       |    SELECT d.qid, d.vid, d.cell, d.label,
+       |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
+       |    FROM dots d
+       |    JOIN norms nq ON d.qid = nq.vec_id
+       |    JOIN norms nc ON d.vid = nc.vec_id))
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
+    "v13_filtered_ann" -> filteredAnnOracle,
     "v10_sq_ann" ->
       s"""WITH $valsCte,
          |gmax AS (SELECT MAX(abs(v)) AS g FROM vals),

@@ -276,4 +276,37 @@ class VectorSpec extends AnyFunSuite {
     val again = VectorQueries.v12BalancedSample(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("v13 filtered ANN: every hit matches the query's label, recall holds vs exact same-label top-5") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qLabel = e.filter(col("vec_id") < 3)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = VectorQueries.v13FilteredAnn(spark, sf).collect()
+    assert(got.nonEmpty)
+    // the label constraint is exact, rank is contiguous from 1
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.forall(_.getInt(3) == qLabel(qid)),
+        s"q$qid: off-label hit in ${rs.mkString(";")}")
+      assert(rs.map(_.getInt(5)).sorted.sameElements(1 to rs.length))
+    }
+    // exact same-label brute force via the independent HOF fold
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), col("label").as("ql"))
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ce"),
+        col("label").as("cl"))
+      .join(q, col("cl") === col("ql"))
+      .select(col("qid"), col("vid"),
+        (VectorQueries.dotHof(col("qe"), col("ce")) /
+          (sqrt(VectorQueries.dotHof(col("qe"), col("qe"))) *
+           sqrt(VectorQueries.dotHof(col("ce"), col("ce"))))).as("cos"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .take(5).map(_.getLong(1)).toSet }
+    val recalls = got.groupBy(_.getLong(0)).map { case (qid, rs) =>
+      rs.map(_.getLong(1)).count(exact(qid)) / 5.0 }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"filtered two-probe recall collapsed: $recalls")
+  }
 }
