@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] incremental corpus compaction — the batch half of the
+  * stream↔batch dedup loop. The ingest gates
+  * ([[graft.streaming.EventStream.dedupAgainstCorpus]] /
+  * [[graft.streaming.EventStream.nearDupGateAtIngest]]) probe corpus
+  * artifacts that are re-read per micro-batch precisely so that "a corpus
+  * compaction is picked up live"; this is that compaction. It folds a
+  * batch of gate-accepted arrivals into the artifacts the gates probe —
+  * fingerprint table, LSH band table, and the corpus rows themselves —
+  * closing the loop: once compacted, a re-arrival of an accepted document
+  * (or a near-duplicate of one) dies at the gate.
+  *
+  * Kill tiers, in order (each reuses the SAME shared column definitions
+  * as its gate, so batch and stream can never drift):
+  *   1. intra-batch exact: one fingerprint-keyed window keeps the min
+  *      doc_id per fp (the d1 canonical rule);
+  *   2. corpus exact: fp LEFT ANTI against the fingerprint table;
+  *   3. corpus near-dup: the band anti-join gate run on the batch frame —
+  *      literally [[graft.streaming.EventStream.nearDupGateAtIngest]],
+  *      which is stream/batch agnostic;
+  *   4. intra-batch near-dup: survivors sharing any band key keep the
+  *      lesser doc_id (the v8/d8 pairwise greater-id discipline — pairwise
+  *      by design, not component-closed; d9 documents the closure
+  *      upgrade).
+  *
+  * Scale shape: every step is proportional to the ARRIVAL batch, never
+  * the corpus — per-row fingerprints and band keys (zero shuffle), one
+  * batch-keyed window, two anti-join probes of bucketed corpus tables,
+  * one batch-sized band self-join. The existing corpus is never rescanned
+  * or rewritten: survivors and their artifacts APPEND (at 100 TB,
+  * partition-appends to the bucketed fp/band tables). */
+object CorpusCompaction {
+
+  /** The post-compaction artifacts plus a one-row audit of every kill
+    * tier (the conservation identity n_arrivals = killed + appended is
+    * checkable from the row alone). */
+  case class Compacted(corpus: DataFrame, fingerprints: DataFrame,
+      bands: DataFrame, audit: DataFrame)
+
+  def compact(arrivals: DataFrame, corpus: DataFrame,
+      corpusFps: DataFrame, corpusBands: DataFrame): Compacted = {
+    val cols = arrivals.columns
+
+    // tier 1: intra-batch exact (min doc_id per fingerprint)
+    val enriched = arrivals
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val batchUnique = enriched
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1).drop("rn")
+
+    // tier 2: corpus exact (the dedupAgainstCorpus probe, fp pre-computed)
+    val pastExact = batchUnique
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+
+    // tier 3: corpus near-dup — the ingest gate itself, on the batch frame
+    val pastNear = graft.streaming.EventStream
+      .nearDupGateAtIngest(pastExact.drop("fp"), corpusBands)
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+
+    // tier 4: intra-batch near-dup (any shared band key → lesser id wins)
+    val bandRows = pastNear
+      .select(col("doc_id"),
+        posexplode(graft.queries.TextQueries.bandKeysCol(col("text")))
+          .as(Seq("band", "bkey")))
+    val nearDrops = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    val survivors = pastNear
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+
+    // appends: work is survivor-sized; the corpus side is untouched
+    val newFps = survivors.select(col("doc_id"), col("fp"))
+    val newBands = survivors
+      .select(col("doc_id"),
+        posexplode(graft.queries.TextQueries.bandKeysCol(col("text")))
+          .as(Seq("band", "bkey")))
+    val appended = survivors.select(cols.map(col): _*)
+
+    def n(df: DataFrame): Long = df.count()
+    val (nArr, nBatchU, nPastE, nPastN, nSurv) =
+      (n(arrivals), n(batchUnique), n(pastExact), n(pastNear), n(appended))
+    val audit = arrivals.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nArr, nArr - nBatchU, nBatchU - nPastE,
+          nPastE - nPastN, nPastN - nSurv, nSurv)),
+      org.apache.spark.sql.types.StructType(
+        Seq("n_arrivals", "n_batch_exact", "n_corpus_exact", "n_corpus_near",
+          "n_batch_near", "n_appended").map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+
+    Compacted(
+      corpus.unionByName(appended),
+      corpusFps.select("doc_id", "fp").unionByName(newFps),
+      corpusBands.select("doc_id", "band", "bkey").unionByName(newBands),
+      audit)
+  }
+}

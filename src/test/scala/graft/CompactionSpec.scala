@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusCompaction
+import graft.queries.TextQueries
+
+class CompactionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def artifacts() = {
+    val corpus = TextQueries.corpus(spark, sf)
+      .select("doc_id", "text", "lang")
+    val fps = corpus
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+      .select("doc_id", "fp")
+    val bands = TextQueries.corpusBandTable(spark, sf)
+    (corpus, fps, bands)
+  }
+
+  test("compaction kills each tier exactly and appends only genuine novelty") {
+    import spark.implicits._
+    val (corpus, fps, bands) = artifacts()
+    val c0 = corpus.orderBy("doc_id").limit(2).collect()
+    val corpusText = c0(0).getString(1) // an existing document's exact text
+    val nearText = { // near-dup of another: drop the first word
+      val t = c0(1).getString(1); t.split("\\s+", 2).last }
+    // novel text long enough to band, unlike anything in the corpus
+    val novelA = "zyx wvu tsr qpo nml kji hgf edc zyx wvu tsr qpo nml kji"
+    val novelNear = "wvu tsr qpo nml kji hgf edc zyx wvu tsr qpo nml kji" // near-dup of novelA
+    val novelB = "aardvark binturion caracal dhole echidna fossa gerenuk " +
+      "aardvark binturion caracal dhole echidna fossa gerenuk ibex jerboa"
+    val arrivals = Seq(
+      (9000001L, corpusText, "en"),   // tier 2: corpus exact dup
+      (9000002L, nearText, "en"),     // tier 3: corpus near dup
+      (9000003L, novelA, "en"),       // survives (canonical of its pair)
+      (9000004L, novelA, "en"),       // tier 1: intra-batch exact dup
+      (9000005L, novelNear, "en"),    // tier 4: intra-batch near dup
+      (9000006L, novelB, "en")        // survives
+    ).toDF("doc_id", "text", "lang")
+
+    val r = CorpusCompaction.compact(arrivals, corpus, fps, bands)
+    val audit = r.audit.collect()(0)
+    assert(audit.getLong(0) == 6, "n_arrivals")
+    assert(audit.getLong(1) == 1, s"n_batch_exact: $audit")
+    assert(audit.getLong(2) == 1, s"n_corpus_exact: $audit")
+    assert(audit.getLong(3) == 1, s"n_corpus_near: $audit")
+    assert(audit.getLong(4) == 1, s"n_batch_near: $audit")
+    assert(audit.getLong(5) == 2, s"n_appended: $audit")
+    val appendedIds = r.corpus.filter(col("doc_id") >= 9000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(appendedIds == Set(9000003L, 9000006L))
+    // conservation: every arrival is accounted for exactly once
+    assert((1 to 5).map(audit.getLong).sum == audit.getLong(0))
+    // artifacts grew by exactly the survivors' rows
+    assert(r.fingerprints.count() == fps.count() + 2)
+    assert(r.bands.count() ==
+      bands.count() + TextQueries.Bands * 2)
+  }
+
+  test("compaction closes the gate loop: re-arrivals of accepted docs now die at the gates") {
+    import spark.implicits._
+    val (corpus, fps, bands) = artifacts()
+    val novel = "plugh xyzzy grault garply waldo fred thud " +
+      "plugh xyzzy grault garply waldo fred thud corge"
+    val arrivals = Seq((9100001L, novel, "en"))
+      .toDF("doc_id", "text", "lang")
+    // before compaction both gates pass the doc
+    val probe = Seq((9100002L, novel)).toDF("doc_id", "text")
+    assert(graft.streaming.EventStream
+      .dedupAgainstCorpus(probe, fps).count() == 1)
+    assert(graft.streaming.EventStream
+      .nearDupGateAtIngest(probe, bands).count() == 1)
+    val r = CorpusCompaction.compact(arrivals, corpus, fps, bands)
+    assert(r.audit.collect()(0).getLong(5) == 1)
+    // after compaction: an exact re-arrival dies at the exact gate, a
+    // near-dup re-arrival dies at the band gate — picked up "live"
+    // because the gates re-read the (now grown) static side
+    assert(graft.streaming.EventStream
+      .dedupAgainstCorpus(probe, r.fingerprints).count() == 0,
+      "exact re-arrival survived the compacted fingerprint table")
+    val nearProbe = Seq((9100003L, novel.split("\\s+", 2).last))
+      .toDF("doc_id", "text")
+    assert(graft.streaming.EventStream
+      .nearDupGateAtIngest(nearProbe, r.bands).count() == 0,
+      "near-dup re-arrival survived the compacted band table")
+  }
+}
