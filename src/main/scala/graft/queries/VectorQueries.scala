@@ -561,6 +561,49 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Held-out benchmark slice for v14: base vectors below this id stand in
+    * for an eval set's embeddings (mutant ids are +1,000,000, so the
+    * filter cleanly selects base rows only). Shared with the oracle. */
+  private val DecontamBenchIds = 10
+
+  /** v14 — SEMANTIC decontamination: the embedding-space analogue of t8's
+    * n-gram benchmark scrub — drop training vectors that are
+    * near-duplicates of a HELD-OUT benchmark set (eval-set leakage that
+    * paraphrasing hides from n-gram overlap). Same cell-bounded discipline
+    * as v8: both sides assign to the shared trained quantizer, and the
+    * exact rounded cosine is computed only for (train, benchmark) pairs in
+    * the SAME cell. Runs on the augmented corpus so the planted mutants of
+    * benchmark-slice vectors are the provably-contaminated rows — mutants
+    * of non-benchmark vectors are near-dups but NOT contamination, which
+    * is exactly the discrimination this op exists to make.
+    *
+    * Plan shape at 100 TB: the benchmark side is an eval set — thousands
+    * of rows, broadcast; the train side streams through one broadcast
+    * join bounded by cell equality. No train-side self-surface at all, so
+    * this is strictly cheaper than v8 on the same corpus. */
+  def v14SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
+    val all = augEmb(spark, dir)
+    val ta = assignCells(cent, all.filter(col("vec_id") >= DecontamBenchIds), 1)
+      .withColumn("nrm", norm(col("embedding")))
+    val ba = assignCells(cent, all.filter(col("vec_id") < DecontamBenchIds), 1)
+      .withColumn("nrm", norm(col("embedding")))
+    val hits = ta
+      .select(col("vec_id"), col("embedding").as("te"), col("cell"),
+        col("nrm").as("tn"))
+      .join(broadcast(ba.select(col("embedding").as("be"),
+          col("cell").as("bcell"), col("nrm").as("bn"))),
+        col("cell") === col("bcell") &&
+          round(dot(col("te"), col("be")) / (col("tn") * col("bn")), 6)
+            >= SemDedupCosine.toDouble)
+      .select(col("vec_id")).distinct()
+    ta.select(col("vec_id"), col("cell"))
+      .join(hits.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNull, 0L).otherwise(1L).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** v9's Hamming radius: at 24/64 bits the prefilter passes ~3% of the
     * corpus (measured at every fixture SF) and keeps recall@5 = 0.6
     * against the exact top-5 — 3x v3's single sign-bucket (0.20) for the
@@ -754,6 +797,7 @@ object VectorQueries {
     "v11_prototype_prune" -> v11PrototypePrune,
     "v12_balanced_sample" -> v12BalancedSample,
     "v13_filtered_ann" -> v13FilteredAnn,
+    "v14_semantic_decontam" -> v14SemanticDecontam,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -1023,10 +1067,49 @@ object VectorQueries {
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
+  /** v14 oracle: the shared Lloyd chain assigns the augmented corpus; the
+    * benchmark slice (vec_id < DecontamBenchIds) pairs with same-cell
+    * training vectors and the shared cosine bar marks contamination. */
+  private def semDecontamOracle: String = {
+    val fin = LloydIters + 1
+    s"""WITH $augCte,
+       |$valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |avals AS (
+       |  SELECT vec_id,
+       |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+       |         unnest(range(len(embedding))) AS pos
+       |  FROM aug),
+       |anorms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM avals GROUP BY vec_id),
+       |${ivfAssignCte(fin, "aassign", 1, "avals", "anorms")},
+       |pairs AS (
+       |  SELECT t.vec_id AS tid, b.vec_id AS bid, SUM(vt.v * vb.v) AS dp
+       |  FROM aassign t
+       |  JOIN aassign b ON t.cell = b.cell
+       |   AND t.vec_id >= $DecontamBenchIds AND b.vec_id < $DecontamBenchIds
+       |  JOIN avals vt ON vt.vec_id = t.vec_id
+       |  JOIN avals vb ON vb.vec_id = b.vec_id AND vt.pos = vb.pos
+       |  GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT DISTINCT p.tid AS vec_id
+       |  FROM pairs p
+       |  JOIN anorms nt ON p.tid = nt.vec_id
+       |  JOIN anorms nb ON p.bid = nb.vec_id
+       |  WHERE round(p.dp / (nt.nrm * nb.nrm), 6) >= $SemDedupCosine)
+       |SELECT t.vec_id, t.cell,
+       |       CAST(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |         AS contaminated
+       |FROM aassign t LEFT JOIN hits h ON t.vec_id = h.vec_id
+       |WHERE t.vec_id >= $DecontamBenchIds
+       |ORDER BY t.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
     "v13_filtered_ann" -> filteredAnnOracle,
+    "v14_semantic_decontam" -> semDecontamOracle,
     "v10_sq_ann" ->
       s"""WITH $valsCte,
          |gmax AS (SELECT MAX(abs(v)) AS g FROM vals),

@@ -309,4 +309,16 @@ class VectorSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.5,
       s"filtered two-probe recall collapsed: $recalls")
   }
+
+  test("v14 decontamination flags exactly the benchmark-slice mutants, not other near-dups") {
+    val rows = VectorQueries.v14SemanticDecontam(spark, sf).collect()
+    val flagged = rows.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    // mutants exist for vec_id % 5 == 0; the benchmark slice is vec_id < 10,
+    // so ONLY the mutants of 0 and 5 are eval-set leakage. The mutants of
+    // 10, 15, ... are near-dups of TRAINING vectors — real duplication,
+    // not contamination — and must pass.
+    assert(flagged == Set(1000000L, 1000005L), s"flagged $flagged")
+    // the training side never includes the benchmark slice itself
+    assert(rows.forall(_.getLong(0) >= 10L))
+  }
 }
