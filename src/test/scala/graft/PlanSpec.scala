@@ -490,4 +490,24 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("v13/v14: probe/benchmark sides broadcast, no cartesian surface") {
+    // v13's label filter and v14's benchmark slice must stay on the small
+    // (broadcast) side of their joins — the corpus side streams through.
+    // (BroadcastNestedLoopJoin IS expected: assignCells' K-way centroid
+    // pairing broadcasts the 8-row quantizer unconditioned by design.)
+    for (name <- Seq("v13_filtered_ann", "v14_semantic_decontam")) {
+      val p = planOf(graft.queries.VectorQueries.queries(name)(TestSpark.spark, sf))
+      assert(p.contains("BroadcastExchange"),
+        s"$name: small side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: unbounded join surface:\n$p")
+      // v14's final flagged-set left join is left to AQE on purpose (the
+      // hit set's cardinality is derived — the v8 pattern), so only v13
+      // pins the no-sort-merge property statically
+      if (name == "v13_filtered_ann")
+        assert(!p.contains("SortMergeJoin"),
+          s"$name: a corpus-sized sort-merge crept in at fixture scale:\n$p")
+    }
+  }
 }
