@@ -283,6 +283,44 @@ object EventStream {
       .drop("gate_cell", "gate_nrm")
   }
 
+  /** Everything the composed ingest gate needs, assembled batch-side once
+    * and redeployed on refresh: the corpus probe tables (exact fingerprint
+    * + LSH band — both grown by [[graft.pipeline.CorpusCompaction]]) and
+    * the three learned annotator states (classifier, BPE merge table,
+    * DSIR bucket weights — each bounded model state). */
+  case class IngestArtifacts(
+      corpusFps: DataFrame,
+      corpusBands: DataFrame,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      merges: Seq[(Int, String, String, Long)],
+      bucketWeights: Array[Long])
+
+  /** The one-call ingest FRONT DOOR: the full stateless ingest topology
+    * composed in its production order — gates first (cheapest kill
+    * earliest), annotators after (never price a doc that dies):
+    *
+    *   quality rules → corpus exact dedup → corpus near-dup bands
+    *     → classifier score → BPE token pricing → DSIR importance
+    *
+    * Survivors carry the input schema plus the six annotation columns
+    * (score_micro, n_words, n_pieces, fertility_micro, n_tokens,
+    * dsir_units). Every stage is one of the individually spec-pinned
+    * gates above, unchanged — this function adds ORDER, not semantics —
+    * so the whole chain stays stateless: no watermark, no state store,
+    * line-rate at any scale where the probe tables join and the model
+    * state broadcasts. The within-horizon exact dedup
+    * ([[dedupByFingerprint]]) is the one stateful leg and composes
+    * upstream when arrivals carry an event-time column. */
+  def ingestFrontDoor(docs: DataFrame, art: IngestArtifacts): DataFrame = {
+    val gated = nearDupGateAtIngest(
+      dedupAgainstCorpus(filterQualityAtIngest(docs), art.corpusFps),
+      art.corpusBands)
+    scoreImportanceAtIngest(
+      encodeAtIngest(
+        scoreQualityAtIngest(gated, art.model), art.merges),
+      art.bucketWeights)
+  }
+
   // ---- streaming conversion funnel ----
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long,

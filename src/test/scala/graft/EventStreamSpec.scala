@@ -413,4 +413,55 @@ class EventStreamSpec extends AnyFunSuite {
       "semantic ingest gate must not create streaming state")
     q.stop()
   }
+
+  test("ingest front door: gates kill in order, survivors carry all six annotations, zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.{MlQueries, TextQueries}
+    implicit val sq = spark.sqlContext
+    val art = EventStream.IngestArtifacts(
+      corpusFps = TextQueries.corpus(spark, sf)
+        .select(graft.ops.Fingerprint.col(col("text")).as("fp")),
+      corpusBands = TextQueries.corpusBandTable(spark, sf),
+      model = MlQueries.fitted(spark, sf),
+      merges = MlQueries.learnedMerges(spark, sf),
+      bucketWeights = TextQueries.dsirBucketWeights(spark, sf))
+    // pick a corpus doc the quality gate KEEPS; its exact copy and its
+    // drop-first-word near-dup must die at the dedup tiers, and a
+    // the-interleaved rewrite (same vocabulary, every 3-gram changed)
+    // must sail through all three gates as genuine novelty
+    val kept = TextQueries.corpus(spark, sf)
+      .filter(TextQueries.gopherKeepCol(col("text")) === 1L)
+      .orderBy("doc_id").limit(1).collect()(0).getString(1)
+    val novel = kept.split("\\s+").mkString("the ", " the ", " the")
+    val junk = "!!! ??? $$$ %%% @@@ ###" // fails the quality rules
+    // preconditions make gate failures diagnosable, not mysterious
+    val pre = Seq((1L, novel), (2L, junk)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextQueries.gopherKeepCol(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre(1L) == 1L && pre(2L) == 0L, s"fixture precondition: $pre")
+    val arrivals = Seq(
+      (8000001L, junk),                       // dies: quality rules
+      (8000002L, kept),                       // dies: corpus exact dedup
+      (8000003L, kept.split("\\s+", 2).last), // dies: corpus near-dup bands
+      (8000004L, novel))                      // survives, fully annotated
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val q = EventStream.ingestFrontDoor(df, art).writeStream
+      .format("memory").queryName("frontdoor").outputMode("append").start()
+    ms.addData(arrivals: _*)
+    q.processAllAvailable()
+    val rows = spark.table("frontdoor").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(8000004L),
+      s"survivors: ${rows.mkString(";")}")
+    val r = rows(0)
+    for (c <- Seq("score_micro", "n_words", "n_pieces", "fertility_micro",
+        "n_tokens", "dsir_units"))
+      assert(!r.isNullAt(r.fieldIndex(c)), s"annotation $c is null")
+    assert(r.getAs[Long]("n_words") > 0 && r.getAs[Long]("n_tokens") > 0)
+    // the whole composed chain keeps zero streaming state
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "front door must stay stateless end to end")
+    q.stop()
+  }
 }
