@@ -1570,6 +1570,52 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t27's window width: long enough that a shared window is EVIDENCE of
+    * copying, not coincidence (the published exact-substring dedup uses
+    * 50 tokens on web text; the fixture's short synthetic docs pin 8 —
+    * one constant shared with the oracle, same role as the 3-gram pin). */
+  private val DupSpanTokens = 8
+
+  /** t27 — duplicate-SPAN coverage: the exact-substring-dedup semantics
+    * (find long verbatim runs shared across documents and measure how
+    * much of each document they cover) re-expressed with no suffix array
+    * and no pairwise surface. Every [[DupSpanTokens]]-token window is
+    * hashed with its position; windows appearing in ≥2 distinct docs are
+    * shared; a doc's covered positions are the UNION of its shared
+    * windows' spans — union, not sum, which is what separates span
+    * coverage from t18's position counts: a 20-token verbatim run covers
+    * 20 positions here whatever its internal window multiplicity.
+    *
+    * Plan shape at 100 TB: the window explode is toks-scale (one row per
+    * token position, like shingles); "shared" is one hash-keyed two-phase
+    * distinct count; the coverage explode multiplies only SHARED window
+    * positions by W (candidate-bounded, duplication-proportional), then
+    * one doc_id-keyed distinct count. Exact-integer micro-units via DIV. */
+  def t27DupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val W = DupSpanTokens
+    val toks = cachedToks(spark, dir)
+    val wins = toks.filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - W),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(W)), " "))))
+          .as(Seq("pos", "w")))
+    val shared = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("w")
+    val covered = wins.join(shared, "w")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("n_covered"))
+    toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("covered_frac_micro",
+        expr("CAST((n_covered * 1000000) DIV greatest(n_tokens, 1) AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
   /** The streaming gate's model state: t26's per-bucket weight
     * w(b) = (c_t+1)·(N_c+B) − (c_c+1)·(N_t+B) as a B-length array —
     * collected once per dataset per JVM (the t20/t19 model-state
@@ -1670,7 +1716,8 @@ object TextQueries {
     "t23_zipf_mass" -> t23ZipfMass,
     "t24_priority_sample" -> t24PrioritySample,
     "t25_dsir_score" -> t25DsirScore,
-    "t26_dsir_bucketed" -> t26DsirBucketed)
+    "t26_dsir_bucketed" -> t26DsirBucketed,
+    "t27_dup_span_coverage" -> t27DupSpanCoverage)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -2102,6 +2149,29 @@ object TextQueries {
           |  FROM shingles s JOIN dc18 ON s.shingle = dc18.shingle
           |  GROUP BY s.doc_id)
           |ORDER BY doc_id""".stripMargin),
+      "t27_dup_span_coverage" -> oracle(
+        s""", wins27 AS (
+          |  SELECT doc_id,
+          |         unnest(range(0, len(toks) - ${DupSpanTokens - 1})) AS pos,
+          |         unnest(list_transform(range(0, len(toks) - ${DupSpanTokens - 1}),
+          |                i -> md5(array_to_string(toks[i+1:i+$DupSpanTokens], ' ')))) AS w
+          |  FROM toks WHERE len(toks) >= $DupSpanTokens),
+          |shared27 AS (
+          |  SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS nd
+          |                 FROM wins27 GROUP BY w)
+          |  WHERE nd >= 2),
+          |cov27 AS (
+          |  SELECT doc_id, COUNT(DISTINCT p) AS n_covered
+          |  FROM (SELECT wi.doc_id, unnest(range(wi.pos, wi.pos + $DupSpanTokens)) AS p
+          |        FROM wins27 wi JOIN shared27 s ON wi.w = s.w)
+          |  GROUP BY doc_id)
+          |SELECT t.doc_id,
+          |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |       CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+          |       CAST((COALESCE(c.n_covered, 0) * 1000000) //
+          |            GREATEST(len(t.toks), 1) AS BIGINT) AS covered_frac_micro
+          |FROM toks t LEFT JOIN cov27 c ON t.doc_id = c.doc_id
+          |ORDER BY t.doc_id""".stripMargin),
       "t22_source_mix" -> oracle(
         s"""SELECT d.source, d.lang,
            |       CAST(count(*) AS BIGINT) AS n_docs,

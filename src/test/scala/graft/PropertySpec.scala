@@ -550,6 +550,31 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.exists(_._4 < 1000000L), "every doc fully duplicated — signal is vacuous")
   }
 
+  test("t27 dup-span coverage: bounded, copies fully covered, span union not a sum") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t27_dup_span_coverage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, cov, frac) =>
+      // the union semantics make coverage a POSITION count: it can never
+      // exceed the doc's length, whatever the window multiplicity
+      assert(cov >= 0L && cov <= n, s"doc $id: covered $cov of $n tokens")
+      assert(frac >= 0L && frac <= 1000000L, s"doc $id: frac $frac")
+      if (n < 8) assert(cov == 0L, s"doc $id: too short to window but covered")
+    }
+    // an exact copy (%7 mutant) shares EVERY window with its source: both
+    // ends of the pair are fully covered end to end
+    val byId = rows.map(r => r._1 -> (r._2, r._4)).toMap
+    val copies = rows.map(_._1).filter(id => id >= 2000000L && byId(id)._1 >= 8L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      assert(byId(c)._2 == 1000000L && byId(c - 2000000L)._2 == 1000000L,
+        s"copy pair $c not fully covered: ${byId(c)} / ${byId(c - 2000000L)}")
+    }
+    // discrimination: some docs carry no long shared span at all
+    assert(rows.exists(_._4 < 1000000L), "every doc fully covered — vacuous")
+  }
+
   test("e13 retention: offset 0 equals cohort size and dominates every later offset") {
     import graft.queries.EventQueries
     val rows = EventQueries.e13RetentionCohorts(spark, sf).collect()
