@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.VectorQueries
+
+/** [EXT] incremental EMBEDDING-index compaction — the vector twin of
+  * [[CorpusCompaction]], closing the semantic ingest loop: the streaming
+  * semantic gate ([[graft.streaming.EventStream.semanticGateAtIngest]])
+  * probes a cell index that is re-read per micro-batch; this folds
+  * gate-accepted arrival vectors into that index so a re-arrival (or a
+  * near-duplicate) of an accepted vector dies at the gate.
+  *
+  * Kill tiers (the v8 discipline — an arrival is newer than every index
+  * member, so "drop the arrival" is the drop-the-greater-id pair rule;
+  * intra-batch, the greater vec_id of a near pair drops):
+  *   1. corpus semantic: the gate itself, run on the batch frame
+  *      (stream/batch agnostic — ONE definition for both halves);
+  *   2. intra-batch semantic: survivors pairing within their assigned
+  *      cell above the shared cosine bar keep the lesser vec_id.
+  *
+  * Scale shape: per-arrival cell assignment is the gate's own pure
+  * expression over the memoized (K x dims) quantizer rows; tier 1 is one
+  * anti-join probe of the cell-bucketed index; tier 2 is a batch-sized
+  * within-cell self-join. The index is never rescanned — survivors append
+  * with their cell and norm precomputed (at 100 TB, a partition-append to
+  * the cell-bucketed table). The quantizer itself is NOT retrained here:
+  * production re-trains offline on drift and reassigns in one batch pass
+  * (the t19/t20 redeploy discipline). */
+object VectorCompaction {
+
+  case class Compacted(index: DataFrame, audit: DataFrame)
+
+  def compact(arrivals: DataFrame, index: DataFrame,
+      centroids: Seq[(Long, Seq[Double])]): Compacted = {
+    // tier 1: the semantic gate, batch-side
+    val pastCorpus = graft.streaming.EventStream
+      .semanticGateAtIngest(arrivals, index, centroids)
+
+    // survivors' own artifacts (cell + norm), computed once per row
+    val assigned = pastCorpus
+      .withColumn("cell",
+        VectorQueries.cellAssignCol(col("embedding"), centroids))
+      .withColumn("nrm", VectorQueries.norm(col("embedding")))
+
+    // tier 2: within-cell batch pairs above the bar → lesser id wins
+    val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("cell").as("ca"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("cell").as("cb"), col("nrm").as("nb"))
+    val drops = a.join(b,
+        col("ca") === col("cb") && col("va") < col("vb") &&
+          round(VectorQueries.dot(col("ea"), col("eb")) /
+            (col("na") * col("nb")), 6)
+            >= VectorQueries.SemDedupCosine.toDouble)
+      .select(col("vb").as("vec_id")).distinct()
+    val survivors = assigned.join(drops, Seq("vec_id"), "left_anti")
+
+    val (nArr, nPast, nSurv) =
+      (arrivals.count(), pastCorpus.count(), survivors.count())
+    val audit = arrivals.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nArr, nArr - nPast, nPast - nSurv, nSurv)),
+      org.apache.spark.sql.types.StructType(
+        Seq("n_arrivals", "n_corpus_near", "n_batch_near", "n_appended")
+          .map(f => org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+
+    Compacted(
+      index.select("vec_id", "embedding", "cell", "nrm")
+        .unionByName(survivors.select("vec_id", "embedding", "cell", "nrm")),
+      audit)
+  }
+}

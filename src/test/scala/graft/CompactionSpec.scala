@@ -108,4 +108,41 @@ class CompactionSpec extends AnyFunSuite {
     assert(r2.corpus.count() == r1.corpus.count())
     assert(r2.bands.count() == r1.bands.count())
   }
+
+  test("vector compaction: tiers kill in order and the semantic gate loop closes") {
+    import spark.implicits._
+    import graft.queries.VectorQueries
+    import graft.pipeline.VectorCompaction
+    val cents = VectorQueries.quantizerRows(spark, sf)
+    val index = VectorQueries.corpusCellIndex(spark, sf)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    // novel direction: negate two corpus vectors (anti-aligned with their
+    // sources); a near-copy of one of them is the intra-batch near pair
+    val novelA = base(31L).map(x => -x)
+    val novelANear = novelA.updated(0, novelA.head + 1e-4f)
+    val novelB = base(47L).map(x => -x)
+    val arrivals = Seq(
+      (9300001L, base(13L)),   // tier 1: corpus semantic dup (exact copy)
+      (9300002L, novelA),      // survives (lesser id of the near pair)
+      (9300003L, novelANear),  // tier 2: intra-batch near dup
+      (9300004L, novelB)       // survives
+    ).toDF("vec_id", "embedding")
+    // precondition: the novel arrivals pass the gate BEFORE compaction
+    assert(graft.streaming.EventStream
+      .semanticGateAtIngest(arrivals.filter(col("vec_id") =!= 9300001L),
+        index, cents).count() == 3)
+    val r = VectorCompaction.compact(arrivals, index, cents)
+    val audit = r.audit.collect()(0)
+    assert(audit.getLong(0) == 4 && audit.getLong(1) == 1 &&
+      audit.getLong(2) == 1 && audit.getLong(3) == 2, s"audit: $audit")
+    assert(r.index.count() == index.count() + 2)
+    // loop closure: re-arrivals (exact and near) of an accepted vector
+    // now die at the gate against the compacted index
+    val replay = Seq((9300005L, novelA), (9300006L, novelANear))
+      .toDF("vec_id", "embedding")
+    assert(graft.streaming.EventStream
+      .semanticGateAtIngest(replay, r.index, cents).count() == 0,
+      "re-arrival survived the compacted cell index")
+  }
 }
