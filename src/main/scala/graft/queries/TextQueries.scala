@@ -1616,6 +1616,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t28's configured target mixture (micro-share per language, summing
+    * to 1,000,000) — the "what the trainer wants" side of the solve; the
+    * corpus supplies the "what exists" side. One constant, rendered into
+    * both the Column plan and the oracle SQL. */
+  private[graft] val MixTargetShares: Seq[(String, Long)] = Seq(
+    ("de", 150000L), ("en", 400000L), ("es", 150000L),
+    ("fr", 150000L), ("zh", 150000L))
+
+  /** t28 — mixture-rate solver: the closed-form no-upsampling solve a
+    * pretraining run prices its mix with — given target language shares
+    * and the per-language available token mass, the largest total budget
+    * every language can fill is set by the LIMITING language
+    * (T = min_l avail_l / share_l), and each language contributes
+    * floor(share_l x T) tokens at rate take/avail. t22 audits what
+    * exists, this decides what to take, t9 executes the rates — the
+    * three-step mix workflow. All arithmetic is exact BIGINT micro-units
+    * (DIV), so the two engines cannot diverge; the limiting language
+    * solves to rate ~1,000,000 by construction (the fixture pin).
+    *
+    * Plan shape at 100 TB: one toks-riding per-language aggregation onto
+    * a key space of a few hundred languages, a 1-row broadcast min (the
+    * t14/t25 tot pattern), and a per-row closed form. At trillion-token
+    * mass the x1e6 products need DECIMAL(38,0) headroom — the documented
+    * seam; BIGINT holds to ~9e12 tokens. */
+  def t28MixSolver(spark: SparkSession, dir: String): DataFrame = {
+    val shareCol = MixTargetShares.foldLeft(lit(0L): Column) {
+      case (acc, (l, s)) => when(col("lang") === l, lit(s)).otherwise(acc) }
+    val avail = cachedToks(spark, dir)
+      .filter(col("doc_id") < 1000000L) // raw corpus: a mix decision is provenance-level
+      .groupBy(col("lang"))
+      .agg(sum(size(col("toks")).cast("bigint")).as("available_tokens"))
+      .withColumn("target_share_micro", shareCol)
+      .filter(col("target_share_micro") > 0L)
+    val budget = avail.agg(
+      min(expr("(available_tokens * 1000000) div target_share_micro"))
+        .as("t_budget"))
+    avail.crossJoin(broadcast(budget))
+      .select(col("lang"), col("available_tokens"), col("target_share_micro"),
+        expr("(target_share_micro * t_budget) div 1000000").as("take_tokens"))
+      .withColumn("rate_micro",
+        expr("CAST((take_tokens * 1000000) DIV available_tokens AS BIGINT)"))
+      .orderBy("lang")
+  }
+
   /** The streaming gate's model state: t26's per-bucket weight
     * w(b) = (c_t+1)·(N_c+B) − (c_c+1)·(N_t+B) as a B-length array —
     * collected once per dataset per JVM (the t20/t19 model-state
@@ -1717,7 +1761,8 @@ object TextQueries {
     "t24_priority_sample" -> t24PrioritySample,
     "t25_dsir_score" -> t25DsirScore,
     "t26_dsir_bucketed" -> t26DsirBucketed,
-    "t27_dup_span_coverage" -> t27DupSpanCoverage)
+    "t27_dup_span_coverage" -> t27DupSpanCoverage,
+    "t28_mix_solver" -> t28MixSolver)
 
   val oracleSql: Map[String, String] = {
     val simhashCte = {
@@ -2172,6 +2217,25 @@ object TextQueries {
           |            GREATEST(len(t.toks), 1) AS BIGINT) AS covered_frac_micro
           |FROM toks t LEFT JOIN cov27 c ON t.doc_id = c.doc_id
           |ORDER BY t.doc_id""".stripMargin),
+      "t28_mix_solver" -> oracle {
+        val shareCase = MixTargetShares
+          .map { case (l, v) => s"WHEN '$l' THEN $v" }
+          .mkString("CASE lang ", " ", " ELSE 0 END")
+        s""", avail28 AS (
+          |  SELECT c.lang, CAST(SUM(len(t.toks)) AS BIGINT) AS available_tokens,
+          |         CAST(CASE c.lang ${shareCase.stripPrefix("CASE lang ")}
+          |           AS BIGINT) AS target_share_micro
+          |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id
+          |  WHERE t.doc_id < 1000000 GROUP BY c.lang),
+          |tg28 AS (SELECT * FROM avail28 WHERE target_share_micro > 0),
+          |b28 AS (SELECT MIN((available_tokens * 1000000) // target_share_micro)
+          |          AS t_budget FROM tg28)
+          |SELECT lang, available_tokens, target_share_micro,
+          |       (target_share_micro * t_budget) // 1000000 AS take_tokens,
+          |       CAST((((target_share_micro * t_budget) // 1000000) * 1000000)
+          |            // available_tokens AS BIGINT) AS rate_micro
+          |FROM tg28, b28 ORDER BY lang""".stripMargin
+      },
       "t22_source_mix" -> oracle(
         s"""SELECT d.source, d.lang,
            |       CAST(count(*) AS BIGINT) AS n_docs,

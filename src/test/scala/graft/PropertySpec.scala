@@ -575,6 +575,31 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.exists(_._4 < 1000000L), "every doc fully covered — vacuous")
   }
 
+  test("t28 mix solver: limiting language saturates, no upsampling, realized shares hit targets") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t28_mix_solver")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 5, rows.mkString(";"))
+    // the configured mix is a complete distribution
+    assert(rows.map(_._3).sum == 1000000L)
+    rows.foreach { case (l, avail, _, take, rate) =>
+      // no-upsampling solve: never take more than exists, rate <= 1
+      assert(take <= avail, s"$l upsampled: $take > $avail")
+      assert(rate >= 0L && rate <= 1000000L, s"$l rate $rate")
+    }
+    // the limiting language fills (floor slack < one share unit of tokens)
+    val maxRate = rows.map(_._5).max
+    assert(maxRate >= 999000L, s"no language saturates: $rows")
+    // realized shares reproduce the targets within floor slack: each
+    // take_l/sum(takes) is within 1% relative of share_l
+    val total = rows.map(_._4).sum.toDouble
+    rows.foreach { case (l, _, share, take, _) =>
+      val realized = take / total * 1000000.0
+      assert(math.abs(realized - share) <= share * 0.01 + 1,
+        s"$l realized $realized vs target $share")
+    }
+  }
+
   test("e13 retention: offset 0 equals cohort size and dominates every later offset") {
     import graft.queries.EventQueries
     val rows = EventQueries.e13RetentionCohorts(spark, sf).collect()
