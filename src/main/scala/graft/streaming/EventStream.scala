@@ -321,6 +321,29 @@ object EventStream {
       art.bucketWeights)
   }
 
+  /** Streaming FRAME-level media dedup at ingest — the multimodal leg of
+    * the ingest-dedup topology, composing directly with the `avi-frames`
+    * streaming source: frames tail the landing zone through the
+    * connector, each frame's content hash (the SAME md5-of-payload
+    * definition as batch m3's frame table) probes the corpus frame table
+    * in one stream-static LEFT ANTI join, and only frames the corpus has
+    * never seen survive. A re-encoded or re-muxed duplicate video — the
+    * case whole-FILE dedup provably misses (m3's planted re-mux mutants)
+    * — contributes zero novel frames, because identity lives at the
+    * frame-payload level the connector already exposes.
+    *
+    * Stateless: per-row hash, one anti-join, no watermark, no state
+    * store. At 100 TB the corpus frame table is the m3 base — bucketed
+    * parquet keyed by frame_md5, re-read per micro-batch so a media
+    * compaction is picked up live (the dedupAgainstCorpus discipline). */
+  def frameDedupAtIngest(frames: DataFrame,
+      corpusFrameMd5: DataFrame): DataFrame =
+    frames
+      .withColumn("gate_fmd5", md5(col("frame_bytes")))
+      .join(corpusFrameMd5.select(col("frame_md5").as("gate_fmd5")),
+        Seq("gate_fmd5"), "left_anti")
+      .drop("gate_fmd5")
+
   // ---- streaming conversion funnel ----
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long,

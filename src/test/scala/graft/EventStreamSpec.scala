@@ -464,4 +464,48 @@ class EventStreamSpec extends AnyFunSuite {
       "front door must stay stateless end to end")
     q.stop()
   }
+
+  test("frame dedup gate over the avi-frames stream: re-muxed dup contributes zero novel frames") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.multimodal.MultimodalOps
+    // corpus: one landed video, its frame table built through the SAME
+    // connector the stream uses
+    val corpusDir = java.nio.file.Files.createTempDirectory("fcorpus").toFile
+    corpusDir.deleteOnExit()
+    java.nio.file.Files.write(
+      new java.io.File(corpusDir, "c1.avi").toPath, MultimodalOps.renderVideo(1L))
+    val corpusFrames = spark.read.format("avi-frames")
+      .load(corpusDir.getAbsolutePath)
+      .select(md5(col("frame_bytes")).as("frame_md5"))
+    // landing zone: a RE-MUXED duplicate of the corpus video (same frame
+    // payloads, byte-different container — whole-file dedup would miss
+    // it) plus a genuinely novel video
+    val landDir = java.nio.file.Files.createTempDirectory("fland").toFile
+    landDir.deleteOnExit()
+    java.nio.file.Files.write(new java.io.File(landDir, "a-dup.avi").toPath,
+      MultimodalOps.renderVideo(1L, altTail = true))
+    java.nio.file.Files.write(new java.io.File(landDir, "b-new.avi").toPath,
+      MultimodalOps.renderVideo(2L))
+    assert(!java.util.Arrays.equals(MultimodalOps.renderVideo(1L),
+      MultimodalOps.renderVideo(1L, altTail = true)),
+      "fixture precondition: the re-mux must be byte-different")
+    val frames = spark.readStream.format("avi-frames")
+      .option("grace.ms", "0").load(landDir.getAbsolutePath)
+    val q = EventStream.frameDedupAtIngest(frames, corpusFrames)
+      .writeStream.format("memory").queryName("framegate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("framegate")
+        .select(col("path"), col("frame_no")).collect()
+      // every surviving frame comes from the novel video; the re-muxed
+      // duplicate's frames all died at the gate
+      assert(got.nonEmpty && got.forall(_.getString(0).endsWith("b-new.avi")),
+        s"survivors: ${got.mkString(";")}")
+      assert(got.length == MultimodalOps.VideoFrames,
+        s"novel video's frames must all pass: ${got.length}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "frame dedup gate must not create streaming state")
+    } finally q.stop()
+  }
 }
