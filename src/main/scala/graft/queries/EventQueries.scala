@@ -242,7 +242,36 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** e15 — burst anomaly over hourly event-type counts: each (type, hour)
+    * bucket's count against the mean of its trailing three hours, as an
+    * exact-BIGINT micro-ratio (n x 3 x 1e6 DIV trailing sum — missing
+    * hours count as zero via the fixed x3 denominator, so a burst after
+    * silence scores maximal, which is the point of a burst signal). A
+    * range frame over the hour key handles gapped series without
+    * densification. The monitoring query an event pipeline alerts from;
+    * no doubles anywhere, so the engines cannot diverge.
+    *
+    * Plan shape at 100 TB: one partial-agg shuffle onto the (type, hour)
+    * key space (bounded: types x hours), then a window over that tiny
+    * frame — the raw event volume never reaches the window. */
+  def e15BurstRatio(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hours = events(spark, dir)
+      .groupBy(col("event_type"),
+        (expr(s"ts_us div $hourUs") * hourUs).as("hour_us"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rangeBetween(-3L * hourUs, -hourUs)
+    hours
+      .withColumn("trail_events",
+        coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("burst_micro",
+        expr("CAST((n_events * 3 * 1000000) DIV greatest(trail_events, 1) AS BIGINT)"))
+      .orderBy("event_type", "hour_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_burst_ratio" -> e15BurstRatio,
     "e13_retention_cohorts" -> e13RetentionCohorts,
     "e14_funnel_steps" -> e14FunnelSteps,
     "e11_unpivot_counts" -> e11UnpivotCounts,
@@ -305,6 +334,21 @@ object EventQueries {
         |       ntile(4) OVER (PARTITION BY event_type
         |                      ORDER BY value, event_id) AS quartile
         |FROM events ORDER BY event_type, event_id""".stripMargin,
+    "e15_burst_ratio" ->
+      """SELECT event_type, hour_us, n_events, trail_events,
+        |       CAST((n_events * 3 * 1000000) // GREATEST(trail_events, 1)
+        |            AS BIGINT) AS burst_micro
+        |FROM (
+        |  SELECT event_type, hour_us, n_events,
+        |         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_events
+        |  FROM (SELECT event_type,
+        |               (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+        |               CAST(COUNT(*) AS BIGINT) AS n_events
+        |        FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+        |               RANGE BETWEEN 10800000000 PRECEDING
+        |                         AND 3600000000 PRECEDING))
+        |ORDER BY event_type, hour_us""".stripMargin,
     "e7_trailing_hour" ->
       """SELECT event_id, user_id,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2)))
