@@ -32,4 +32,14 @@ object Tables {
   /** `<dir>/<name>.parquet` — the fixture layout every query object uses. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     parquet(spark, s"$dir/$name.parquet")
+
+  /** Drop every memo entry for `path` (all sessions) so the next read
+    * re-lists and re-resolves — the explicit escape hatch for a test (or
+    * a deployment) that rewrites a fixture path in place; the immutable-
+    * fixture contract above stays the default. Also releases the strong
+    * session references those entries pinned. */
+  def invalidate(path: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._2 == path) it.remove()
+  }
 }

@@ -65,4 +65,23 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assert(TextQueries.checkpointBytes > 0)
     TextQueries.releaseCaches()
   }
+
+  test("Tables memo pins the first listing; invalidate(path) picks up a rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tblmemo").toFile
+    dir.deleteOnExit()
+    val p = new java.io.File(dir, "t.parquet").getAbsolutePath
+    Seq(1L, 2L).toDF("x").write.mode("overwrite").parquet(p)
+    assert(graft.plans.Tables.parquet(spark, p).count() == 2)
+    Seq(1L, 2L, 3L).toDF("x").write.mode("overwrite").parquet(p)
+    // the memo pins the first listing, so a rewrite-in-place FAILS LOUDLY
+    // (the listed part files are gone) — a violated immutable-fixture
+    // contract is an error, never silently-stale data
+    intercept[org.apache.spark.SparkException] {
+      graft.plans.Tables.parquet(spark, p).count()
+    }
+    graft.plans.Tables.invalidate(p)
+    assert(graft.plans.Tables.parquet(spark, p).count() == 3,
+      "invalidate must force a fresh listing")
+  }
 }
