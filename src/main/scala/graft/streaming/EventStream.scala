@@ -27,6 +27,23 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming SKETCHED uniques — the streaming face of the approx
+    * family (ApproxQueries' HLL twin): watermarked tumbling-hour
+    * approx_count_distinct over users. The sketch is the point at scale:
+    * per-window state is one HLL register set (KBs) instead of the
+    * distinct-user set (GBs for a busy hour), so cardinality monitoring
+    * runs at any fan-in where an exact distinct would blow the state
+    * store. Append mode: a window's estimate finalizes once, when the
+    * watermark passes its end — the e1 discipline. */
+  def hourlyUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"), col("approx_users"),
+        col("n_events"))
+
   /** Streaming exact dedup — the streaming face of TextQueries.d1: drop
     * any document whose content fingerprint was already seen within the
     * watermark horizon. `dropDuplicatesWithinWatermark`, NOT

@@ -34,6 +34,29 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("hourly sketched uniques finalize per watermark and agree with exact at fixture cardinality") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventStream.hourlyUniques(df).writeStream
+      .format("memory").queryName("huniq").outputMode("append").start()
+    // hour 0: users 1,2,2,3 → 3 uniques over 4 events
+    ms.addData((t(5), "view", 1L, 1.0), (t(10), "view", 2L, 1.0),
+      (t(20), "click", 2L, 1.0), (t(40), "view", 3L, 1.0))
+    q.processAllAvailable()
+    assert(spark.table("huniq").count() == 0, "window emitted before watermark")
+    ms.addData((t(120), "view", 9L, 1.0)) // advance watermark past hour 0
+    q.processAllAvailable()
+    val rows = spark.table("huniq").collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    // HLL++ is exact at this cardinality; a drifting estimate here means
+    // the sketch (or the grouping) broke, not that the error bound moved
+    assert(rows(0).getAs[Long]("approx_users") == 3L, rows(0).toString)
+    assert(rows(0).getAs[Long]("n_events") == 4L)
+    q.stop()
+  }
+
   test("streaming dedup drops same-fingerprint docs across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
