@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
+      (children: Seq[Expression]) => BandKeys(children.head)))
   }
 }

@@ -355,7 +355,18 @@ object TextQueries {
     * array (no evidence of duplication — the batch chain drops them from
     * the signature base the same way). EventStreamSpec pins exact parity
     * with [[corpusBandTable]] over the whole fixture corpus. */
-  private[graft] def bandKeysCol(text: Column): Column = {
+  private[graft] def bandKeysCol(text: Column): Column =
+    // native one-pass expression (graft.functions.BandKeys, registered via
+    // GraftExtensions) — bit-identical to [[bandKeysHofCol]] and inside
+    // whole-stage codegen; NULL coalesces to '' so a NULL doc gets the
+    // EMPTY array (no evidence of duplication), exactly as the Column
+    // chain's when/otherwise produced
+    call_function("band_keys", coalesce(text, lit("")))
+
+  /** The Column-chain form the native expression replaced — kept for the
+    * equality spec (the float_dot/dotHof discipline) and as the
+    * no-extensions fallback. */
+  private[graft] def bandKeysHofCol(text: Column): Column = {
     val toks = toksCol(text)
     val sh = array_distinct(transform(sequence(lit(0), size(toks) - 3),
       i => array_join(slice(toks, i + 1, lit(3)), " ")))
