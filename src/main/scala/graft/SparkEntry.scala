@@ -25,7 +25,7 @@ object SparkEntry {
     EncodeQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ StatusQueries.oracleSql ++
       ScalarQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
       VectorQueries.oracleSql ++ JoinQueries.oracleSql ++ MlQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ ExportQueries.oracleSql
 
   /** Queries deliberately shipped WITHOUT an oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test

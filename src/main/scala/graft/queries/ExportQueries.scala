@@ -50,9 +50,98 @@ object ExportQueries {
       .orderBy("lang")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("x_export_manifest" -> xExportManifest)
+  /** The intra-batch novelty fixture of [[xCompactAudit]]: an exact pair
+    * and a near pair (drop-first-word) unlike anything in the corpus —
+    * the two tiers corpus-derived arrivals cannot exercise (anything
+    * sharing corpus shingles dies at the corpus tiers first). ONE
+    * constant, rendered into the Spark frame and the oracle VALUES. */
+  private val CompactNovels: Seq[(Long, String)] = Seq(
+    (9000001L, "zyx wvu tsr qpo nml kji hgf edc zyx wvu tsr qpo nml"),
+    (9000002L, "wvu tsr qpo nml kji hgf edc zyx wvu tsr qpo nml"),
+    (9000003L, "aardvark binturong caracal dhole echidna fossa gerenuk ibex jerboa"),
+    (9000004L, "aardvark binturong caracal dhole echidna fossa gerenuk ibex jerboa"))
 
-  /** No oracle possible (file-layout-dependent); see the scaladoc above. */
-  val rowsOnly: Set[String] = queries.keySet
+  /** x_compact — the incremental-compaction pipeline as a driver-checked
+    * query: a deterministic arrival batch (corpus re-arrivals at %11,
+    * drop-first-word near-dups at %13, plus [[CompactNovels]]) runs
+    * through [[graft.pipeline.CorpusCompaction.compact]]'s four kill
+    * tiers, and the ONE-ROW AUDIT is the result. Every tier is md5/band
+    * arithmetic DuckDB can recompute from the raw parquet (the arrival
+    * band chain rides [[TextQueries.bandChainCtes]]), so unlike the
+    * export manifest this pipeline surface is fully hash-checked —
+    * CompactionSpec pins tier semantics, the oracle pins the numbers. */
+  def xCompactAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = TextQueries.corpus(spark, dir)
+    val fps = corpus.select(col("doc_id"),
+      graft.ops.Fingerprint.col(col("text")).as("fp"))
+    val bands = TextQueries.corpusBandTable(spark, dir)
+    val d = graft.plans.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    val novels = CompactNovels.map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val arrivals = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"), col("lang"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"), col("lang")))
+      .unionByName(novels)
+    graft.pipeline.CorpusCompaction.compact(arrivals, corpus, fps, bands).audit
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("x_export_manifest" -> xExportManifest,
+      "x_compact_audit" -> xCompactAudit)
+
+  /** DuckDB twin of the whole tier cascade. */
+  val oracleSql: Map[String, String] = {
+    val novelValues = CompactNovels
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(",\n      ")
+    Map("x_compact_audit" -> TextQueries.oracle(
+      s""", ${TextQueries.sigsCte},
+        |${TextQueries.bandsCte},
+        |fps AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp FROM corpus),
+        |arr AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, regexp_replace(text, '^\\S+\\s+', '', 'g')
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      $novelValues) AS nv(doc_id, text)),
+        |${TextQueries.bandChainCtes("arr", "A")},
+        |arrfp AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp FROM arr),
+        |bu AS (SELECT doc_id, fp FROM (
+        |         SELECT doc_id, fp,
+        |                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |         FROM arrfp) WHERE rn = 1),
+        |pe AS (SELECT bu.doc_id FROM bu
+        |       LEFT JOIN (SELECT DISTINCT fp FROM fps) cf ON bu.fp = cf.fp
+        |       WHERE cf.fp IS NULL),
+        |pn AS (SELECT pe.doc_id FROM pe WHERE NOT EXISTS (
+        |         SELECT 1 FROM bandsA a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey
+        |         WHERE a.doc_id = pe.doc_id)),
+        |bn AS (SELECT DISTINCT y.doc_id
+        |       FROM bandsA x JOIN bandsA y
+        |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |       JOIN pn px ON px.doc_id = x.doc_id
+        |       JOIN pn py ON py.doc_id = y.doc_id),
+        |sv AS (SELECT doc_id FROM pn
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM bn))
+        |SELECT CAST((SELECT COUNT(*) FROM arr) AS BIGINT) AS n_arrivals,
+        |       CAST((SELECT COUNT(*) FROM arr) - (SELECT COUNT(*) FROM bu)
+        |            AS BIGINT) AS n_batch_exact,
+        |       CAST((SELECT COUNT(*) FROM bu) - (SELECT COUNT(*) FROM pe)
+        |            AS BIGINT) AS n_corpus_exact,
+        |       CAST((SELECT COUNT(*) FROM pe) - (SELECT COUNT(*) FROM pn)
+        |            AS BIGINT) AS n_corpus_near,
+        |       CAST((SELECT COUNT(*) FROM pn) - (SELECT COUNT(*) FROM sv)
+        |            AS BIGINT) AS n_batch_near,
+        |       CAST((SELECT COUNT(*) FROM sv) AS BIGINT) AS n_appended""".stripMargin))
+  }
+
+  /** No oracle possible for the manifest (file-layout-dependent); see the
+    * scaladoc above. The compaction audit IS oracle-checked. */
+  val rowsOnly: Set[String] = Set("x_export_manifest")
 }

@@ -283,7 +283,36 @@ object TextQueries {
   private def sigDF(spark: SparkSession, dir: String): DataFrame =
     cachedSigs(spark, dir)
 
-  private val sigsCte: String = {
+  /** The full docs→toks→shingles→slices→sigs→bands chain as suffixed
+    * CTEs over an arbitrary docs CTE — the generator behind oracles that
+    * band a SECOND document set next to the corpus (x_compact_audit bands
+    * the arrival batch). Same constants as [[sigsCte]]/[[bandsCte]], so
+    * the twin chains cannot drift. */
+  private[queries] def bandChainCtes(docsCte: String, sfx: String): String = {
+    val slices = (0 until 4).map(s =>
+      s"CAST(('0x' || substr(md5(shingle), ${1 + 8 * s}, 8)) AS BIGINT) AS v$s")
+      .mkString(", ")
+    val aggs = (0 until NumHashes)
+      .map(j => s"min((v${j % 4} * ${mixA(j)} + ${mixB(j)}) % $MixMod) AS h$j")
+      .mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sigs$sfx"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""toks$sfx AS (SELECT doc_id, $toksSql AS toks FROM $docsCte),
+       |shingles$sfx AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(toks) - 2),
+       |                i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+       |  FROM toks$sfx WHERE len(toks) >= 3),
+       |slices$sfx AS (SELECT doc_id, $slices FROM shingles$sfx),
+       |sigs$sfx AS (SELECT doc_id, $aggs FROM slices$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  private[queries] val sigsCte: String = {
     val slices = (0 until 4).map(s =>
       s"CAST(('0x' || substr(md5(shingle), ${1 + 8 * s}, 8)) AS BIGINT) AS v$s")
       .mkString(", ")
@@ -306,7 +335,7 @@ object TextQueries {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  private val bandsCte: String = {
+  private[queries] val bandsCte: String = {
     val rows = (0 until Bands).map { b =>
       val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '|' || ")
