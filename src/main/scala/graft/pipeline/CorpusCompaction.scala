@@ -46,22 +46,28 @@ object CorpusCompaction {
       corpusFps: DataFrame, corpusBands: DataFrame): Compacted = {
     val cols = arrivals.columns
 
+    // tier frames are arrival-batch-sized: persist each so the audit's
+    // five counts (and the append unions) evaluate every tier ONCE —
+    // without the pins, each count re-derives the whole cascade
+    def pinned(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // tier 1: intra-batch exact (min doc_id per fingerprint)
     val enriched = arrivals
       .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
-    val batchUnique = enriched
+    val batchUnique = pinned(enriched
       .withColumn("rn", row_number().over(wFp))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn"))
 
     // tier 2: corpus exact (the dedupAgainstCorpus probe, fp pre-computed)
     val pastExact = batchUnique
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
 
     // tier 3: corpus near-dup — the ingest gate itself, on the batch frame
-    val pastNear = graft.streaming.EventStream
+    val pastNear = pinned(graft.streaming.EventStream
       .nearDupGateAtIngest(pastExact.drop("fp"), corpusBands)
-      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text"))))
 
     // tier 4: intra-batch near-dup (any shared band key → lesser id wins)
     val bandRows = pastNear
@@ -73,8 +79,8 @@ object CorpusCompaction {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("b.doc_id").as("doc_id")).distinct()
-    val survivors = pastNear
-      .join(nearDrops, Seq("doc_id"), "left_anti")
+    val survivors = pinned(pastNear
+      .join(nearDrops, Seq("doc_id"), "left_anti"))
 
     // appends: work is survivor-sized; the corpus side is untouched
     val newFps = survivors.select(col("doc_id"), col("fp"))
@@ -87,6 +93,10 @@ object CorpusCompaction {
     def n(df: DataFrame): Long = df.count()
     val (nArr, nBatchU, nPastE, nPastN, nSurv) =
       (n(arrivals), n(batchUnique), n(pastExact), n(pastNear), n(appended))
+    // survivors stays pinned: the returned artifact unions ride it; the
+    // upstream tier pins have served their counts
+    batchUnique.unpersist(blocking = false)
+    pastNear.unpersist(blocking = false)
     val audit = arrivals.sparkSession.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(nArr, nArr - nBatchU, nBatchU - nPastE,

@@ -73,8 +73,7 @@ object ExportQueries {
   def xCompactAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = TextQueries.corpus(spark, dir)
-    val fps = corpus.select(col("doc_id"),
-      graft.ops.Fingerprint.col(col("text")).as("fp"))
+    val fps = TextQueries.cachedFps(spark, dir) // the checkpointed d1 base
     val bands = TextQueries.corpusBandTable(spark, dir)
     val d = graft.plans.Tables.table(spark, dir, "documents")
       .select("doc_id", "text", "lang")

@@ -417,7 +417,7 @@ object TextQueries {
   /** Checkpointed (doc_id, fp) base shared by d1/d7 (and t4's fp_md5
     * lineage): one corpus scan + md5 per session instead of one per
     * consumer. */
-  private def cachedFps(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def cachedFps(spark: SparkSession, dir: String): DataFrame =
     checkpointed(spark, dir, "fps")(
       corpus(spark, dir).withColumn("fp", fpCol).select("doc_id", "fp"))
 
