@@ -34,9 +34,15 @@ object VectorCompaction {
 
   def compact(arrivals: DataFrame, index: DataFrame,
       centroids: Seq[(Long, Seq[Double])]): Compacted = {
+    // tier frames are arrival-batch-sized: pin them so the audit counts
+    // and the append union evaluate each tier once (the CorpusCompaction
+    // discipline)
+    def pinned(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // tier 1: the semantic gate, batch-side
-    val pastCorpus = graft.streaming.EventStream
-      .semanticGateAtIngest(arrivals, index, centroids)
+    val pastCorpus = pinned(graft.streaming.EventStream
+      .semanticGateAtIngest(arrivals, index, centroids))
 
     // survivors' own artifacts (cell + norm), computed once per row
     val assigned = pastCorpus
@@ -55,10 +61,11 @@ object VectorCompaction {
             (col("na") * col("nb")), 6)
             >= VectorQueries.SemDedupCosine.toDouble)
       .select(col("vb").as("vec_id")).distinct()
-    val survivors = assigned.join(drops, Seq("vec_id"), "left_anti")
+    val survivors = pinned(assigned.join(drops, Seq("vec_id"), "left_anti"))
 
     val (nArr, nPast, nSurv) =
       (arrivals.count(), pastCorpus.count(), survivors.count())
+    pastCorpus.unpersist(blocking = false) // survivors stays pinned
     val audit = arrivals.sparkSession.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(nArr, nArr - nPast, nPast - nSurv, nSurv)),

@@ -332,17 +332,29 @@ object VectorQueries {
     * a mapPartitions probe over a broadcast centroid matrix. */
   private[graft] def cellAssignCol(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column = {
+    // ONE aggregate fold over array literals, not a K-way chain of
+    // struct-whens: the chained form inlined each centroid's 64 doubles
+    // into its own expression subtree and the generated code took seconds
+    // to Janino-compile per plan (measured: a 45-row gate probe cost
+    // ~2.7 s, nearly all compilation). Arithmetic is unchanged —
+    // same dot, same norm product, same round-6, and the cell-ascending
+    // strict-greater fold keeps the batch argmax's (ccos desc, cell asc)
+    // tie-break bit for bit.
     val n = norm(e)
-    val scored = cents.sortBy(_._1).map { case (cell, cv) =>
-      val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
-      (lit(cell).cast("bigint"),
-        round(dot(e, typedLit(cv)) / (n * lit(cn)), 6))
-    }
-    scored.tail.foldLeft(
-      struct(scored.head._2.as("s"), scored.head._1.as("cell"))) { (acc, sc) =>
-        when(sc._2 > acc.getField("s"),
-          struct(sc._2.as("s"), sc._1.as("cell"))).otherwise(acc)
-    }.getField("cell")
+    val sorted = cents.sortBy(_._1)
+    val cellsLit = typedLit(sorted.map(_._1))
+    val vecsLit = typedLit(sorted.map(_._2))
+    val normsLit = typedLit(sorted.map { case (_, cv) =>
+      math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)) })
+    aggregate(sequence(lit(1), lit(sorted.size)),
+      struct(lit(-2.0).as("s"), lit(-1L).as("cell")),
+      (acc, i) => {
+        val sc = round(dot(e, element_at(vecsLit, i.cast("int"))) /
+          (n * element_at(normsLit, i.cast("int"))), 6)
+        when(sc > acc.getField("s"),
+          struct(sc.as("s"), element_at(cellsLit, i.cast("int")).as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
   }
 
   /** Static side of the streaming semantic gate (and any cell probe): the
@@ -351,9 +363,16 @@ object VectorQueries {
     * At 100 TB this is a bucketed parquet table keyed by cell, re-read
     * per micro-batch. */
   def corpusCellIndex(spark: SparkSession, dir: String): DataFrame =
-    assignCells(trainedCentroids(spark, dir), emb(spark, dir), 1)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        norm(col("embedding")).as("nrm"))
+    // per-row assignment expression, NOT the assignCells window: the k=1
+    // argmax needs no join and no shuffle, so the index derives in one
+    // codegen'd scan+project (measured at sf0.1: the window form cost a
+    // 400k-row sort-shuffle per evaluation; a columnar-cache memo was
+    // even slower — per-probe array access dominates). cellAssignCol is
+    // spec-pinned bit-identical to the window argmax. At 100 TB this
+    // frame is a bucketed parquet TABLE written once and read per batch.
+    emb(spark, dir).select(col("vec_id"), col("embedding"),
+      cellAssignCol(col("embedding"), quantizerRows(spark, dir)).as("cell"),
+      norm(col("embedding")).as("nrm"))
 
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -604,6 +623,37 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** x_vcompact — the embedding-index compaction pipeline as a
+    * driver-checked query (the vector twin of x_compact_audit): a
+    * deterministic arrival batch — corpus re-arrivals at %45 (die at the
+    * semantic gate), negations at %50==3 (novel directions, pass), and a
+    * negation/nudged-negation pair at %100==7 (intra-batch near pair: the
+    * lesser id survives) — runs through
+    * [[graft.pipeline.VectorCompaction.compact]]'s two kill tiers, and
+    * the one-row audit is the result. Every tier is cell-bounded cosine
+    * arithmetic DuckDB recomputes over the shared Lloyd chain, so the
+    * vector compaction surface is hash-checked end to end. */
+  def xVcompactAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    def neg(c: Column): Column = transform(c, x => -x)
+    def nudgedNeg(c: Column): Column = concat(
+      array((element_at(c, 1).cast("double") * -1.01).cast("float")),
+      transform(slice(c, lit(2), size(c) - 1), x => -x))
+    val arrivals = e.filter(col("vec_id") % 45 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 50 === 3)
+        .select((col("vec_id") + 6000000L).as("vec_id"),
+          neg(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + 7000000L).as("vec_id"),
+          neg(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + 8000000L).as("vec_id"),
+          nudgedNeg(col("embedding")).as("embedding")))
+    graft.pipeline.VectorCompaction.compact(arrivals,
+      corpusCellIndex(spark, dir), quantizerRows(spark, dir)).audit
+  }
+
   /** v9's Hamming radius: at 24/64 bits the prefilter passes ~3% of the
     * corpus (measured at every fixture SF) and keeps recall@5 = 0.6
     * against the exact top-5 — 3x v3's single sign-bucket (0.20) for the
@@ -798,6 +848,7 @@ object VectorQueries {
     "v12_balanced_sample" -> v12BalancedSample,
     "v13_filtered_ann" -> v13FilteredAnn,
     "v14_semantic_decontam" -> v14SemanticDecontam,
+    "x_vcompact_audit" -> xVcompactAudit,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -1105,7 +1156,74 @@ object VectorQueries {
        |ORDER BY t.vec_id""".stripMargin
   }
 
+  /** x_vcompact oracle: the shared Lloyd chain assigns base corpus AND
+    * the arrival batch (arrivals built by the same SQL transforms as the
+    * Spark frame); tier 1 pairs arrivals with same-cell corpus vectors,
+    * tier 2 pairs surviving arrivals within cells — both under the shared
+    * rounded-cosine bar — and the audit is the four tier counts. */
+  private def vcompactOracle: String = {
+    val fin = LloydIters + 1
+    s"""WITH $valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |${ivfAssignCte(fin, "corpassign", 1)},
+       |arrv AS (
+       |  SELECT vec_id + 5000000 AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id % 45 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 6000000, list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 50 = 3
+       |  UNION ALL
+       |  SELECT vec_id + 7000000, list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 100 = 7
+       |  UNION ALL
+       |  SELECT vec_id + 8000000,
+       |         [CAST(embedding[1] * -1.01 AS FLOAT)] ||
+       |         list_transform(embedding[2:], x -> CAST(-x AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 100 = 7),
+       |avalsV AS (
+       |  SELECT vec_id,
+       |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+       |         unnest(range(len(embedding))) AS pos
+       |  FROM arrv),
+       |anormsV AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM avalsV GROUP BY vec_id),
+       |${ivfAssignCte(fin, "arrassign", 1, "avalsV", "anormsV")},
+       |gpairs AS (
+       |  SELECT t.vec_id AS aid, c.vec_id AS cid, SUM(va.v * vc.v) AS dp
+       |  FROM arrassign t JOIN corpassign c ON t.cell = c.cell
+       |  JOIN avalsV va ON va.vec_id = t.vec_id
+       |  JOIN vals vc ON vc.vec_id = c.vec_id AND va.pos = vc.pos
+       |  GROUP BY 1, 2),
+       |ghits AS (
+       |  SELECT DISTINCT p.aid AS vec_id FROM gpairs p
+       |  JOIN anormsV na ON p.aid = na.vec_id
+       |  JOIN norms nc ON p.cid = nc.vec_id
+       |  WHERE round(p.dp / (na.nrm * nc.nrm), 6) >= $SemDedupCosine),
+       |past AS (SELECT a.vec_id, a.cell FROM arrassign a
+       |         LEFT JOIN ghits h ON a.vec_id = h.vec_id WHERE h.vec_id IS NULL),
+       |bpairs AS (
+       |  SELECT x.vec_id AS xa, y.vec_id AS xb, SUM(vx.v * vy.v) AS dp
+       |  FROM past x JOIN past y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN avalsV vx ON vx.vec_id = x.vec_id
+       |  JOIN avalsV vy ON vy.vec_id = y.vec_id AND vx.pos = vy.pos
+       |  GROUP BY 1, 2),
+       |bdrops AS (
+       |  SELECT DISTINCT p.xb AS vec_id FROM bpairs p
+       |  JOIN anormsV nx ON p.xa = nx.vec_id
+       |  JOIN anormsV ny ON p.xb = ny.vec_id
+       |  WHERE round(p.dp / (nx.nrm * ny.nrm), 6) >= $SemDedupCosine),
+       |surv AS (SELECT vec_id FROM past
+       |         WHERE vec_id NOT IN (SELECT vec_id FROM bdrops))
+       |SELECT CAST((SELECT COUNT(*) FROM arrv) AS BIGINT) AS n_arrivals,
+       |       CAST((SELECT COUNT(*) FROM arrv) - (SELECT COUNT(*) FROM past)
+       |            AS BIGINT) AS n_corpus_near,
+       |       CAST((SELECT COUNT(*) FROM past) - (SELECT COUNT(*) FROM surv)
+       |            AS BIGINT) AS n_batch_near,
+       |       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_appended""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x_vcompact_audit" -> vcompactOracle,
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
     "v13_filtered_ann" -> filteredAnnOracle,
