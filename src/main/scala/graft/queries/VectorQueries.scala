@@ -473,6 +473,24 @@ object VectorQueries {
     * VectorSpec measures recall against the exact L2 ground truth). */
   def v7PqAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (codes, qtab) = pqCodesAndQtab(spark, dir)
+    // ADC: approximate distance = sum of the 8 looked-up table entries
+    val probed = codes.join(broadcast(qtab), Seq("s", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dt")), 6).as("adist"))
+      .select(col("qid"), col("vec_id").as("vid"), col("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid").asc)
+    probed.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vid", "adist", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** The PQ encode pass shared by v7 and v15: (corpus code table, query
+    * distance table). Codebook training stays memoized in
+    * [[pqCodebooks]]. */
+  private def pqCodesAndQtab(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val e = emb(spark, dir)
     // (vec_id, s, sub, da=||sub||^2): the 8-dim subvectors; norms are
@@ -524,14 +542,61 @@ object VectorQueries {
     // the query-side distance table: Q x 8 x 16 rows, broadcast
     val qtab = scored(cent, subs.filter(col("vec_id") < 3))
       .select(col("vec_id").as("qid"), col("s"), col("code"), col("dist").as("dt"))
-    // ADC: approximate distance = sum of the 8 looked-up table entries
-    val probed = codes.join(broadcast(qtab), Seq("s", "code"))
-      .groupBy(col("qid"), col("vec_id"))
+    (codes, qtab)
+  }
+
+  /** v15's rerank shortlist: ADC keeps this many candidates per query
+    * before the exact pass — the recall/cost dial of a two-stage index.
+    * Shared with the oracle. */
+  private val IvfPqShortlist = 20
+
+  /** v15 — IVF-PQ with exact rerank: the production-standard two-stage
+    * vector index (the FAISS IVFPQ shape) composed from the engine's own
+    * parts — v6's multi-probe coarse quantizer bounds the candidate set
+    * to the query's [[IvfProbes]] cells, v7's PQ codes rank those
+    * candidates by ADC (8 table lookups per candidate, embeddings never
+    * touched), and the top [[IvfPqShortlist]] get ONE exact squared-L2
+    * rerank over the full float vectors. Every tier rides the memoized
+    * model state (coarse quantizer + PQ codebook — train once, probe
+    * many).
+    *
+    * Plan shape at 100 TB: candidates = cells x nprobe (never the
+    * corpus); the ADC scan reads 8-byte code rows for candidates only;
+    * the exact pass touches shortlist x queries embeddings — thousands of
+    * rows whatever the corpus size. This is the index layout that serves
+    * interactive retrieval over billions of vectors; v4/v6/v7 are its
+    * ablations. */
+  def v15IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cent = trainedCentroids(spark, dir, cells = IvfCells) // fixture pin: oracle SQL is generated from the same constant
+    val corpCells = assignCells(cent, e, 1)
+      .select(col("vec_id").as("vid"), col("cell"))
+    val qCells = assignCells(cent, e.filter(col("vec_id") < 3), IvfProbes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = corpCells.join(broadcast(qCells), Seq("cell"))
+      .select("qid", "vid")
+    val (codes, qtab) = pqCodesAndQtab(spark, dir)
+    val adc = cand.join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
+      .join(broadcast(qtab), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vid"))
       .agg(round(sum(col("dt")), 6).as("adist"))
-      .select(col("qid"), col("vec_id").as("vid"), col("adist"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid").asc)
-    probed.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-      .select("qid", "vid", "adist", "rk")
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid").asc)
+    val short = adc.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= IvfPqShortlist).select("qid", "vid")
+    val qe = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = e.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)
+    short.join(broadcast(qe), Seq("qid")).join(ce, Seq("vid"))
+      .select(col("qid"), col("vid"),
+        // + 0.0 normalizes IEEE negative zero: a self-distance that
+        // rounds to -0.0 in one engine and 0.0 in the other would
+        // hash-differ while being numerically equal
+        (round(dot(col("qe"), col("qe")) - lit(2.0) * dot(col("qe"), col("ce"))
+          + dot(col("ce"), col("ce")), 6) + lit(0.0)).as("dist"))
+      .withColumn("rk", row_number().over(wR)).filter(col("rk") <= 5)
+      .select("qid", "vid", "dist", "rk")
       .orderBy("qid", "rk")
   }
 
@@ -849,6 +914,7 @@ object VectorQueries {
     "v13_filtered_ann" -> v13FilteredAnn,
     "v14_semantic_decontam" -> v14SemanticDecontam,
     "x_vcompact_audit" -> xVcompactAudit,
+    "v15_ivfpq_ann" -> v15IvfPqAnn,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -932,7 +998,11 @@ object VectorQueries {
     * PqLloydIters constants as the Spark plan. Subspace and in-subspace
     * position come from integer bit ops on `pos` (exact in both engines);
     * every distance is rounded to 6 before its argmin/rank. */
-  private def pqOracle: String = {
+  /** The PQ train/encode chain as CTEs (subvals … codes/qtab) — shared by
+    * the v7 and v15 oracles. Internal names are p-prefixed (pcent,
+    * psubdb, passign) so the chain composes next to the IVF chain's
+    * cent/assign names without collision. Assumes `vals` is in scope. */
+  private def pqChainCtes: String = {
     def assignCte(i: Int, name: String, filterQ: Boolean, keepAll: Boolean): String = {
       val qf = if (filterQ) s"AND x.vec_id < 3" else ""
       val sel =
@@ -942,10 +1012,10 @@ object VectorQueries {
              |         round(da.da - 2*d.dab + db.db, 6) AS dt
              |  FROM (SELECT x.vec_id, x.s, c.code, SUM(x.v * c.cv) AS dab
              |        FROM subvals x
-             |        JOIN cent$i c ON x.s = c.s AND x.j = c.j $qf
+             |        JOIN pcent$i c ON x.s = c.s AND x.j = c.j $qf
              |        GROUP BY 1, 2, 3) d
              |  JOIN subda da ON d.vec_id = da.vec_id AND d.s = da.s
-             |  JOIN subdb$i db ON d.s = db.s AND d.code = db.code)""".stripMargin
+             |  JOIN psubdb$i db ON d.s = db.s AND d.code = db.code)""".stripMargin
         else
           s"""$name AS (
              |  SELECT vec_id, s, code FROM (
@@ -955,34 +1025,38 @@ object VectorQueries {
              |                                       d.code ASC) AS rk
              |    FROM (SELECT x.vec_id, x.s, c.code, SUM(x.v * c.cv) AS dab
              |          FROM subvals x
-             |          JOIN cent$i c ON x.s = c.s AND x.j = c.j $qf
+             |          JOIN pcent$i c ON x.s = c.s AND x.j = c.j $qf
              |          GROUP BY 1, 2, 3) d
              |    JOIN subda da ON d.vec_id = da.vec_id AND d.s = da.s
-             |    JOIN subdb$i db ON d.s = db.s AND d.code = db.code)
+             |    JOIN psubdb$i db ON d.s = db.s AND d.code = db.code)
              |  WHERE rk = 1)""".stripMargin
       sel
     }
     def dbCte(i: Int): String =
-      s"subdb$i AS (SELECT s, code, SUM(cv*cv) AS db FROM cent$i GROUP BY 1, 2)"
+      s"psubdb$i AS (SELECT s, code, SUM(cv*cv) AS db FROM pcent$i GROUP BY 1, 2)"
     def centCte(i: Int): String =
-      s"""cent$i AS (SELECT a.s, a.code, x.j, round(AVG(x.v), 6) AS cv
+      s"""pcent$i AS (SELECT a.s, a.code, x.j, round(AVG(x.v), 6) AS cv
          |           FROM subvals x
-         |           JOIN assign${i - 1} a ON x.vec_id = a.vec_id AND x.s = a.s
+         |           JOIN passign${i - 1} a ON x.vec_id = a.vec_id AND x.s = a.s
          |           GROUP BY 1, 2, 3),
          |${dbCte(i)}""".stripMargin
     val lloyd = (1 to PqLloydIters)
-      .map(i => s"${assignCte(i - 1, s"assign${i - 1}", filterQ = false, keepAll = false)},\n${centCte(i)}")
+      .map(i => s"${assignCte(i - 1, s"passign${i - 1}", filterQ = false, keepAll = false)},\n${centCte(i)}")
       .mkString(",\n")
     val fin = PqLloydIters
-    s"""WITH $valsCte,
-       |subvals AS (SELECT vec_id, pos >> 3 AS s, pos & 7 AS j, v FROM vals),
+    s"""subvals AS (SELECT vec_id, pos >> 3 AS s, pos & 7 AS j, v FROM vals),
        |subda AS (SELECT vec_id, s, SUM(v*v) AS da FROM subvals GROUP BY 1, 2),
-       |cent0 AS (SELECT s, vec_id AS code, j, v AS cv FROM subvals
+       |pcent0 AS (SELECT s, vec_id AS code, j, v AS cv FROM subvals
        |          WHERE vec_id < $PqCodes),
        |${dbCte(0)},
        |$lloyd,
        |${assignCte(fin, "codes", filterQ = false, keepAll = false)},
-       |${assignCte(fin, "qtab", filterQ = true, keepAll = true)}
+       |${assignCte(fin, "qtab", filterQ = true, keepAll = true)}""".stripMargin
+  }
+
+  private def pqOracle: String =
+    s"""WITH $valsCte,
+       |$pqChainCtes
        |SELECT qid, vid, adist, rk FROM (
        |  SELECT qid, vid, adist,
        |         row_number() OVER (PARTITION BY qid
@@ -990,6 +1064,52 @@ object VectorQueries {
        |  FROM (SELECT t.qid, c.vec_id AS vid, round(SUM(t.dt), 6) AS adist
        |        FROM codes c JOIN qtab t ON c.s = t.s AND c.code = t.code
        |        GROUP BY 1, 2))
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** v15 oracle: the IVF chain bounds candidates to the query's probed
+    * cells, the PQ chain ranks them by ADC, the shortlist reranks by
+    * exact squared L2 over the full values — three tiers, one statement,
+    * every constant shared with the Spark plan. */
+  private def ivfPqOracle: String = {
+    val fin = LloydIters + 1
+    s"""WITH $valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |${ivfAssignCte(fin, s"assign$fin", 1)},
+       |${ivfAssignCte(fin, "qassign", IvfProbes)},
+       |$pqChainCtes,
+       |cand AS (
+       |  SELECT aq.vec_id AS qid, ac.vec_id AS vid
+       |  FROM qassign aq JOIN assign$fin ac ON ac.cell = aq.cell
+       |  WHERE aq.vec_id < 3),
+       |adc AS (
+       |  SELECT t.qid, c.vec_id AS vid, round(SUM(t.dt), 6) AS adist
+       |  FROM cand x
+       |  JOIN codes c ON c.vec_id = x.vid
+       |  JOIN qtab t ON t.qid = x.qid AND t.s = c.s AND t.code = c.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY adist ASC, vid ASC) AS ark
+       |    FROM adc) WHERE ark <= $IvfPqShortlist),
+       |sq AS (SELECT vec_id, SUM(v*v) AS n2 FROM vals GROUP BY vec_id),
+       |exd AS (
+       |  SELECT x.qid, x.vid, SUM(q.v * c.v) AS dp
+       |  FROM short x
+       |  JOIN vals q ON q.vec_id = x.qid
+       |  JOIN vals c ON c.vec_id = x.vid AND q.pos = c.pos
+       |  GROUP BY 1, 2)
+       |SELECT qid, vid, dist, rk FROM (
+       |  SELECT e.qid, e.vid,
+       |         round(s1.n2 - 2*e.dp + s2.n2, 6) + 0.0 AS dist,
+       |         row_number() OVER (PARTITION BY e.qid
+       |                            ORDER BY round(s1.n2 - 2*e.dp + s2.n2, 6) ASC,
+       |                                     e.vid ASC) AS rk
+       |  FROM exd e
+       |  JOIN sq s1 ON e.qid = s1.vec_id
+       |  JOIN sq s2 ON e.vid = s2.vec_id)
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
@@ -1224,6 +1344,7 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x_vcompact_audit" -> vcompactOracle,
+    "v15_ivfpq_ann" -> ivfPqOracle,
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
     "v13_filtered_ann" -> filteredAnnOracle,

@@ -310,6 +310,41 @@ class VectorSpec extends AnyFunSuite {
       s"filtered two-probe recall collapsed: $recalls")
   }
 
+  test("v15 IVF-PQ: self at rank 1 with zero distance, rerank recall beats raw ADC") {
+    val got = VectorQueries.queries("v15_ivfpq_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // the query's own vector survives the coarse probe + shortlist and
+    // reranks to distance exactly 0 at rank 1
+    (0L until 3L).foreach { q =>
+      val self = got.find(r => r._1 == q && r._2 == q)
+      assert(self.exists(r => r._3 == 0.0 && r._4 == 1), s"q$q self: $self")
+    }
+    // exact squared-L2 ground truth via the independent HOF fold
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+      .crossJoin(q)
+      .select(col("qid"), col("vid"),
+        (VectorQueries.dotHof(col("qe"), col("qe"))
+          - lit(2.0) * VectorQueries.dotHof(col("qe"), col("ce"))
+          + VectorQueries.dotHof(col("ce"), col("ce"))).as("d"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.sortBy(r => (r.getDouble(2), r.getLong(1)))
+        .take(5).map(_.getLong(1)).toSet }
+    val v7top = VectorQueries.queries("v7_pq_ann")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    def recall(m: Map[Long, Set[Long]]): Double =
+      (0L until 3L).map(qid => m(qid).count(exact(qid)) / 5.0).sum / 3.0
+    val r15 = recall(got.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet })
+    val r7 = recall(v7top)
+    assert(r15 >= r7,
+      s"exact rerank must not lose recall vs raw ADC: v15=$r15 v7=$r7")
+    assert(r15 >= 0.5, s"two-stage recall collapsed: $r15")
+  }
+
   test("v14 decontamination flags exactly the benchmark-slice mutants, not other near-dups") {
     val rows = VectorQueries.v14SemanticDecontam(spark, sf).collect()
     val flagged = rows.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
