@@ -125,6 +125,34 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cell index as a bucketed table: the gate probe joins with no shuffle on either side") {
+    import graft.queries.VectorQueries
+    // the corpusCellIndex scaladoc claims "at 100 TB this frame is a
+    // bucketed parquet table written once and read per batch" — write it
+    // as one, land an arrival batch bucketed the same way (the micro-batch
+    // output shape), and prove the probe plans with NO hash-partitioning
+    // Exchange on either side: the corpus-sized index never shuffles again
+    val cents = VectorQueries.quantizerRows(spark, sf)
+    val idx = VectorQueries.corpusCellIndex(spark, sf).select("vec_id", "cell", "nrm")
+    val arrivals = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(50)
+      .select((col("vec_id") + 9500000L).as("vec_id"),
+        VectorQueries.cellAssignCol(col("embedding"), cents).as("cell"))
+    ScaleTechniques.writeBucketed(idx, "cell", 8, "cell_index_b")
+    ScaleTechniques.writeBucketed(arrivals, "cell", 8, "cell_arrivals_b")
+    try {
+      val probe = ScaleTechniques.bucketedJoin(spark,
+        "cell_index_b", "cell_arrivals_b", "cell", "cell")
+      val p = planOf(probe)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed cell probe still shuffles:\n$p")
+      assert(probe.count() > 0, "the probe must still return candidates")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cell_index_b")
+      spark.sql("DROP TABLE IF EXISTS cell_arrivals_b")
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy(col("l_returnflag"))
