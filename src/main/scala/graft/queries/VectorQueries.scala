@@ -719,6 +719,36 @@ object VectorQueries {
       corpusCellIndex(spark, dir), quantizerRows(spark, dir)).audit
   }
 
+  /** v16's imbalance alert bar: a cell holding more than twice its fair
+    * share flags (micro-units; shared with the oracle). */
+  private val CellBalanceAlertMicro = 2000000L / IvfCells
+
+  /** v16 — cell-balance monitor: the index-health report an ANN serving
+    * layer watches — per-cell population, its micro-share of the corpus,
+    * the absolute deviation from the fair share (1e6/K), and an alert
+    * flag at 2x fair share. Probe latency under IVF is proportional to
+    * the probed cell's size, so a cell drifting hot (corpus drift since
+    * the quantizer trained) IS the retrain signal — this query makes
+    * drift a number instead of a tail-latency surprise. All arithmetic
+    * exact BIGINT micro-units.
+    *
+    * Plan shape at 100 TB: one assignment pass + a K-row aggregate; the
+    * report is quantizer-sized, never corpus-sized. */
+  def v16CellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCells(trainedCentroids(spark, dir), emb(spark, dir), 1)
+      .select(col("vec_id"), col("cell"))
+    val tot = assigned.agg(count(lit(1)).cast("bigint").as("n_total"))
+    val fair = 1000000L / IvfCells
+    assigned.groupBy(col("cell")).agg(count(lit(1)).cast("bigint").as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n_total").as("share_micro"))
+      .withColumn("dev_micro", abs(col("share_micro") - lit(fair)))
+      .withColumn("hot",
+        when(col("share_micro") > CellBalanceAlertMicro, 1L).otherwise(0L))
+      .orderBy("cell")
+  }
+
   /** v9's Hamming radius: at 24/64 bits the prefilter passes ~3% of the
     * corpus (measured at every fixture SF) and keeps recall@5 = 0.6
     * against the exact top-5 — 3x v3's single sign-bucket (0.20) for the
@@ -915,6 +945,7 @@ object VectorQueries {
     "v14_semantic_decontam" -> v14SemanticDecontam,
     "x_vcompact_audit" -> xVcompactAudit,
     "v15_ivfpq_ann" -> v15IvfPqAnn,
+    "v16_cell_balance" -> v16CellBalance,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -1342,9 +1373,32 @@ object VectorQueries {
        |       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_appended""".stripMargin
   }
 
+  /** v16 oracle: the shared Lloyd chain's final assignment aggregated to
+    * the K-row balance report. */
+  private def cellBalanceOracle: String = {
+    val fin = LloydIters + 1
+    val fair = 1000000L / IvfCells
+    s"""WITH $valsCte,
+       |$normsCte,
+       |$ivfTrainCtes,
+       |${ivfAssignCte(fin, s"assign$fin", 1)},
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign$fin)
+       |SELECT cell, n_vecs, share_micro,
+       |       CAST(abs(share_micro - $fair) AS BIGINT) AS dev_micro,
+       |       CAST(CASE WHEN share_micro > $CellBalanceAlertMicro
+       |            THEN 1 ELSE 0 END AS BIGINT) AS hot
+       |FROM (
+       |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |         (CAST(COUNT(*) AS BIGINT) * 1000000) // t.n_total AS share_micro
+       |  FROM assign$fin a, tot t
+       |  GROUP BY a.cell, t.n_total)
+       |ORDER BY cell""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x_vcompact_audit" -> vcompactOracle,
     "v15_ivfpq_ann" -> ivfPqOracle,
+    "v16_cell_balance" -> cellBalanceOracle,
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
     "v13_filtered_ann" -> filteredAnnOracle,
