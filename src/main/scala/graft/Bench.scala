@@ -60,8 +60,15 @@ object Bench {
     // without the individual rep times — reps=[8.1,0.1,0.1] is first-rep
     // memoization, reps=[3.1,3.0,3.2] is a real plan change.
     val repLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // per-entry host-regime record (r11 verdict task 1b): /proc deltas
+    // spanning the entry's reps, so a driver-side elevation carries its
+    // own co-tenant evidence (other-process CPU share, major faults) in
+    // the artifact instead of needing an after-the-fact local repro.
+    val hostLog = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(name: String)(body: => Unit): (String, Double) = {
+      val h0 = HostTelemetry.sample()
       val ts = (1 to reps).map(_ => once(name)(body))
+      hostLog(name) = HostTelemetry.deltaJson(h0, HostTelemetry.sample())
       repLog(name) = ts
       System.err.println(f"[bench] $name%-28s median=${median(ts)}%8.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       name -> median(ts)
@@ -102,9 +109,12 @@ object Bench {
     val warm =
       if (textNames.isEmpty) Seq.empty[(String, Double)] // subset run, no text
       else {
+        val h0 = HostTelemetry.sample()
         val warmT = once("warm_text_caches") {
           graft.queries.TextQueries.warmShared(spark, sfDir)
         }
+        hostLog("warm_text_caches") =
+          HostTelemetry.deltaJson(h0, HostTelemetry.sample())
         System.err.println(f"[bench] warm_text_caches             once  =$warmT%8.3f")
         Seq("warm_text_caches" -> warmT)
       }
@@ -126,9 +136,12 @@ object Bench {
     val warmMedia =
       if (mediaNames.isEmpty) Seq.empty[(String, Double)]
       else {
+        val h0 = HostTelemetry.sample()
         val wm = once("warm_media_sigs") {
           graft.queries.MultimodalQueries.warmShared(spark, sfDir)
         }
+        hostLog("warm_media_sigs") =
+          HostTelemetry.deltaJson(h0, HostTelemetry.sample())
         System.err.println(f"[bench] warm_media_sigs              once  =$wm%8.3f")
         Seq("warm_media_sigs" -> wm)
       }
@@ -164,8 +177,19 @@ object Bench {
     val repTimes = repLog.map { case (n, ts) =>
       s"${q(n)}:[${ts.map(f3).mkString(",")}]"
     }.mkString("{", ",", "}")
+    // per-entry host regime + cross-process snapshot outcomes (r11 verdict
+    // task 1): "host" makes a driver-side elevation attributable from the
+    // artifact alone (other-process CPU share + major faults per entry);
+    // "snapshot_outcomes" says whether each warm base was rebuilt or
+    // reused from a prior process ("built" 25 s = cold host paying decode
+    // once; "reused" 25 s would be a real regression).
+    val hostJson = hostLog.map { case (n, j) => s"${q(n)}:$j" }
+      .mkString("{", ",", "}")
+    val snapOutcomes = graft.plans.Snapshot.lastOutcomes.map {
+      case (n, o, s) => s"""${q(n)}:{"mode":${q(o)},"sec":${f3(s)}}"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes}"""
+      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes,"host":$hostJson,"snapshot_outcomes":$snapOutcomes}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -1,0 +1,82 @@
+package graft
+
+/** Host-regime sampling for the bench artifact (round-12 verdict task 1b).
+  *
+  * The r10/r11 driver benches elevated specific entries 4–26x while their
+  * plans were pinned and their local anchors flat — the evidence pointed
+  * at co-tenant host pressure, but nothing IN the artifact could prove it.
+  * This samples the Linux /proc counters before and after every bench
+  * entry so each recorded time carries its own regime evidence:
+  *
+  *  - `load1`   — /proc/loadavg 1-min load at entry start; local[N] on an
+  *                otherwise-idle host stays near the bench's own thread
+  *                count, so load1 >> N means co-tenants.
+  *  - `sys`     — system-WIDE busy fraction over the entry window
+  *                (non-idle jiffies / total jiffies across all CPUs,
+  *                /proc/stat deltas).
+  *  - `self`    — THIS JVM's share of the same total (utime+stime deltas,
+  *                /proc/self/stat).
+  *  - `other`   — sys − self: CPU burned by everything that is not the
+  *                bench. The smoking gun: a 26x q15 with other ≈ 0 is a
+  *                real regression; with other ≈ 0.7 it is a contended
+  *                host, provable from the artifact alone.
+  *  - `pgmf`    — system-wide major page faults over the window
+  *                (/proc/vmstat pgmajfault delta): the page-cache-eviction
+  *                regime (BASELINE.md's CONTENDED model) shows up here
+  *                even when the co-tenant is IO-bound rather than
+  *                CPU-bound.
+  *
+  * Every read is wrapped: on a host without /proc (or a field drift) the
+  * sampler degrades to zeros rather than failing the bench.
+  */
+object HostTelemetry {
+
+  final case class Sample(atNanos: Long, jifTotal: Long, jifBusy: Long,
+      selfJif: Long, pgMajFault: Long, load1: Double)
+
+  private def readFile(p: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  def sample(): Sample = {
+    // /proc/stat "cpu  user nice system idle iowait irq softirq steal ..."
+    val (tot, busy) = readFile("/proc/stat").flatMap { s =>
+      s.linesIterator.find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).flatMap(x => x.toLongOption)
+        val total = f.sum
+        val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
+        (total, total - idle)
+      }
+    }.getOrElse((0L, 0L))
+    // /proc/self/stat: comm (field 2) may hold spaces/parens — split after
+    // the last ')'. utime/stime are fields 14/15 (1-indexed) = indexes
+    // 11/12 of the post-comm remainder.
+    val selfJ = readFile("/proc/self/stat").flatMap { s =>
+      val rest = s.substring(s.lastIndexOf(')') + 1).trim.split("\\s+")
+      if (rest.length > 12)
+        for (u <- rest(11).toLongOption; st <- rest(12).toLongOption)
+          yield u + st
+      else None
+    }.getOrElse(0L)
+    val pgmf = readFile("/proc/vmstat").flatMap(
+      _.linesIterator.find(_.startsWith("pgmajfault "))
+        .flatMap(_.split("\\s+")(1).toLongOption)).getOrElse(0L)
+    val l1 = readFile("/proc/loadavg")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption)
+      .getOrElse(0.0)
+    Sample(System.nanoTime(), tot, busy, selfJ, pgmf, l1)
+  }
+
+  /** Compact JSON object for one entry window. Fractions are of the
+    * system-wide jiffy total (all CPUs), 3 decimals. */
+  def deltaJson(a: Sample, b: Sample): String = {
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val tot = (b.jifTotal - a.jifTotal).max(1L).toDouble
+    val sys = (b.jifBusy - a.jifBusy).max(0L) / tot
+    val self = (b.selfJif - a.selfJif).max(0L) / tot
+    s"""{"load1":${f3(a.load1)},"sys":${f3(sys)},"self":${f3(self)},""" +
+      s""""other":${f3((sys - self).max(0.0))},"pgmf":${(b.pgMajFault - a.pgMajFault).max(0L)}}"""
+  }
+}

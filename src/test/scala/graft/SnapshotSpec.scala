@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Snapshot
+
+/** Cross-process snapshot reuse (round 12). Through round 11 every
+  * bench/verify process re-built all shared bases from scratch —
+  * warm_media_sigs alone was 24% of the r11 driver bench total. The
+  * contract now: a later process whose input dir is byte-for-byte
+  * unchanged REUSES the on-disk parquet (a staleness check, not a
+  * build); any change to the input files rebuilds on a fresh path.
+  * The spec replays the cross-process path inside one JVM via
+  * Snapshot.resetForTest(), which forgets promises but leaves disk. */
+class SnapshotSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private var builds = 0
+  private def fixtureDir(): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-snap-fix")
+    java.nio.file.Files.write(d.resolve("data.txt"), "v1".getBytes("UTF-8"))
+    d
+  }
+  private def build(dir: String) = Snapshot.checkpointed(spark, dir, "snapspec") {
+    builds += 1
+    spark.range(0, 10).toDF("id")
+  }
+
+  test("unchanged inputs: second process reuses the parquet without rebuilding") {
+    val dir = fixtureDir().toString
+    Snapshot.resetForTest()
+    assert(build(dir).count() == 10)
+    val built = builds
+    assert(Snapshot.lastOutcomes.exists { case (n, m, _) => n == "snapspec" && m == "built" })
+    // simulate a fresh process: forget promises, keep disk
+    Snapshot.resetForTest()
+    assert(build(dir).count() == 10)
+    assert(builds == built, "second 'process' must not re-run the build")
+    assert(Snapshot.lastOutcomes.exists { case (n, m, _) => n == "snapspec" && m == "reused" })
+  }
+
+  test("changed inputs: the stamp moves and the snapshot rebuilds") {
+    val d = fixtureDir()
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    val built = builds
+    // mutate the fixture (size change — mtime alone can be same-millisecond)
+    java.nio.file.Files.write(d.resolve("data.txt"), "v2-longer".getBytes("UTF-8"))
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    assert(builds == built + 1, "changed fixture must rebuild")
+  }
+
+  test("a crashed half-written snapshot (no marker) is never served") {
+    val d = fixtureDir()
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    val built = builds
+    // find the snapshot dir and delete its marker — the crash-mid-write shape
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
+    val snap = Option(root.toFile.listFiles()).get
+      .filter(_.getName.startsWith("snapspec-")).maxBy(_.lastModified())
+    val marker = snap.toPath.resolve("_GRAFT_OK")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    assert(builds == built + 1, "missing marker must force a rebuild")
+    assert(java.nio.file.Files.exists(marker), "rebuild must restore the marker")
+  }
+
+  test("rebuild evicts the stale stamp of the same (name, dir)") {
+    val d = fixtureDir()
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
+    def stamps() = Option(root.toFile.listFiles()).get
+      .map(_.getName).filter(_.startsWith("snapspec-"))
+      .filter(_.contains(md5OfDir(d.toString))).toSeq
+    assert(stamps().size == 1)
+    java.nio.file.Files.write(d.resolve("extra.txt"), "x".getBytes("UTF-8"))
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    assert(stamps().size == 1, "old stamp must be deleted on rebuild, not accumulate")
+  }
+
+  private def md5OfDir(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+}
