@@ -50,6 +50,22 @@ object ExportQueries {
       .orderBy("lang")
   }
 
+  /** x_export_counts — the SQL-expressible tier of the export audit
+    * (round-12 verdict task 3): the per-language survivor counts the shard
+    * writer must conserve, computed from the same t12 clean-corpus
+    * composition the export consumes (survivor set ⨝ corpus lang, grouped).
+    * DuckDB recomputes the whole t12 CTE stack independently
+    * ([[TextQueries.t12OracleCtes]] — one definition, two final SELECTs),
+    * so the export path's arithmetic is cross-engine hash-pinned;
+    * [[xExportManifest]] keeps only the file-layout tier (shard counts,
+    * rows_conserved vs the actual write) rows-only. */
+  def xExportCounts(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.queries("t12_clean_corpus")(spark, dir)
+      .join(TextQueries.corpus(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("expected_rows"))
+      .orderBy("lang")
+
   /** The intra-batch novelty fixture of [[xCompactAudit]]: an exact pair
     * and a near pair (drop-first-word) unlike anything in the corpus —
     * the two tiers corpus-derived arrivals cannot exercise (anything
@@ -90,13 +106,26 @@ object ExportQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,
+      "x_export_counts" -> xExportCounts,
       "x_compact_audit" -> xCompactAudit)
 
   /** DuckDB twin of the whole tier cascade. */
   val oracleSql: Map[String, String] = {
     val novelValues = CompactNovels
       .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(",\n      ")
-    Map("x_compact_audit" -> TextQueries.oracle(
+    Map(
+      "x_export_counts" -> TextQueries.oracle(
+        s"""${TextQueries.t12OracleCtes}
+           |SELECT c.lang, CAST(count(*) AS BIGINT) AS expected_rows
+           |FROM keepset k
+           |JOIN quality q ON k.doc_id = q.doc_id
+           |  AND q.quality_micro >= ${TextQueries.CleanQualityFloor}
+           |LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |JOIN corpus c ON k.doc_id = c.doc_id
+           |WHERE x.doc_id IS NULL
+           |GROUP BY c.lang
+           |ORDER BY c.lang""".stripMargin),
+      "x_compact_audit" -> TextQueries.oracle(
       s""", ${TextQueries.sigsCte},
         |${TextQueries.bandsCte},
         |fps AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp FROM corpus),

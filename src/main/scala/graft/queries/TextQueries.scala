@@ -1200,7 +1200,7 @@ object TextQueries {
   /** t12's quality floor in micro-units: the fixture corpus scores span
     * ~319k–572k with median ~454k, so this keeps roughly the better half —
     * a discriminative threshold, not a no-op. Inlined into the oracle. */
-  private val CleanQualityFloor = 450000L
+  private[queries] val CleanQualityFloor = 450000L
 
   /** t12 — the end-to-end "prepare my pretraining corpus" pass: the
     * composition a trainer actually consumes, stacked from the operators
@@ -1804,6 +1804,86 @@ object TextQueries {
     "t27_dup_span_coverage" -> t27DupSpanCoverage,
     "t28_mix_solver" -> t28MixSolver)
 
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  // ONE definition of the verify-tier CTE chain (the Spark twin is
+  // cachedSharedCounts / verifiedPairs): d4/d7/d9/d10/t12 interpolate
+  // these instead of pasting five copies that could drift. The generated
+  // bytes are UNCHANGED vs the previous inline copies (hash-checked per
+  // oracle during the round-9 refactor). Hoisted to object level in round
+  // 12 so the export-counts oracle (ExportQueries) can compose the same
+  // t12 stack without a sixth pasted copy.
+  private val sharedCte =
+    """dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+      |  FROM cands c
+      |  JOIN dsh sa ON c.doc_a = sa.doc_id
+      |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+      |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+  private val jpairsCte =
+    """jpairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT s.doc_a, s.doc_b,
+      |           round(CAST(s.shared AS DOUBLE) /
+      |                 CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
+      |    FROM shared s
+      |    JOIN sizes na ON s.doc_a = na.doc_id
+      |    JOIN sizes nb ON s.doc_b = nb.doc_id)
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** The t12 clean-corpus oracle's full CTE stack (everything but the
+    * final SELECT), shared verbatim with the export-counts oracle
+    * ([[graft.queries.ExportQueries]]): the per-language survivor counts
+    * the shard writer must conserve are, by definition, an aggregation of
+    * exactly this survivor set — one definition, two final SELECTs. */
+  private[queries] lazy val t12OracleCtes: String =
+    s""", $sigsCte,
+       |$bandsCte,
+       |$candCte,
+       |$sharedCte,
+       |$jpairsCte,
+       |fps AS (SELECT doc_id, $fpSql AS fp FROM corpus),
+       |keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+       |keepset AS (
+       |  SELECT doc_id FROM fps
+       |  EXCEPT
+       |  (SELECT f.doc_id FROM fps f JOIN keeps k ON f.fp = k.fp AND f.doc_id > k.keep_id
+       |   UNION
+       |   SELECT doc_b FROM jpairs)),
+       |bsh AS (SELECT DISTINCT shingle FROM dsh
+       |        WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+       |contaminated AS (
+       |  SELECT s.doc_id FROM dsh s JOIN bsh ON s.shingle = bsh.shingle
+       |  WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 1000000)
+       |  GROUP BY s.doc_id HAVING count(*) >= 3),
+       |quality AS (
+       |  SELECT doc_id,
+       |         CAST(floor((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 0.5 +
+       |               (1.0 - least(CAST(n_punct AS DOUBLE) /
+       |                            greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
+       |               least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2)
+       |              * 1000000.0) AS BIGINT) AS quality_micro
+       |  FROM (
+       |    SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
+       |           len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
+       |           len(regexp_extract_all(c.text, '[^A-Za-z0-9\\s]')) AS n_punct
+       |    FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)),
+       |redacted AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |         len(regexp_extract_all(t, '$UrlRe')) AS n_urls,
+       |         regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |                        '$UrlRe', '<URL>', 'g') AS redacted
+       |  FROM (
+       |    SELECT doc_id,
+       |           CASE WHEN doc_id % 11 = 0
+       |                THEN text || ' contact bob' || doc_id ||
+       |                     '@example.com via https://example.com/d/' || doc_id
+       |                ELSE text END AS t
+       |    FROM corpus))""".stripMargin
+
   val oracleSql: Map[String, String] = {
     val simhashCte = {
       // 64 per-bit votes from the two 32-bit md5 halves — the generated SQL
@@ -1833,31 +1913,6 @@ object TextQueries {
               s"SELECT doc_id, sim_hi, sim_lo, $b AS band, b$b AS bkey FROM simhashes")
               .mkString("\n  UNION ALL\n  ")})""".stripMargin
     }
-    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    // ONE definition of the verify-tier CTE chain (the Spark twin is
-    // cachedSharedCounts / verifiedPairs): d4/d7/d9/d10/t12 interpolate
-    // these instead of pasting five copies that could drift. The generated
-    // bytes are UNCHANGED vs the previous inline copies (hash-checked per
-    // oracle during the round-9 refactor).
-    val sharedCte =
-      """dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
-        |shared AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-        |  FROM cands c
-        |  JOIN dsh sa ON c.doc_a = sa.doc_id
-        |  JOIN dsh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
-        |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
-    val jpairsCte =
-      """jpairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT s.doc_a, s.doc_b,
-        |           round(CAST(s.shared AS DOUBLE) /
-        |                 CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
-        |    FROM shared s
-        |    JOIN sizes na ON s.doc_a = na.doc_id
-        |    JOIN sizes nb ON s.doc_b = nb.doc_id)
-        |  WHERE jaccard >= 0.5)""".stripMargin
     Map(
       "d1_exact_dedup" -> oracle(
         s"""SELECT fp, keep_id, n_copies FROM (
@@ -2089,52 +2144,10 @@ object TextQueries {
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
       // the full-pipeline composition: the SAME CTE fragments as d7 / t8 /
       // t2 / t5, stacked — one definition per stage, so the composed
-      // oracle cannot drift from its components'
+      // oracle cannot drift from its components' (the stack itself is
+      // [[t12OracleCtes]], shared with ExportQueries' count oracle)
       "t12_clean_corpus" -> oracle(
-        s""", $sigsCte,
-           |$bandsCte,
-           |$candCte,
-           |$sharedCte,
-           |$jpairsCte,
-           |fps AS (SELECT doc_id, $fpSql AS fp FROM corpus),
-           |keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
-           |keepset AS (
-           |  SELECT doc_id FROM fps
-           |  EXCEPT
-           |  (SELECT f.doc_id FROM fps f JOIN keeps k ON f.fp = k.fp AND f.doc_id > k.keep_id
-           |   UNION
-           |   SELECT doc_b FROM jpairs)),
-           |bsh AS (SELECT DISTINCT shingle FROM dsh
-           |        WHERE doc_id % 97 = 0 AND doc_id < 1000000),
-           |contaminated AS (
-           |  SELECT s.doc_id FROM dsh s JOIN bsh ON s.shingle = bsh.shingle
-           |  WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 1000000)
-           |  GROUP BY s.doc_id HAVING count(*) >= 3),
-           |quality AS (
-           |  SELECT doc_id,
-           |         CAST(floor((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 0.5 +
-           |               (1.0 - least(CAST(n_punct AS DOUBLE) /
-           |                            greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
-           |               least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2)
-           |              * 1000000.0) AS BIGINT) AS quality_micro
-           |  FROM (
-           |    SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
-           |           len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
-           |           len(regexp_extract_all(c.text, '[^A-Za-z0-9\\s]')) AS n_punct
-           |    FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)),
-           |redacted AS (
-           |  SELECT doc_id,
-           |         len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
-           |         len(regexp_extract_all(t, '$UrlRe')) AS n_urls,
-           |         regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
-           |                        '$UrlRe', '<URL>', 'g') AS redacted
-           |  FROM (
-           |    SELECT doc_id,
-           |           CASE WHEN doc_id % 11 = 0
-           |                THEN text || ' contact bob' || doc_id ||
-           |                     '@example.com via https://example.com/d/' || doc_id
-           |                ELSE text END AS t
-           |    FROM corpus))
+        s"""$t12OracleCtes
            |SELECT k.doc_id, q.quality_micro, r.n_emails, r.n_urls, r.redacted
            |FROM keepset k
            |JOIN quality q ON k.doc_id = q.doc_id
