@@ -66,6 +66,81 @@ object ExportQueries {
       .agg(count(lit(1)).as("expected_rows"))
       .orderBy("lang")
 
+  /** [[xFrontDoor]]'s novelty fixture: one arrival that passes every gate
+    * (40 words, stopword-rich, alpha-clean, no corpus 3-shingle overlap)
+    * and one that dies at the quality rules. ONE constant, rendered into
+    * the Spark frame and the oracle VALUES. */
+  private val FrontDoorNovels: Seq[(Long, String)] = Seq(
+    (9100001L, "the aardvark and the binturong wander of the steppe to find " +
+      "a quiet burrow in the long grass and the caracal is watching on the " +
+      "ridge while the dhole and the echidna rest in the shade of the old tree"),
+    (9100002L, "!!! ??? $$$ %%% @@@ ###"),
+    (9100003L, "a fennec is resting in the dune and the jerboa is digging " +
+      "to the root of the saxaul while a lanner is circling on the wind and " +
+      "the sand is warm in the sun of the late day so the small fox sleeps"),
+    (9100004L, "the orca and the narwhal swim to the edge of the floe and " +
+      "a petrel is gliding on the cold air while the krill drift in the deep " +
+      "current and the seal waits on the ice for the long night to end"))
+
+  /** x_front_door — the composed ingest front door as a driver-checked
+    * BATCH query (round-12 verdict task 4): a deterministic arrival batch
+    * (corpus re-arrivals at %11 → die at corpus exact dedup,
+    * drop-first-word near-dups at %13 → die at the LSH band gate, plus
+    * [[FrontDoorNovels]]) runs through THE actual streaming composition —
+    * [[graft.streaming.EventStream.ingestFrontDoor]], the same function
+    * the stream deploys, applied to a batch frame (every stage is a plain
+    * DataFrame op, so batch/stream parity is by construction, and
+    * EventStreamSpec separately pins the streaming deployment). Survivors
+    * carry all six annotations.
+    *
+    * Oracle discipline per annotation tier: the three GATES (Gopher
+    * quality, corpus-fp anti-join, corpus-band anti-join) and the DSIR
+    * leg are recomputed fully independently by DuckDB (shared fragment
+    * definitions: gopherSignalsSqlFor, bandChainCtes, dsirCorpusCtes);
+    * the BPE piece counts ride t21's fixed-vocab discipline over the
+    * ARRIVAL vocabulary (exported word→pieces table built by the shared
+    * mergeCol fold, per-doc aggregation recomputed in SQL); the
+    * classifier score rides t20's round-trip discipline (L-BFGS
+    * coefficients are not cross-engine reproducible — the score VALUE
+    * round-trips through parquet while WHICH docs carry it is
+    * independently recomputed). */
+  def xFrontDoor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.plans.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text")
+    val arrivals = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      .unionByName(FrontDoorNovels.toDF("doc_id", "text"))
+    val model = MlQueries.fitted(spark, dir)
+    val merges = MlQueries.learnedMerges(spark, dir)
+    val art = graft.streaming.EventStream.IngestArtifacts(
+      corpusFps = TextQueries.cachedFps(spark, dir),
+      corpusBands = TextQueries.corpusBandTable(spark, dir),
+      model = model, merges = merges,
+      bucketWeights = TextQueries.dsirBucketWeights(spark, dir))
+    graft.plans.VerifyExports.maybeExport(dir, "x_front_door_vocab") {
+      import MlQueries.{mergeCol, symsCol}
+      arrivals
+        .select(explode(TextQueries.toksCol(coalesce(col("text"), lit(""))))
+          .as("word"))
+        .distinct()
+        .select(col("word"), size(merges.foldLeft(symsCol(col("word"))) {
+          case (s, (_, l, r, _)) => mergeCol(s, l, r)
+        }).cast("bigint").as("word_pieces"))
+    }
+    graft.plans.VerifyExports.maybeExport(dir, "x_front_door_scores") {
+      graft.streaming.EventStream.scoreQualityAtIngest(arrivals, model)
+        .select(col("doc_id"), col("score_micro"))
+    }
+    graft.streaming.EventStream.ingestFrontDoor(arrivals, art)
+      .select("doc_id", "score_micro", "n_words", "n_pieces",
+        "fertility_micro", "n_tokens", "dsir_units")
+      .orderBy("doc_id")
+  }
+
   /** The intra-batch novelty fixture of [[xCompactAudit]]: an exact pair
     * and a near pair (drop-first-word) unlike anything in the corpus —
     * the two tiers corpus-derived arrivals cannot exercise (anything
@@ -107,6 +182,7 @@ object ExportQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,
       "x_export_counts" -> xExportCounts,
+      "x_front_door" -> xFrontDoor,
       "x_compact_audit" -> xCompactAudit)
 
   /** DuckDB twin of the whole tier cascade. */
@@ -125,6 +201,65 @@ object ExportQueries {
            |WHERE x.doc_id IS NULL
            |GROUP BY c.lang
            |ORDER BY c.lang""".stripMargin),
+      "x_front_door" -> {
+        import graft.plans.VerifyExports.sqlPath
+        val novelValues = FrontDoorNovels
+          .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }
+          .mkString(",\n      ")
+        val B = TextQueries.DsirBuckets
+        TextQueries.oracle(
+          s""", ${TextQueries.sigsCte},
+             |${TextQueries.bandsCte},
+             |${TextQueries.dsirCorpusCtes},
+             |arr AS (
+             |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 6000000, regexp_replace(text, '^\\S+\\s+', '', 'g')
+             |  FROM documents WHERE doc_id % 13 = 0
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |      $novelValues) AS nv(doc_id, text)),
+             |${TextQueries.bandChainCtes("arr", "A")},
+             |aq AS (SELECT doc_id
+             |       FROM (${TextQueries.gopherSignalsSqlFor("toksA", "arr")})
+             |       WHERE ${TextQueries.gopherKeepSql}),
+             |arrfp AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp FROM arr),
+             |cfps AS (SELECT DISTINCT ${graft.ops.Fingerprint.sql("text")} AS fp FROM corpus),
+             |ae AS (SELECT q.doc_id FROM aq q
+             |       JOIN arrfp f ON q.doc_id = f.doc_id
+             |       LEFT JOIN cfps c ON f.fp = c.fp
+             |       WHERE c.fp IS NULL),
+             |survivors AS (SELECT e.doc_id FROM ae e WHERE NOT EXISTS (
+             |         SELECT 1 FROM bandsA a JOIN bands b
+             |           ON a.band = b.band AND a.bkey = b.bkey
+             |         WHERE a.doc_id = e.doc_id)),
+             |aw AS (SELECT doc_id, unnest(toks) AS word FROM toksA),
+             |pieces AS (
+             |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |         CAST(SUM(v.word_pieces) AS BIGINT) AS n_pieces
+             |  FROM aw a JOIN ${sqlPath("x_front_door_vocab")} v ON a.word = v.word
+             |  GROUP BY a.doc_id),
+             |atok AS (SELECT doc_id,
+             |                CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+             |                  % $B AS bucket
+             |         FROM aw),
+             |adsir AS (
+             |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         CAST(SUM((coalesce(b.c_t, 0) + 1) * (k.n_c + $B)
+             |                  - (coalesce(b.c_c, 0) + 1) * (k.n_t + $B))
+             |              AS BIGINT) AS dsir_units
+             |  FROM atok a CROSS JOIN k LEFT JOIN btf b ON a.bucket = b.bucket
+             |  GROUP BY a.doc_id)
+             |SELECT s.doc_id, sc.score_micro, p.n_words, p.n_pieces,
+             |       CAST((p.n_pieces * 1000000) // greatest(p.n_words, 1)
+             |            AS BIGINT) AS fertility_micro,
+             |       d.n_tokens, d.dsir_units
+             |FROM survivors s
+             |JOIN ${sqlPath("x_front_door_scores")} sc ON s.doc_id = sc.doc_id
+             |JOIN pieces p ON s.doc_id = p.doc_id
+             |JOIN adsir d ON s.doc_id = d.doc_id
+             |ORDER BY s.doc_id""".stripMargin)
+      },
       "x_compact_audit" -> TextQueries.oracle(
       s""", ${TextQueries.sigsCte},
         |${TextQueries.bandsCte},

@@ -1806,6 +1806,48 @@ object TextQueries {
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB form of [[gopherSignals]] over any (toks, docs) CTE pair —
+    * ONE definition serving the t16 oracle (corpus) and the front-door
+    * oracle (arrivals), so the quality-gate arithmetic cannot drift
+    * between them. Emits (doc_id, n_words, mean_word_len_micro,
+    * alpha_frac_micro, symbol_ratio_micro, n_stop_kinds). */
+  private[queries] def gopherSignalsSqlFor(toksRef: String,
+      docsRef: String): String =
+    s"""
+       |  SELECT t.doc_id,
+       |         CAST(len(t.toks) AS BIGINT) AS n_words,
+       |         CAST(floor(CAST(coalesce(list_aggregate(list_transform(t.toks, x -> length(x)), 'sum'), 0) AS DOUBLE)
+       |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS mean_word_len_micro,
+       |         CAST(floor(CAST(len(list_filter(t.toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS alpha_frac_micro,
+       |         CAST(floor(CAST(len(regexp_extract_all(c.text, '#|\\.\\.\\.')) AS DOUBLE)
+       |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS symbol_ratio_micro,
+       |         ${stopwords.map(w => s"CASE WHEN list_contains(t.toks, '$w') THEN 1 ELSE 0 END").mkString("CAST(", " + ", " AS BIGINT)")} AS n_stop_kinds
+       |  FROM $toksRef t JOIN $docsRef c ON t.doc_id = c.doc_id""".stripMargin
+
+  /** The corpus-side DSIR bucket statistics (token→bucket hash, per-bucket
+    * corpus/target counts, grand totals) — ONE definition serving the t26
+    * oracle and the front-door oracle, mirroring [[dsirBucketWeights]]. */
+  private[queries] val dsirCorpusCtes: String =
+    s"""tokb AS (SELECT t.doc_id, c.lang,
+       |           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+       |             % $DsirBuckets AS bucket
+       |           FROM (SELECT doc_id, unnest(toks) AS token FROM toks) t
+       |           JOIN corpus c ON t.doc_id = c.doc_id),
+       |btf AS (SELECT bucket, count(*) AS c_c,
+       |               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+       |        FROM tokb GROUP BY bucket),
+       |k AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c,
+       |             CAST(SUM(c_t) AS BIGINT) AS n_t FROM btf)""".stripMargin
+
+  /** The keep conjunction over [[gopherSignalsSqlFor]]'s column names. */
+  private[queries] val gopherKeepSql: String =
+    s"""n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |            AND mean_word_len_micro BETWEEN $GopherMeanLenLoMicro AND $GopherMeanLenHiMicro
+       |            AND alpha_frac_micro >= $GopherAlphaFracMicro
+       |            AND symbol_ratio_micro < $GopherSymbolRatioMicro
+       |            AND n_stop_kinds >= $GopherMinStopKinds""".stripMargin
+
   // ONE definition of the verify-tier CTE chain (the Spark twin is
   // cachedSharedCounts / verifiedPairs): d4/d7/d9/d10/t12 interpolate
   // these instead of pasting five copies that could drift. The generated
@@ -2198,22 +2240,8 @@ object TextQueries {
       "t16_gopher_rules" -> oracle(
         s"""SELECT doc_id, n_words, mean_word_len_micro, alpha_frac_micro,
            |       symbol_ratio_micro, n_stop_kinds,
-           |       CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
-           |            AND mean_word_len_micro BETWEEN $GopherMeanLenLoMicro AND $GopherMeanLenHiMicro
-           |            AND alpha_frac_micro >= $GopherAlphaFracMicro
-           |            AND symbol_ratio_micro < $GopherSymbolRatioMicro
-           |            AND n_stop_kinds >= $GopherMinStopKinds AS BIGINT) AS keep
-           |FROM (
-           |  SELECT t.doc_id,
-           |         CAST(len(t.toks) AS BIGINT) AS n_words,
-           |         CAST(floor(CAST(coalesce(list_aggregate(list_transform(t.toks, x -> length(x)), 'sum'), 0) AS DOUBLE)
-           |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS mean_word_len_micro,
-           |         CAST(floor(CAST(len(list_filter(t.toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-           |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS alpha_frac_micro,
-           |         CAST(floor(CAST(len(regexp_extract_all(c.text, '#|\\.\\.\\.')) AS DOUBLE)
-           |                    * 1000000.0 / greatest(CAST(len(t.toks) AS DOUBLE), 1.0)) AS BIGINT) AS symbol_ratio_micro,
-           |         ${stopwords.map(w => s"CASE WHEN list_contains(t.toks, '$w') THEN 1 ELSE 0 END").mkString("CAST(", " + ", " AS BIGINT)")} AS n_stop_kinds
-           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)
+           |       CAST($gopherKeepSql AS BIGINT) AS keep
+           |FROM (${gopherSignalsSqlFor("toks", "corpus")})
            |ORDER BY doc_id""".stripMargin),
       "t17_bigram_lm" -> oracle(
         """, bg AS (
@@ -2357,18 +2385,9 @@ object TextQueries {
           |FROM doctf d JOIN vocab v2 ON d.token = v2.token, k
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
       "t26_dsir_bucketed" -> oracle(
-        s""", tokb AS (SELECT t.doc_id, c.lang,
-           |           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
-           |             % $DsirBuckets AS bucket
-           |           FROM (SELECT doc_id, unnest(toks) AS token FROM toks) t
-           |           JOIN corpus c ON t.doc_id = c.doc_id),
+        s""", $dsirCorpusCtes,
            |doctf AS (SELECT doc_id, bucket, count(*) AS n_w
-           |          FROM tokb GROUP BY doc_id, bucket),
-           |btf AS (SELECT bucket, count(*) AS c_c,
-           |               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
-           |        FROM tokb GROUP BY bucket),
-           |k AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c,
-           |             CAST(SUM(c_t) AS BIGINT) AS n_t FROM btf)
+           |          FROM tokb GROUP BY doc_id, bucket)
            |SELECT d.doc_id,
            |       CAST(SUM(d.n_w) AS BIGINT) AS n_tokens,
            |       CAST(SUM(d.n_w * ((b.c_t + 1) * (k.n_c + $DsirBuckets)
