@@ -40,7 +40,15 @@ object CorpusCompaction {
     * tier (the conservation identity n_arrivals = killed + appended is
     * checkable from the row alone). */
   case class Compacted(corpus: DataFrame, fingerprints: DataFrame,
-      bands: DataFrame, audit: DataFrame)
+      bands: DataFrame, audit: DataFrame,
+      pinnedBases: Seq[DataFrame] = Nil) {
+    /** Drop the survivor pin backing the returned unions. Call once the
+      * artifacts are materialized (written, or superseded by the next
+      * round): an incremental loop that never releases accumulates one
+      * pinned batch per round for the session lifetime (r11 advice). The
+      * unions stay valid — they just recompute if re-evaluated later. */
+    def release(): Unit = pinnedBases.foreach(_.unpersist(blocking = false))
+  }
 
   def compact(arrivals: DataFrame, corpus: DataFrame,
       corpusFps: DataFrame, corpusBands: DataFrame): Compacted = {
@@ -111,6 +119,7 @@ object CorpusCompaction {
       corpus.unionByName(appended),
       corpusFps.select("doc_id", "fp").unionByName(newFps),
       corpusBands.select("doc_id", "band", "bkey").unionByName(newBands),
-      audit)
+      audit,
+      pinnedBases = Seq(survivors))
   }
 }

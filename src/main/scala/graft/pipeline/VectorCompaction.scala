@@ -30,7 +30,12 @@ import graft.queries.VectorQueries
   * (the t19/t20 redeploy discipline). */
 object VectorCompaction {
 
-  case class Compacted(index: DataFrame, audit: DataFrame)
+  case class Compacted(index: DataFrame, audit: DataFrame,
+      pinnedBases: Seq[DataFrame] = Nil) {
+    /** Drop the survivor pin backing the returned index union — the
+      * CorpusCompaction.Compacted.release contract. */
+    def release(): Unit = pinnedBases.foreach(_.unpersist(blocking = false))
+  }
 
   def compact(arrivals: DataFrame, index: DataFrame,
       centroids: Seq[(Long, Seq[Double])]): Compacted = {
@@ -77,6 +82,7 @@ object VectorCompaction {
     Compacted(
       index.select("vec_id", "embedding", "cell", "nrm")
         .unionByName(survivors.select("vec_id", "embedding", "cell", "nrm")),
-      audit)
+      audit,
+      pinnedBases = Seq(survivors))
   }
 }

@@ -176,7 +176,12 @@ object ExportQueries {
         .select((col("doc_id") + 4000000L).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"), col("lang")))
       .unionByName(novels)
-    graft.pipeline.CorpusCompaction.compact(arrivals, corpus, fps, bands).audit
+    // audit-only consumer: the counts are already folded into the audit's
+    // local relation, so the survivor pin can drop immediately (r11
+    // advice: an unreleased pin per compaction round accumulates)
+    val r = graft.pipeline.CorpusCompaction.compact(arrivals, corpus, fps, bands)
+    r.release()
+    r.audit
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

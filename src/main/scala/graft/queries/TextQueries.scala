@@ -1681,14 +1681,21 @@ object TextQueries {
     * mass the x1e6 products need DECIMAL(38,0) headroom — the documented
     * seam; BIGINT holds to ~9e12 tokens. */
   def t28MixSolver(spark: SparkSession, dir: String): DataFrame = {
-    val shareCol = MixTargetShares.foldLeft(lit(0L): Column) {
-      case (acc, (l, s)) => when(col("lang") === l, lit(s)).otherwise(acc) }
-    val avail = cachedToks(spark, dir)
+    import spark.implicits._
+    // LEFT join from the CONFIGURED targets onto the corpus aggregation
+    // (r11 advice): a target language with zero corpus presence must
+    // participate in the min with available_tokens = 0 — the no-upsampling
+    // contract then solves the whole budget to T = 0 — not silently drop
+    // out and let the remaining languages overshoot it.
+    val targets = MixTargetShares.toDF("lang", "target_share_micro")
+    val corpusAvail = cachedToks(spark, dir)
       .filter(col("doc_id") < 1000000L) // raw corpus: a mix decision is provenance-level
       .groupBy(col("lang"))
       .agg(sum(size(col("toks")).cast("bigint")).as("available_tokens"))
-      .withColumn("target_share_micro", shareCol)
-      .filter(col("target_share_micro") > 0L)
+    val avail = broadcast(targets).join(corpusAvail, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        col("target_share_micro"))
     val budget = avail.agg(
       min(expr("(available_tokens * 1000000) div target_share_micro"))
         .as("t_budget"))
@@ -1696,7 +1703,7 @@ object TextQueries {
       .select(col("lang"), col("available_tokens"), col("target_share_micro"),
         expr("(target_share_micro * t_budget) div 1000000").as("take_tokens"))
       .withColumn("rate_micro",
-        expr("CAST((take_tokens * 1000000) DIV available_tokens AS BIGINT)"))
+        expr("CAST((take_tokens * 1000000) DIV greatest(available_tokens, 1) AS BIGINT)"))
       .orderBy("lang")
   }
 
@@ -2299,22 +2306,27 @@ object TextQueries {
           |FROM toks t LEFT JOIN cov27 c ON t.doc_id = c.doc_id
           |ORDER BY t.doc_id""".stripMargin),
       "t28_mix_solver" -> oracle {
-        val shareCase = MixTargetShares
-          .map { case (l, v) => s"WHEN '$l' THEN $v" }
-          .mkString("CASE lang ", " ", " ELSE 0 END")
-        s""", avail28 AS (
-          |  SELECT c.lang, CAST(SUM(len(t.toks)) AS BIGINT) AS available_tokens,
-          |         CAST(CASE c.lang ${shareCase.stripPrefix("CASE lang ")}
-          |           AS BIGINT) AS target_share_micro
+        val targetValues = MixTargetShares
+          .map { case (l, v) => s"('$l', CAST($v AS BIGINT))" }
+          .mkString(",\n          ")
+        s""", targets28 AS (
+          |  SELECT * FROM (VALUES
+          |          $targetValues) AS tv(lang, target_share_micro)),
+          |corpavail28 AS (
+          |  SELECT c.lang, CAST(SUM(len(t.toks)) AS BIGINT) AS available_tokens
           |  FROM toks t JOIN corpus c ON t.doc_id = c.doc_id
           |  WHERE t.doc_id < 1000000 GROUP BY c.lang),
-          |tg28 AS (SELECT * FROM avail28 WHERE target_share_micro > 0),
+          |tg28 AS (SELECT v.lang,
+          |                CAST(COALESCE(a.available_tokens, 0) AS BIGINT)
+          |                  AS available_tokens,
+          |                v.target_share_micro
+          |         FROM targets28 v LEFT JOIN corpavail28 a ON v.lang = a.lang),
           |b28 AS (SELECT MIN((available_tokens * 1000000) // target_share_micro)
           |          AS t_budget FROM tg28)
           |SELECT lang, available_tokens, target_share_micro,
           |       (target_share_micro * t_budget) // 1000000 AS take_tokens,
           |       CAST((((target_share_micro * t_budget) // 1000000) * 1000000)
-          |            // available_tokens AS BIGINT) AS rate_micro
+          |            // GREATEST(available_tokens, 1) AS BIGINT) AS rate_micro
           |FROM tg28, b28 ORDER BY lang""".stripMargin
       },
       "t22_source_mix" -> oracle(

@@ -216,6 +216,53 @@ object VectorQueries {
   /** Cells each query probes in v6 (v4 is the nprobe=1 special case). */
   private val IvfProbes = 2
 
+  /** Deterministic md5-slice TRAINING sample (round-12 verdict task 5,
+    * the t9/mixHash discipline): Lloyd and PQ-codebook training fold over
+    * a BOUNDED slice of the corpus instead of every vector — at 100 TB a
+    * quantizer trains on ~[[TrainSampleTarget]] vectors, never the full
+    * table; only the one-pass final ASSIGNMENT touches every vector.
+    *
+    * The bound is a fixed COUNT, not a fixed fraction (a fraction of
+    * 100 TB is still tens of TB): the md5-slice threshold is computed as
+    * floor(target·2^32 / N) in exact BIGINT arithmetic, so the oracle
+    * derives the SAME threshold from its own COUNT and samples
+    * identically — the trained state stays cross-engine identical at any
+    * N. When N <= target the threshold saturates and training is the
+    * full corpus, so fixture-scale recall pins are untouched by
+    * construction while the sampled branch stays oracle-expressible (and
+    * is spec-pinned with an override target in VectorSpec). */
+  private[graft] val TrainSampleTarget = 100000L
+
+  /** floor(target·2^32 / n), or None when the corpus already fits the
+    * trainer budget. Exact integer arithmetic — the SQL twin computes the
+    * identical value from its own count. */
+  private[graft] def trainSampleThresholdFor(n: Long,
+      target: Long = TrainSampleTarget): Option[Long] =
+    if (n <= target) None else Some((target * 4294967296L) / n)
+
+  private[graft] def trainSampleHash: Column =
+    conv(substring(
+        md5(concat(lit("qtrain:"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+
+  /** The sampled training view of `e` (full when n <= target). */
+  private def trainSampleOf(e: DataFrame, n: Long,
+      target: Long = TrainSampleTarget): DataFrame =
+    trainSampleThresholdFor(n, target) match {
+      case Some(t) => e.filter(trainSampleHash < t)
+      case None => e
+    }
+
+  private val trainSampleHashSql: String =
+    "CAST(('0x' || substr(md5('qtrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** SQL predicate over `vec_id` rows mirroring [[trainSampleOf]]: full
+    * when the corpus fits the budget, else the identical integer-derived
+    * md5-slice. `nSql` must count corpus VECTORS (distinct vec_id). */
+  private def trainSampleSqlPred(nSql: String): String =
+    s"""(($nSql) <= $TrainSampleTarget
+       | OR $trainSampleHashSql < ($TrainSampleTarget * 4294967296) // ($nSql))""".stripMargin
+
   /** v4 — IVF ANN with a real k-means coarse quantizer: [[LloydIters]]
     * Lloyd iterations over cosine similarity, deterministically initialised
     * from fixed seed vectors (vec_id < [[IvfCells]] — reproducible, no RNG),
@@ -248,7 +295,7 @@ object VectorQueries {
     * ADVICE flagged in the text registry); a concurrent duplicate build
     * computes byte-identical centroids, and getOrElseUpdate keeps one. */
   private val quantizers =
-    scala.collection.mutable.Map[(String, Int), Seq[(Long, Seq[Double])]]()
+    scala.collection.mutable.Map[(String, Int, Long), Seq[(Long, Seq[Double])]]()
 
   /** k-nearest-centroid assignment (rounded-cosine rank, cell-asc ties);
     * k=1 is the Lloyd/corpus assignment, k=nprobe the query probe set.
@@ -295,19 +342,24 @@ object VectorQueries {
     * itself, for consumers that need it driver-side (the streaming gate's
     * per-row assignment expression). */
   private[graft] def quantizerRows(spark: SparkSession, dir: String,
-      cells: Int = IvfCells): Seq[(Long, Seq[Double])] = {
+      cells: Int = IvfCells,
+      sampleTarget: Long = TrainSampleTarget): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
     val e = emb(spark, dir)
     def toLocal(c: DataFrame): DataFrame =
       c.select(col("cell").cast("bigint"), col("cvec"))
         .as[(Long, Seq[Double])].collect().toSeq
         .toDF("cell", "cvec")
-    quantizers.synchronized(quantizers.get((dir, cells))).getOrElse {
+    quantizers.synchronized(quantizers.get((dir, cells, sampleTarget))).getOrElse {
       val seeds = e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+      // train on the bounded deterministic sample (full when the corpus
+      // fits the budget); the final corpus assignment (assignCells at the
+      // consumers) still covers every vector
+      val trainSet = trainSampleOf(e, e.count(), sampleTarget)
       val trained = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
-        toLocal(assignCells(c, e, 1)
+        toLocal(assignCells(c, trainSet, 1)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cell"), col("pos"))
           .agg(round(avg(col("v").cast("double")), 6).as("cv"))
@@ -316,7 +368,7 @@ object VectorQueries {
           .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
       }
       val rows = trained.as[(Long, Seq[Double])].collect().toSeq
-      quantizers.synchronized(quantizers.getOrElseUpdate((dir, cells), rows))
+      quantizers.synchronized(quantizers.getOrElseUpdate((dir, cells, sampleTarget), rows))
     }
   }
 
@@ -332,6 +384,11 @@ object VectorQueries {
     * a mapPartitions probe over a broadcast centroid matrix. */
   private[graft] def cellAssignCol(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column = {
+    // fail at plan time, not execution: an empty centroid seq builds
+    // sequence(1, 0) — the DESCENDING sequence [1, 0] — and element_at
+    // then dies mid-job with an obscure "array indices start at 1"
+    // (r11 advice)
+    require(cents.nonEmpty, "cellAssignCol needs at least one centroid")
     // ONE aggregate fold over array literals, not a K-way chain of
     // struct-whens: the chained form inlined each centroid's 64 doubles
     // into its own expression subtree and the generated code took seconds
@@ -524,9 +581,13 @@ object VectorQueries {
       val seeds = subs.filter(col("vec_id") < PqCodes)
         .select(col("s"), col("vec_id").as("code"),
           expr("transform(sub, x -> CAST(x AS DOUBLE))").as("cvec"))
+      // codebooks train on the bounded deterministic sample (the
+      // quantizerRows discipline); the encode pass below still codes
+      // every vector
+      val trainSubs = trainSampleOf(subs, e.count())
       val trained = (1 to PqLloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
-        toLocal(assign(c.toDF("s", "code", "cvec"), subs)
-          .join(subs, Seq("vec_id", "s"))
+        toLocal(assign(c.toDF("s", "code", "cvec"), trainSubs)
+          .join(trainSubs, Seq("vec_id", "s"))
           .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
           .groupBy(col("s"), col("code"), col("pos"))
           .agg(round(avg(col("v").cast("double")), 6).as("cv"))
@@ -715,8 +776,12 @@ object VectorQueries {
       .unionByName(e.filter(col("vec_id") % 100 === 7)
         .select((col("vec_id") + 8000000L).as("vec_id"),
           nudgedNeg(col("embedding")).as("embedding")))
-    graft.pipeline.VectorCompaction.compact(arrivals,
-      corpusCellIndex(spark, dir), quantizerRows(spark, dir)).audit
+    // audit-only consumer: drop the survivor pin immediately (the
+    // xCompactAudit release discipline)
+    val r = graft.pipeline.VectorCompaction.compact(arrivals,
+      corpusCellIndex(spark, dir), quantizerRows(spark, dir))
+    r.release()
+    r.audit
   }
 
   /** v16's imbalance alert bar: a cell holding more than twice its fair
@@ -735,11 +800,19 @@ object VectorQueries {
     * Plan shape at 100 TB: one assignment pass + a K-row aggregate; the
     * report is quantizer-sized, never corpus-sized. */
   def v16CellBalance(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = assignCells(trainedCentroids(spark, dir), emb(spark, dir), 1)
+    val cents = trainedCentroids(spark, dir)
+    val assigned = assignCells(cents, emb(spark, dir), 1)
       .select(col("vec_id"), col("cell"))
     val tot = assigned.agg(count(lit(1)).cast("bigint").as("n_total"))
     val fair = 1000000L / IvfCells
-    assigned.groupBy(col("cell")).agg(count(lit(1)).cast("bigint").as("n_vecs"))
+    // LEFT join from the quantizer's cell universe (r11 advice): a DEAD
+    // cell — zero assigned vectors, arguably the strongest drift signal a
+    // balance monitor can emit — must report n_vecs = 0 with dev_micro =
+    // the full fair share, not silently vanish from the output.
+    val counts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"))
+    cents.select(col("cell")).join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
       .crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"),
         expr("(n_vecs * 1000000) div n_total").as("share_micro"))
@@ -989,9 +1062,19 @@ object VectorQueries {
   /** The Lloyd training chain (cent0 .. cent{LloydIters}) shared by the
     * ivf and semantic-dedup oracles. */
   private def ivfTrainCtes: String = {
+    // training assignments fold over the SAMPLED tvals/tnorms (the Spark
+    // trainer's trainSampleOf, derived from the same target/count arithmetic); the
+    // centroid-update AVG self-restricts to the sample through its join
+    // on assign$i's vec_ids. Final corpus/query assignments (assign$fin,
+    // qassign) stay over the full vals.
     val lloyd = (1 to LloydIters)
-      .map(i => s"${ivfAssignCte(i, s"assign$i", 1)},\n${ivfCentCte(i)}").mkString(",\n")
-    s"""cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
+      .map(i => s"${ivfAssignCte(i, s"assign$i", 1, "tvals", "tnorms")},\n${ivfCentCte(i)}")
+      .mkString(",\n")
+    s"""tvals AS (SELECT * FROM vals
+       |          WHERE ${trainSampleSqlPred("SELECT COUNT(DISTINCT vec_id) FROM vals")}),
+       |tnorms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm
+       |           FROM tvals GROUP BY vec_id),
+       |cent0 AS (SELECT vec_id AS cell, pos, v AS cv FROM vals
        |          WHERE vec_id < $IvfCells),
        |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
        |$lloyd""".stripMargin
@@ -1034,7 +1117,8 @@ object VectorQueries {
     * psubdb, passign) so the chain composes next to the IVF chain's
     * cent/assign names without collision. Assumes `vals` is in scope. */
   private def pqChainCtes: String = {
-    def assignCte(i: Int, name: String, filterQ: Boolean, keepAll: Boolean): String = {
+    def assignCte(i: Int, name: String, filterQ: Boolean, keepAll: Boolean,
+        src: String = "subvals"): String = {
       val qf = if (filterQ) s"AND x.vec_id < 3" else ""
       val sel =
         if (keepAll)
@@ -1042,7 +1126,7 @@ object VectorQueries {
              |  SELECT d.vec_id AS qid, d.s, d.code,
              |         round(da.da - 2*d.dab + db.db, 6) AS dt
              |  FROM (SELECT x.vec_id, x.s, c.code, SUM(x.v * c.cv) AS dab
-             |        FROM subvals x
+             |        FROM $src x
              |        JOIN pcent$i c ON x.s = c.s AND x.j = c.j $qf
              |        GROUP BY 1, 2, 3) d
              |  JOIN subda da ON d.vec_id = da.vec_id AND d.s = da.s
@@ -1055,7 +1139,7 @@ object VectorQueries {
              |                              ORDER BY round(da.da - 2*d.dab + db.db, 6) ASC,
              |                                       d.code ASC) AS rk
              |    FROM (SELECT x.vec_id, x.s, c.code, SUM(x.v * c.cv) AS dab
-             |          FROM subvals x
+             |          FROM $src x
              |          JOIN pcent$i c ON x.s = c.s AND x.j = c.j $qf
              |          GROUP BY 1, 2, 3) d
              |    JOIN subda da ON d.vec_id = da.vec_id AND d.s = da.s
@@ -1071,11 +1155,17 @@ object VectorQueries {
          |           JOIN passign${i - 1} a ON x.vec_id = a.vec_id AND x.s = a.s
          |           GROUP BY 1, 2, 3),
          |${dbCte(i)}""".stripMargin
+    // training assignments read the SAMPLED tsubvals (the ivfTrainCtes
+    // tvals discipline); the centroid-update AVG self-restricts to the
+    // sample through its join on passign's vec_ids. codes/qtab below stay
+    // over the full subvals.
     val lloyd = (1 to PqLloydIters)
-      .map(i => s"${assignCte(i - 1, s"passign${i - 1}", filterQ = false, keepAll = false)},\n${centCte(i)}")
+      .map(i => s"${assignCte(i - 1, s"passign${i - 1}", filterQ = false, keepAll = false, src = "tsubvals")},\n${centCte(i)}")
       .mkString(",\n")
     val fin = PqLloydIters
     s"""subvals AS (SELECT vec_id, pos >> 3 AS s, pos & 7 AS j, v FROM vals),
+       |tsubvals AS (SELECT * FROM subvals
+       |          WHERE ${trainSampleSqlPred("SELECT COUNT(DISTINCT vec_id) FROM subvals")}),
        |subda AS (SELECT vec_id, s, SUM(v*v) AS da FROM subvals GROUP BY 1, 2),
        |pcent0 AS (SELECT s, vec_id AS code, j, v AS cv FROM subvals
        |          WHERE vec_id < $PqCodes),
@@ -1382,16 +1472,20 @@ object VectorQueries {
        |$normsCte,
        |$ivfTrainCtes,
        |${ivfAssignCte(fin, s"assign$fin", 1)},
-       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign$fin)
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign$fin),
+       |cells16 AS (SELECT DISTINCT cell FROM cent$LloydIters),
+       |counts16 AS (SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |             FROM assign$fin a GROUP BY a.cell)
        |SELECT cell, n_vecs, share_micro,
        |       CAST(abs(share_micro - $fair) AS BIGINT) AS dev_micro,
        |       CAST(CASE WHEN share_micro > $CellBalanceAlertMicro
        |            THEN 1 ELSE 0 END AS BIGINT) AS hot
        |FROM (
-       |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       |         (CAST(COUNT(*) AS BIGINT) * 1000000) // t.n_total AS share_micro
-       |  FROM assign$fin a, tot t
-       |  GROUP BY a.cell, t.n_total)
+       |  SELECT c.cell, CAST(COALESCE(k.n_vecs, 0) AS BIGINT) AS n_vecs,
+       |         (CAST(COALESCE(k.n_vecs, 0) AS BIGINT) * 1000000)
+       |           // t.n_total AS share_micro
+       |  FROM cells16 c CROSS JOIN tot t
+       |  LEFT JOIN counts16 k ON c.cell = k.cell)
        |ORDER BY cell""".stripMargin
   }
 

@@ -246,6 +246,36 @@ class VectorSpec extends AnyFunSuite {
     assert(c8 == 8, "default K must remain the fixture pin")
   }
 
+  test("quantizer training is bounded: a corpus past the target trains on the md5-slice sample") {
+    // threshold arithmetic — the exact integers the oracle recomputes
+    assert(VectorQueries.trainSampleThresholdFor(500).isEmpty,
+      "a corpus under the budget trains full (fixture recall pins depend on it)")
+    assert(VectorQueries.trainSampleThresholdFor(100000).isEmpty)
+    assert(VectorQueries.trainSampleThresholdFor(200000)
+      .contains(100000L * 4294967296L / 200000L))
+    assert(VectorQueries.trainSampleThresholdFor(400000000000L)
+      .contains(100000L * 4294967296L / 400000000000L),
+      "100 TB-class N still yields a valid positive threshold")
+    // the SAMPLED branch end to end, forced at fixture scale with an
+    // override target: training must be deterministic, keep the seeded
+    // cell ids, and differ from the full-corpus quantizer (proof the
+    // sample actually drove the centroid update)
+    val sampled = VectorQueries.quantizerRows(spark, sf, sampleTarget = 250L)
+    val again = VectorQueries.quantizerRows(spark, sf, sampleTarget = 250L)
+    assert(sampled == again, "sampled training must be deterministic")
+    assert(sampled.map(_._1).sorted == (0L until 8L).toList)
+    assert(sampled.forall(_._2.length == 64))
+    val full = VectorQueries.quantizerRows(spark, sf)
+    assert(sampled != full,
+      "the 250-target sample must actually change the trained state")
+    // the slice the trainer saw is the md5 predicate's slice
+    val thr = VectorQueries.trainSampleThresholdFor(500, target = 250L).get
+    val nSampled = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(VectorQueries.trainSampleHash < thr).count()
+    assert(nSampled > 0 && nSampled < 500,
+      s"md5 slice should be a proper subset, got $nSampled of 500")
+  }
+
   test("v11 prototype prune: exact ceil(n/4) cut per cell, pruned are the most prototypical") {
     val rows = VectorQueries.v11PrototypePrune(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
