@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-entry host-regime record Bench ships in bench_out.json
+  * (round 12): the deltas must be well-formed JSON with sane ranges on a
+  * live Linux host, and degrade to zeros rather than throw elsewhere. */
+class HostTelemetrySpec extends AnyFunSuite {
+
+  test("sample/deltaJson: valid JSON, fractions in [0,1], self <= sys + epsilon") {
+    val a = HostTelemetry.sample()
+    // burn a little CPU so the window is non-empty
+    var x = 0L; (1 to 20000000).foreach(i => x += i); assert(x > 0)
+    Thread.sleep(50)
+    val b = HostTelemetry.sample()
+    val j = HostTelemetry.deltaJson(a, b)
+    val m = "\"(\\w+)\":([0-9.]+)".r.findAllMatchIn(j)
+      .map(g => g.group(1) -> g.group(2).toDouble).toMap
+    assert(m.keySet == Set("load1", "sys", "self", "other", "pgmf"), j)
+    assert(m("sys") >= 0.0 && m("sys") <= 1.0, j)
+    assert(m("self") >= 0.0 && m("self") <= 1.0, j)
+    assert(m("other") >= 0.0, j)
+    // on Linux the counters are live: the JVM burned CPU, so self > 0
+    assert(m("self") > 0.0, s"self share should be nonzero on /proc hosts: $j")
+    // other = max(sys - self, 0) by construction
+    assert(m("other") <= m("sys") + 1e-9, j)
+  }
+
+  test("a zero-width window does not divide by zero") {
+    val a = HostTelemetry.sample()
+    val j = HostTelemetry.deltaJson(a, a)
+    assert(j.contains("\"sys\":0.000") && j.contains("\"pgmf\":0"), j)
+  }
+}

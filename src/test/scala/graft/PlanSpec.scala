@@ -67,6 +67,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("e11: the stack-based unpivot stays inside whole-stage codegen (r11 driver 4x check)") {
+    // the r11 driver sustained e11 at 4x a 0.23 s anchor; the executed
+    // plan shows no plan-side cause — Generate(stack) IS codegen'd and
+    // the only non-codegen operators are e9's pivotfirst aggregates
+    // (ImperativeAggregate — inherently interpreted). Pin both facts so
+    // a future regression (codegen fallback, extra exchange) fails here.
+    val df = EventQueries.queries("e11_unpivot_counts")(spark, sf)
+    df.collect()
+    val p = planOf(df)
+    assert("\\(\\d+\\) Generate \\[codegen id".r.findFirstIn(p).isDefined,
+      s"stack unpivot fell out of whole-stage codegen:\n$p")
+    // count exchanges in the FINAL adaptive tree only (the detail and
+    // Initial Plan sections repeat every node)
+    val finalTree = p.split("== Initial Plan ==")(0)
+    assert("Exchange \\(\\d+\\)".r.findAllIn(finalTree).size <= 3,
+      s"unpivot grew a fourth exchange (count+pivot+sort is the shape):\n$p")
+  }
+
   test("t24 priority sample: top-k window gets WindowGroupLimit, text column pruned") {
     val p = planOf(TextQueries.queries("t24_priority_sample")(spark, sf))
     // rank <= k must prune inside each partition before the shuffle — at
@@ -260,6 +278,51 @@ class PlanSpec extends AnyFunSuite {
     // on preserved unmatched customers
     assert(p.contains("LeftOuter"), s"outer join rewritten away:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q12/q14/q16: executed plans stay partial-agg + pushed-filter + pruned-scan (r11 driver elevations)") {
+    // the r11 driver run sustained q12 at 7.4x, q14 at 17x, and q16 at
+    // 3.9x their anchors across reps while q13/q15 (already pinned) showed
+    // the same pattern — pin the EXECUTED adaptive plans so a real plan
+    // change fails here instead of hiding inside a host-pressure band.
+    // q12: the narrow-projection fact-fact join — the orders scan must
+    // read exactly (o_orderkey, o_orderpriority); the flag is computed
+    // before the exchange so the shuffle carries a boolean, not strings
+    val q12 = AnalyticsQueries.queries("q12_priority_case")(spark, sf)
+    val p12 = planOf(q12)
+    assert(p12.contains("ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>"),
+      s"q12 orders scan not pruned to two columns:\n$p12")
+    assert("HashAggregate".r.findAllIn(p12).size >= 2,
+      s"q12: no partial aggregation below the exchange:\n$p12")
+    assert(!p12.contains("CartesianProduct"), p12)
+    q12.collect()
+    val f12 = planOf(q12)
+    assert(!f12.contains("BroadcastNestedLoopJoin") && !f12.contains("CartesianProduct"),
+      s"q12 executed plan degenerated:\n$f12")
+
+    // q14: the shipdate window must reach the lineitem scan; one fact pass
+    val q14 = AnalyticsQueries.queries("q14_promo_share")(spark, sf)
+    val p14 = planOf(q14)
+    assert(p14.contains("PushedFilters") && p14.contains("l_shipdate"),
+      s"q14 shipdate filter not pushed to the scan:\n$p14")
+    assert("HashAggregate".r.findAllIn(p14).size >= 2,
+      s"q14: no partial aggregation below the exchange:\n$p14")
+    assert(!p14.contains("CartesianProduct"), p14)
+    q14.collect()
+    val f14 = planOf(q14)
+    assert(!f14.contains("BroadcastNestedLoopJoin") && !f14.contains("CartesianProduct"),
+      s"q14 executed plan degenerated:\n$f14")
+
+    // q16: the brand/size exclusion prunes the part side BEFORE the join
+    val q16 = AnalyticsQueries.queries("q16_supplier_count")(spark, sf)
+    val p16 = planOf(q16)
+    assert(p16.contains("PushedFilters") && p16.contains("p_size"),
+      s"q16 part predicate not pushed to the scan:\n$p16")
+    assert(!p16.contains("CartesianProduct"), p16)
+    q16.collect()
+    val f16 = planOf(q16)
+    assert(!f16.contains("BroadcastNestedLoopJoin") && !f16.contains("CartesianProduct"),
+      s"q16 executed plan degenerated:\n$f16")
   }
 
   test("q21: decorrelated only-late-supplier is equi-joins + per-order aggregate, never a per-row subquery") {
