@@ -1214,14 +1214,21 @@ object TextQueries {
     * co-partitioned join chain over bases that each exist for their own
     * operator; nothing new shuffles by anything but doc_id. */
   def t12CleanCorpus(spark: SparkSession, dir: String): DataFrame =
-    d7KeepSet(spark, dir)
-      .join(t8Decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
-      .join(t2QualityScore(spark, dir).select(col("doc_id"), col("quality_micro"))
-        .filter(col("quality_micro") >= CleanQualityFloor), "doc_id")
-      .join(t5RedactPii(spark, dir)
-        .select("doc_id", "n_emails", "n_urls", "redacted"), "doc_id")
-      .select("doc_id", "quality_micro", "n_emails", "n_urls", "redacted")
-      .orderBy("doc_id")
+    // CHECKPOINTED (round 12): three driver entries consume this chain —
+    // t12 itself, the shard export, and the export count audit — and each
+    // was re-deriving the full join cascade. One snapshot build serves
+    // all three as a plain scan, which is also the 100 TB shape: a
+    // pipeline WRITES its cleaned corpus once and every consumer reads
+    // the materialization, not the lineage.
+    checkpointed(spark, dir, "t12clean") {
+      d7KeepSet(spark, dir)
+        .join(t8Decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(t2QualityScore(spark, dir).select(col("doc_id"), col("quality_micro"))
+          .filter(col("quality_micro") >= CleanQualityFloor), "doc_id")
+        .join(t5RedactPii(spark, dir)
+          .select("doc_id", "n_emails", "n_urls", "redacted"), "doc_id")
+        .select("doc_id", "quality_micro", "n_emails", "n_urls", "redacted")
+    }.orderBy("doc_id")
 
   /** t14 — corpus unigram-LM fluency score: how "typical" each document's
     * tokens are under the corpus's own unigram distribution — the cheap
