@@ -1515,6 +1515,71 @@ object TextQueries {
     * budget per stratum). Inlined into both the plan and the oracle. */
   private[graft] val PrioritySampleK = 5
 
+  /** t29's per-domain keep cap (15 of the fixture's 25 docs/source —
+    * discriminating; production sizes this per crawl snapshot). */
+  private[graft] val DomainCap = 15L
+
+  /** t29 — per-domain document cap: the anti-domain-dominance rule every
+    * web-scale corpus applies (RefinedWeb/C4-style: no single host may
+    * contribute more than K documents) as a deterministic query. Within
+    * each source, docs rank by a pure doc_id hash (the t9/t24 md5
+    * discipline — reproducible, no RNG state) and only the first
+    * [[DomainCap]] keep. Emits the verdict for EVERY doc (kept flag +
+    * rank) so downstream composes it as a filter or an audit.
+    *
+    * Plan shape at 100 TB: one shuffle keyed by source; rank <= K gets
+    * WindowGroupLimit pushdown (the t24 pin), so each domain's partition
+    * retains K rows before the exchange where the filter form is used.
+    * Skewed domains (one host = half the crawl) are exactly why the cap
+    * exists; the salting/AQE-skew toolbox applies to the window shuffle. */
+  def t29DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val pr = conv(substring(
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    graft.plans.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), pr.as("priority"))
+      .withColumn("cap_rank", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("cap_rank"),
+        (col("cap_rank") <= DomainCap).cast("bigint").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** t30's per-sequence token budget (a short fixture-visible context
+    * length; production sets its model's context size). */
+  private[graft] val PackSeqTokens = 256L
+
+  /** t30 — sequence-packing plan: the token-budget layout a dataloader
+    * runs before a single gradient step — greedy CONTIGUOUS packing of
+    * documents (doc_id order) into fixed-size token sequences, allowing
+    * straddle: each doc's sequence index and intra-sequence offset are
+    * pure integer functions of the running token count before it. All
+    * arithmetic is exact BIGINT (window SUM, DIV, %), so the two engines
+    * cannot diverge.
+    *
+    * Packing is WITHIN source groups, not global: a global running sum
+    * would serialize the corpus through one window partition — the
+    * classic scale killer — while per-source packing parallelizes by
+    * domain and matches how shard-local dataloaders actually pack (the
+    * ShardWriter manifest discipline: sequences never cross shard
+    * boundaries). One shuffle keyed by source; the window is a running
+    * sum, no rank, no global sort. */
+  def t30SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = cachedToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.plans.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(toks, "doc_id")
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"prior div $PackSeqTokens").as("seq_idx"),
+        expr(s"prior % $PackSeqTokens").as("tok_offset"))
+      .orderBy("doc_id")
+  }
+
   /** t25 — DSIR-style importance scoring for data selection (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): score every document by how much more likely its
@@ -1816,7 +1881,9 @@ object TextQueries {
     "t25_dsir_score" -> t25DsirScore,
     "t26_dsir_bucketed" -> t26DsirBucketed,
     "t27_dup_span_coverage" -> t27DupSpanCoverage,
-    "t28_mix_solver" -> t28MixSolver)
+    "t28_mix_solver" -> t28MixSolver,
+    "t29_domain_cap" -> t29DomainCap,
+    "t30_sequence_pack" -> t30SequencePack)
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -2312,6 +2379,28 @@ object TextQueries {
           |            GREATEST(len(t.toks), 1) AS BIGINT) AS covered_frac_micro
           |FROM toks t LEFT JOIN cov27 c ON t.doc_id = c.doc_id
           |ORDER BY t.doc_id""".stripMargin),
+      "t29_domain_cap" -> oracle(
+        s"""SELECT doc_id, source, cap_rank,
+           |       CAST(cap_rank <= $DomainCap AS BIGINT) AS kept
+           |FROM (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source ORDER BY
+           |           CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+           |           doc_id) AS cap_rank
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin),
+      "t30_sequence_pack" -> oracle(
+        s"""SELECT doc_id, source, n_tokens,
+           |       prior // $PackSeqTokens AS seq_idx,
+           |       prior % $PackSeqTokens AS tok_offset
+           |FROM (
+           |  SELECT d.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |         CAST(COALESCE(SUM(len(t.toks)) OVER (
+           |           PARTITION BY d.source ORDER BY d.doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS prior
+           |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+           |ORDER BY doc_id""".stripMargin),
       "t28_mix_solver" -> oracle {
         val targetValues = MixTargetShares
           .map { case (l, v) => s"('$l', CAST($v AS BIGINT))" }

@@ -94,6 +94,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text"), p)
   }
 
+  test("t29/t30: domain cap and sequence packing shuffle once by source, no global window") {
+    // the scale contract of both ops: work parallelizes BY DOMAIN — a
+    // window with no partition key would serialize the corpus through one
+    // task (Spark itself warns), which is the failure mode these pins catch
+    val p29 = planOf(TextQueries.queries("t29_domain_cap")(spark, sf))
+    assert(p29.contains("Window"), p29)
+    assert(!p29.contains("CartesianProduct"), p29)
+    assert(p29.contains("hashpartitioning(source"),
+      s"t29 window not partitioned by source:\n$p29")
+    val p30 = planOf(TextQueries.queries("t30_sequence_pack")(spark, sf))
+    assert(p30.contains("Window"), p30)
+    assert(!p30.contains("CartesianProduct"), p30)
+    assert(p30.contains("hashpartitioning(source"),
+      s"t30 running sum not partitioned by source:\n$p30")
+  }
+
   test("v1 cosine: query side broadcast, candidate scan not shuffled") {
     val p = planOf(VectorQueries.v1CosineTopk(spark, sf))
     assert(p.contains("Broadcast"), p)
