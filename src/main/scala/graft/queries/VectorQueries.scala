@@ -822,6 +822,35 @@ object VectorQueries {
       .orderBy("cell")
   }
 
+  /** v17 — ANN recall audit: recall@5 of the deployed IVF index against
+    * the exhaustive baseline, per query vector, as a QUERY — the index
+    * quality monitor every ANN service runs next to v16's cell-balance
+    * monitor (quantizer drift shows up here as falling recall before any
+    * user complains). Both sides are the engine's own gated queries (v1's
+    * exact top-k, v4's single-probe IVF), joined on (qid, vid); recall is
+    * exact integer micro-units. VectorSpec's recall pins assert a floor
+    * once; this emits the number continuously, per query, for dashboards
+    * and alerting.
+    *
+    * Scale shape: production audits a SAMPLE of queries (the fixture's
+    * qid < 3 IS that sample) — both sides are broadcast-query scans over
+    * the corpus, the join is sample-sized, and the aggregate is one row
+    * per audited query. Nothing here grows with the corpus beyond the two
+    * audited top-k passes themselves. */
+  def v17RecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = v1CosineTopk(spark, dir).filter(col("rk") <= 5)
+      .select(col("qid"), col("vid"))
+    val approx = v4IvfAnn(spark, dir).select(col("qid"), col("vid"))
+    val hits = exact.join(approx, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("qid"), col("n_hits"),
+        expr("(n_hits * 1000000) div n_exact").as("recall_micro"))
+      .orderBy("qid")
+  }
+
   /** v9's Hamming radius: at 24/64 bits the prefilter passes ~3% of the
     * corpus (measured at every fixture SF) and keeps recall@5 = 0.6
     * against the exact top-5 — 3x v3's single sign-bucket (0.20) for the
@@ -1019,6 +1048,7 @@ object VectorQueries {
     "x_vcompact_audit" -> xVcompactAudit,
     "v15_ivfpq_ann" -> v15IvfPqAnn,
     "v16_cell_balance" -> v16CellBalance,
+    "v17_recall_audit" -> v17RecallAudit,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -1079,6 +1109,28 @@ object VectorQueries {
        |cn0 AS (SELECT cell, sqrt(SUM(cv*cv)) AS cn FROM cent0 GROUP BY cell),
        |$lloyd""".stripMargin
   }
+
+  /** v1's full oracle — hoisted so the recall audit (v17) can compose it
+    * as a subquery next to the IVF chain. */
+  private def v1Oracle: String =
+    s"""WITH $valsCte,
+       |$normsCte,
+       |dots AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vid, SUM(q.v * c.v) AS dp
+       |  FROM vals q JOIN vals c ON q.pos = c.pos
+       |  WHERE q.vec_id < 3
+       |  GROUP BY 1, 2)
+       |SELECT qid, vid, cosine, rk FROM (
+       |  SELECT qid, vid, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cosine DESC, vid ASC) AS rk
+       |  FROM (
+       |    SELECT d.qid, d.vid,
+       |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
+       |    FROM dots d
+       |    JOIN norms nq ON d.qid = nq.vec_id
+       |    JOIN norms nc ON d.vid = nc.vec_id))
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   private def ivfOracle(nprobe: Int): String = {
     def assignCte(i: Int, name: String, k: Int): String = ivfAssignCte(i, name, k)
@@ -1493,6 +1545,19 @@ object VectorQueries {
     "x_vcompact_audit" -> vcompactOracle,
     "v15_ivfpq_ann" -> ivfPqOracle,
     "v16_cell_balance" -> cellBalanceOracle,
+    "v17_recall_audit" ->
+      s"""WITH exact5 AS (SELECT qid, vid FROM ($v1Oracle) WHERE rk <= 5),
+         |approx5 AS (SELECT qid, vid FROM (${ivfOracle(nprobe = 1)})),
+         |hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM exact5 e JOIN approx5 a ON e.qid = a.qid AND e.vid = a.vid
+         |         GROUP BY e.qid),
+         |ex AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |       FROM exact5 GROUP BY qid)
+         |SELECT ex.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000)
+         |         // ex.n_exact AS recall_micro
+         |FROM ex LEFT JOIN hits h ON ex.qid = h.qid
+         |ORDER BY ex.qid""".stripMargin,
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
     "v13_filtered_ann" -> filteredAnnOracle,
@@ -1545,25 +1610,7 @@ object VectorQueries {
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "v7_pq_ann" -> pqOracle,
     "v8_semantic_dedup" -> semDedupOracle,
-    "v1_cosine_topk" ->
-      s"""WITH $valsCte,
-         |$normsCte,
-         |dots AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS vid, SUM(q.v * c.v) AS dp
-         |  FROM vals q JOIN vals c ON q.pos = c.pos
-         |  WHERE q.vec_id < 3
-         |  GROUP BY 1, 2)
-         |SELECT qid, vid, cosine, rk FROM (
-         |  SELECT qid, vid, cosine,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY cosine DESC, vid ASC) AS rk
-         |  FROM (
-         |    SELECT d.qid, d.vid,
-         |           round(d.dp / (nq.nrm * nc.nrm), 6) AS cosine
-         |    FROM dots d
-         |    JOIN norms nq ON d.qid = nq.vec_id
-         |    JOIN norms nc ON d.vid = nc.vec_id))
-         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "v1_cosine_topk" -> v1Oracle,
     "v2_label_centroid" ->
       s"""WITH $valsCte
          |SELECT label, pos, round(AVG(v), 6) AS centroid_v
