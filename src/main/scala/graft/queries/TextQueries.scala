@@ -988,6 +988,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t31 — contamination overlap MAGNITUDE: where t8 emits the binary
+    * scrub verdict (≥3 shared shingles → drop), this emits the evidence —
+    * for every training doc with ANY benchmark shingle overlap, its
+    * distinct-shingle count, the shared count, and the overlap fraction
+    * in exact integer micro-units. The report a decontamination review
+    * actually reads: thresholds move (n-gram order, 1 vs 3 shared, frac
+    * vs count) and the magnitude table re-answers them all without a
+    * re-scan. Same plan shape as t8 — broadcast benchmark shingle set,
+    * one doc_id aggregation over the shared distinct-shingle base — plus
+    * one join back to per-doc totals (doc_id-keyed). */
+  def t31ContaminationFraction(spark: SparkSession, dir: String): DataFrame = {
+    val dsh = distinctShingles(spark, dir)
+    def isBench(c: Column): Column = c % 97 === 0 && c < 1000000L
+    val bsh = dsh.filter(isBench(col("doc_id"))).select("shingle").distinct()
+    val train = dsh.filter(!isBench(col("doc_id")))
+    val totals = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    train.join(broadcast(bsh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("(n_shared * 1000000) div n_shingles").as("overlap_micro"))
+      .orderBy("doc_id")
+  }
+
   /** t11 — repetition scoring (the Gopher-style "repetitious document"
     * filter production pretraining pipelines run alongside t2's quality
     * score): the fraction of a document's word bigrams occupied by its
@@ -1883,6 +1909,7 @@ object TextQueries {
     "t27_dup_span_coverage" -> t27DupSpanCoverage,
     "t28_mix_solver" -> t28MixSolver,
     "t29_domain_cap" -> t29DomainCap,
+    "t31_contamination_frac" -> t31ContaminationFraction,
     "t30_sequence_pack" -> t30SequencePack)
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -2379,6 +2406,21 @@ object TextQueries {
           |            GREATEST(len(t.toks), 1) AS BIGINT) AS covered_frac_micro
           |FROM toks t LEFT JOIN cov27 c ON t.doc_id = c.doc_id
           |ORDER BY t.doc_id""".stripMargin),
+      "t31_contamination_frac" -> oracle(
+        s""", dsh31 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |bsh31 AS (SELECT DISTINCT shingle FROM dsh31
+           |         WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+           |train31 AS (SELECT doc_id, shingle FROM dsh31
+           |            WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
+           |tot31 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+           |          FROM train31 GROUP BY doc_id)
+           |SELECT s.doc_id, t.n_shingles, s.n_shared,
+           |       (s.n_shared * 1000000) // t.n_shingles AS overlap_micro
+           |FROM (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |      FROM train31 x JOIN bsh31 b ON x.shingle = b.shingle
+           |      GROUP BY x.doc_id) s
+           |JOIN tot31 t ON s.doc_id = t.doc_id
+           |ORDER BY s.doc_id""".stripMargin),
       "t29_domain_cap" -> oracle(
         s"""SELECT doc_id, source, cap_rank,
            |       CAST(cap_rank <= $DomainCap AS BIGINT) AS kept
