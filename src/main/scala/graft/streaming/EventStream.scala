@@ -361,6 +361,45 @@ object EventStream {
         Seq("gate_fmd5"), "left_anti")
       .drop("gate_fmd5")
 
+  // ---- streaming per-domain budget gate ----
+
+  case class CapDoc(doc_id: Long, source: String)
+  case class CapLedger(n: Long)
+
+  /** Streaming per-domain BUDGET gate — the online face of batch t29's
+    * anti-domain-dominance cap: once a source has contributed `cap`
+    * documents, further arrivals from it die at ingest. Unlike the six
+    * stateless gates this one is inherently STATEFUL (a budget is a
+    * running count), so it rides flatMapGroupsWithState keyed by source —
+    * one Long per domain ever seen, the smallest possible state (a 100 TB
+    * crawl has millions of hosts; millions of Longs is nothing, and a
+    * processing-time TTL via transformWithState ages out dead hosts, the
+    * latestStatusTws precedent).
+    *
+    * Semantics are FIRST-ARRIVED-FIRST-KEPT (within a micro-batch, doc_id
+    * order for determinism) — the only semantics an online budget can
+    * have. Batch t29 ranks by hash priority instead: the OFFLINE form,
+    * where the whole corpus is visible and an unbiased sample is
+    * preferred over arrival order. The documented divergence is the same
+    * trade the funnel makes: emitting at ingest costs event-order
+    * dependence; a pipeline wanting t29's unbiased cap re-ranks offline
+    * at compaction time. EventStreamSpec pins the in-order-feed parity:
+    * streaming keeps exactly batch row_number-by-doc_id <= cap. */
+  def domainCapAtIngest(docs: Dataset[CapDoc], cap: Long): Dataset[CapDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[CapLedger, CapDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[CapLedger]) =>
+          val have = state.getOption.map(_.n).getOrElse(0L)
+          val room = (cap - have).max(0L)
+          val take = it.toSeq.sortBy(_.doc_id).take(room.toInt)
+          state.update(CapLedger(have + take.size))
+          take.iterator
+      }
+  }
+
   // ---- streaming conversion funnel ----
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long,

@@ -88,6 +88,45 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming domain-budget gate: first-arrived-first-kept across batches, one counter per source") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "source").as[EventStream.CapDoc]
+    val q = EventStream.domainCapAtIngest(docs, cap = 2).writeStream
+      .format("memory").queryName("capped").outputMode("append").start()
+    def kept() = spark.table("capped").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // batch 1: srcA over budget within one batch (doc_id order breaks the
+    // tie), srcB exactly at budget
+    ms.addData((3L, "srcA"), (1L, "srcA"), (2L, "srcA"), (10L, "srcB"), (11L, "srcB"))
+    q.processAllAvailable()
+    assert(kept() == Seq(1L, 2L, 10L, 11L), s"got ${kept()}")
+    // batch 2: both sources exhausted -> all die; a NEW source starts fresh
+    ms.addData((4L, "srcA"), (12L, "srcB"), (20L, "srcC"))
+    q.processAllAvailable()
+    assert(kept() == Seq(1L, 2L, 10L, 11L, 20L), s"got ${kept()}")
+    // in-order-feed parity with the batch arrival-order cap: the stream's
+    // keep set equals row_number over (partition by source order by
+    // doc_id) <= cap over everything fed — the documented online twin of
+    // t29's offline hash-priority cap
+    val fed = Seq((3L, "srcA"), (1L, "srcA"), (2L, "srcA"), (10L, "srcB"),
+      (11L, "srcB"), (4L, "srcA"), (12L, "srcB"), (20L, "srcC"))
+      .toDF("doc_id", "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val batchTwin = fed
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rk" <= 2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept() == batchTwin, s"stream ${kept()} != batch twin $batchTwin")
+    // state is one Long per source ever seen
+    assert(q.lastProgress.stateOperators.nonEmpty &&
+      q.lastProgress.stateOperators.head.numRowsTotal == 3,
+      "budget state must be exactly one counter per source")
+    q.stop()
+  }
+
   test("stream-static anti-join drops arrivals already in the corpus, keeps zero state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
