@@ -94,6 +94,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text"), p)
   }
 
+  test("x_front_door: the composed gate chain plans with no cartesian and no per-row subquery") {
+    // six stages composed — the failure mode is a gate degenerating into
+    // a nested-loop join (e.g. the band anti-join losing its equi-key)
+    val df = ExportQueries.queries("x_front_door")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    df.collect()
+    val fin = planOf(df)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"front-door executed plan degenerated:\n$fin")
+  }
+
   test("t29/t30: domain cap and sequence packing shuffle once by source, no global window") {
     // the scale contract of both ops: work parallelizes BY DOMAIN — a
     // window with no partition key would serialize the corpus through one
