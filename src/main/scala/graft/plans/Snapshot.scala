@@ -77,10 +77,27 @@ object Snapshot {
     outcomes.synchronized(outcomes.clear())
   }
 
+  /** Stale same-key stamps and orphaned temp dirs younger than this are
+    * left alone (a sibling process may still read/commit them); older
+    * ones are garbage. Bench/verify processes live minutes. */
+  private val EvictAfterMs = 60L * 60 * 1000
+
+  /** Entries of ANY key older than this are swept once per JVM — bounds
+    * root growth from never-recurring keys (test temp-dir fixtures,
+    * abandoned datasets) that the same-key stale eviction can never hit. */
+  private val ExpireAfterMs = 24L * 60 * 60 * 1000
+
   private lazy val root: java.nio.file.Path = {
     val p = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
     java.nio.file.Files.createDirectories(p)
+    // once per JVM: sweep expired entries and aged orphaned temps
+    val now = System.currentTimeMillis()
+    Option(p.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.lastModified() < now - ExpireAfterMs ||
+        (f.getName.startsWith(".tmp-") &&
+          f.lastModified() < now - EvictAfterMs))
+      .foreach(f => deleteTree(f.toPath))
     p
   }
 
@@ -88,7 +105,7 @@ object Snapshot {
     * share a snapshot path (a 32-bit hashCode collision would let the
     * second `overwrite` silently replace the first dataset's files while
     * its DataFrame still lazily reads them). */
-  private def md5Hex(s: String): String =
+  private[graft] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
@@ -154,21 +171,46 @@ object Snapshot {
         val marker = path.resolve("_GRAFT_OK")
         val fit = reuseEnabled && java.nio.file.Files.exists(marker)
         if (!fit) {
-          // evict stale stamps of this (name, dir) BEFORE building: the
-          // rebuild means the fixtures changed, and keeping the old stamp
-          // around only grows the root unboundedly across rounds.
+          // evict stale stamps of this (name, dir) BEFORE building — but
+          // only AGED ones (> EvictAfterMs): an immediately-started sibling
+          // process may still be lazily reading the old stamp (its own
+          // stamp predates the fixture regeneration), and deleting under
+          // it crashes its scans. Aged stamps can have no live reader: a
+          // bench/verify process lives minutes, not an hour.
           Option(root.toFile.listFiles()).getOrElse(Array.empty)
             .filter(f => f.getName.startsWith(dirTag + "-") &&
-              f.getName != path.getFileName.toString)
+              f.getName != path.getFileName.toString &&
+              f.lastModified() < System.currentTimeMillis() - EvictAfterMs)
             .foreach(f => deleteTree(f.toPath))
-          // coalesce is fine here: these bases are a few MB, so even where
-          // coalesce(files) narrows the final stage the lost parallelism
-          // is microseconds (measured equal to a repartition variant), and
-          // it skips the extra exchange a repartition would add.
-          build.coalesce(files).write.mode("overwrite").parquet(path.toString)
-          // marker LAST: its presence asserts the parquet commit finished,
-          // so a crash mid-write can never be served to a later process.
-          java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+          // build into a process-unique temp dir, then ATOMIC-RENAME into
+          // place: two processes racing on the same missing key each
+          // write their own temp; exactly one rename wins, the loser
+          // adopts the winner's dir. The pre-rename marker write is safe
+          // because nothing reads a temp path, and a crash mid-build
+          // leaves only an orphaned .tmp- dir for the sweeper — the final
+          // path is never observable half-written (interleaved in-place
+          // overwrites could previously land a marker over a sibling's
+          // partial parquet).
+          val tmp = root.resolve(
+            s".tmp-${path.getFileName}-${java.util.UUID.randomUUID()}")
+          build.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.write(tmp.resolve("_GRAFT_OK"),
+            stamp.getBytes("UTF-8"))
+          try java.nio.file.Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.AccessDeniedException |
+                 _: java.nio.file.FileSystemException =>
+              // another process renamed first; adopt theirs if complete,
+              // else clear the corpse and claim the path with ours
+              if (java.nio.file.Files.exists(marker)) deleteTree(tmp)
+              else {
+                deleteTree(path)
+                java.nio.file.Files.move(tmp, path,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              }
+          }
         }
         outcomes.synchronized {
           outcomes += ((name, if (fit) "reused" else "built",

@@ -1790,7 +1790,10 @@ object TextQueries {
       .filter(col("doc_id") < 1000000L) // raw corpus: a mix decision is provenance-level
       .groupBy(col("lang"))
       .agg(sum(size(col("toks")).cast("bigint")).as("available_tokens"))
-    val avail = broadcast(targets).join(corpusAvail, Seq("lang"), "left")
+    // broadcast the RIGHT side: a left-outer join cannot broadcast its
+    // preserved side, so hinting targets would be silently ignored;
+    // corpusAvail is the tiny per-language aggregate
+    val avail = targets.join(broadcast(corpusAvail), Seq("lang"), "left")
       .select(col("lang"),
         coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
         col("target_share_micro"))

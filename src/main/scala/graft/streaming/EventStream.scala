@@ -393,10 +393,17 @@ object EventStream {
         GroupStateTimeout.NoTimeout) {
         case (_, it, state: GroupState[CapLedger]) =>
           val have = state.getOption.map(_.n).getOrElse(0L)
-          val room = (cap - have).max(0L)
-          val take = it.toSeq.sortBy(_.doc_id).take(room.toInt)
-          state.update(CapLedger(have + take.size))
-          take.iterator
+          val room = math.min((cap - have).max(0L), Int.MaxValue.toLong).toInt
+          if (room == 0) {
+            // exhausted budget on a still-hot source is the gate's
+            // steady state: drain without materializing or sorting
+            it.foreach(_ => ())
+            Iterator.empty
+          } else {
+            val take = it.toSeq.sortBy(_.doc_id).take(room)
+            state.update(CapLedger(have + take.size))
+            take.iterator
+          }
       }
   }
 

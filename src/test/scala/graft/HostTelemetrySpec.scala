@@ -20,8 +20,8 @@ class HostTelemetrySpec extends AnyFunSuite {
     assert(m("sys") >= 0.0 && m("sys") <= 1.0, j)
     assert(m("self") >= 0.0 && m("self") <= 1.0, j)
     assert(m("other") >= 0.0, j)
-    // on Linux the counters are live: the JVM burned CPU, so self > 0
-    assert(m("self") > 0.0, s"self share should be nonzero on /proc hosts: $j")
+    // self > 0 would be flaky: the burn is 1–2 scheduler ticks, which on
+    // a many-core host rounds to 0.000 of the all-CPU jiffy total
     // other = max(sys - self, 0) by construction
     assert(m("other") <= m("sys") + 1e-9, j)
   }

@@ -69,23 +69,33 @@ class SnapshotSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(marker), "rebuild must restore the marker")
   }
 
-  test("rebuild evicts the stale stamp of the same (name, dir)") {
+  test("rebuild evicts AGED stale stamps only (young ones may have live readers)") {
     val d = fixtureDir()
     Snapshot.resetForTest()
     assert(build(d.toString).count() == 10)
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
-    def stamps() = Option(root.toFile.listFiles()).get
-      .map(_.getName).filter(_.startsWith("snapspec-"))
-      .filter(_.contains(md5OfDir(d.toString))).toSeq
-    assert(stamps().size == 1)
+    def stampDirs() = Option(root.toFile.listFiles()).get
+      .filter(_.getName.startsWith("snapspec-"))
+      .filter(_.getName.contains(Snapshot.md5Hex(d.toString))).toSeq
+    assert(stampDirs().size == 1)
+    val firstStamp = stampDirs().head
+    // fixtures change; the FRESH old stamp must survive the rebuild — a
+    // sibling process started before the change may still be reading it
     java.nio.file.Files.write(d.resolve("extra.txt"), "x".getBytes("UTF-8"))
     Snapshot.resetForTest()
     assert(build(d.toString).count() == 10)
-    assert(stamps().size == 1, "old stamp must be deleted on rebuild, not accumulate")
+    assert(stampDirs().size == 2,
+      "a young stale stamp must NOT be deleted out from under a live reader")
+    // age the old stamp past the eviction horizon; the next rebuild
+    // reclaims it
+    assert(firstStamp.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    java.nio.file.Files.write(d.resolve("extra2.txt"), "y".getBytes("UTF-8"))
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    val names = stampDirs().map(_.getName)
+    assert(stampDirs().size == 2 && !names.contains(firstStamp.getName),
+      s"aged stale stamp must be reclaimed on rebuild, got $names")
   }
-
-  private def md5OfDir(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 }
