@@ -170,6 +170,12 @@ object Snapshot {
         val path = root.resolve(s"$dirTag-$stamp")
         val marker = path.resolve("_GRAFT_OK")
         val fit = reuseEnabled && java.nio.file.Files.exists(marker)
+        if (fit) {
+          // refresh the dir's age: the expiry sweep keys on mtime, and a
+          // snapshot being reused right now must not be reclaimable by a
+          // sibling process's sweep while this one lazily reads it
+          path.toFile.setLastModified(System.currentTimeMillis())
+        }
         if (!fit) {
           // evict stale stamps of this (name, dir) BEFORE building — but
           // only AGED ones (> EvictAfterMs): an immediately-started sibling
