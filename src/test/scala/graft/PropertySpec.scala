@@ -710,4 +710,38 @@ class PropertySpec extends AnyFunSuite {
     }.toSet
     assert(got.toSet == want, "sample membership, priorities, or ranks diverge")
   }
+
+  test("t29 domain cap: per-source kept count is min(cap, n_docs), ranks a permutation") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t29_domain_cap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"cap_rank not a permutation for $src")
+      val kept = rs.count(_._4 == 1L)
+      assert(kept == math.min(TextQueries.DomainCap, rs.length.toLong),
+        s"$src kept $kept of ${rs.length}")
+      // the kept set is exactly the rank <= cap prefix
+      rs.foreach { case (id, _, rk, k) =>
+        assert((k == 1L) == (rk <= TextQueries.DomainCap), s"doc $id") }
+    }
+  }
+
+  test("t30 per-doc packing: layout equals a local greedy recompute per source") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.queries("t30_sequence_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val b = TextQueries.PackSeqTokens
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      var prior = 0L
+      rs.sortBy(_._1).foreach { case (id, _, n, seqIdx, off) =>
+        assert(off >= 0 && off < b, s"doc $id offset $off out of budget")
+        assert(seqIdx == prior / b && off == prior % b,
+          s"doc $id in $src: got ($seqIdx,$off), want (${prior / b},${prior % b})")
+        prior += n
+      }
+    }
+  }
 }
