@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
       (children: Seq[Expression]) => BandKeys(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("tokenize_words"),
+      new ExpressionInfo(classOf[TokenizeWords].getName, "tokenize_words"),
+      (children: Seq[Expression]) => TokenizeWords(children.head)))
   }
 }

@@ -191,7 +191,18 @@ object TextQueries {
     * (quality/score/band/encode) must segment identically — a second
     * inline copy of this expression is exactly how stream and batch
     * would silently drift. */
+  /** Whitespace word tokenization — since round 12 the native codegen'd
+    * expression (graft.functions.TokenizeWords, registered via
+    * GraftExtensions): one byte scan emitting buffer slices, bit-identical
+    * to [[toksHofCol]] (TokenizeWordsSpec pins the equality). The HOF
+    * `filter` was a CodegenFallback, so every gate/annotator tokenization
+    * dropped out of whole-stage codegen. */
   private[graft] def toksCol(text: Column): Column =
+    call_function("tokenize_words", text)
+
+  /** The HOF form the custom expression replaced — kept for the equality
+    * spec and as the no-extensions fallback. */
+  private[graft] def toksHofCol(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** The checkpointed tokenized corpus for sibling query modules
