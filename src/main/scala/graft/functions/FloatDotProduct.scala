@@ -101,5 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("tokenize_words"),
       new ExpressionInfo(classOf[TokenizeWords].getName, "tokenize_words"),
       (children: Seq[Expression]) => TokenizeWords(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => SimhashSig(children.head)))
   }
 }

@@ -212,7 +212,7 @@ object TextQueries {
     * scan instead of re-tokenizing under whatever GC/page-cache state the
     * process is in (the r9 bench caught exactly that: one process ran the
     * inline-tokenizing sketch 4.7x over its median). */
-  private[queries] def tokenizedCorpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenizedCorpus(spark: SparkSession, dir: String): DataFrame =
     cachedToks(spark, dir)
 
   private val toksSql =
@@ -555,7 +555,24 @@ object TextQueries {
   /** Unordered signature base: 64 per-bit votes from the two 32-bit halves
     * of the token md5, packed into 16-bit quarters; sim_lo/sim_hi are
     * quarter-composed, so every packed value stays in [0, 2^32). */
-  private def simhashSigDF(spark: SparkSession, dir: String): DataFrame = {
+  /** Shuffle-free signature base (round 12): SimHash is a pure per-doc
+    * map, so the native `simhash_sig` expression (functions/SimhashSig)
+    * computes it in one projection over the checkpointed toks — the
+    * explode → 64-vote aggregate it replaces shuffled the whole tokenized
+    * corpus. Token-less docs are filtered first: the aggregate form drops
+    * them (no exploded rows), and the row sets must match bit for bit
+    * (SimhashSigSpec pins equality against [[simhashSigHofDF]]). */
+  private def simhashSigDF(spark: SparkSession, dir: String): DataFrame =
+    cachedToks(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), call_function("simhash_sig", col("toks")).as("s"))
+      .select(col("doc_id"), col("s.sim_hi").as("sim_hi"),
+        col("s.sim_lo").as("sim_lo"), col("s.b0").as("b0"),
+        col("s.b1").as("b1"), col("s.b2").as("b2"), col("s.b3").as("b3"))
+
+  /** The explode+aggregate form the custom expression replaced — kept for
+    * the equality spec and as the no-extensions fallback. */
+  private[graft] def simhashSigHofDF(spark: SparkSession, dir: String): DataFrame = {
     val hx = md5(col("token"))
     val hashed = cachedToks(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("token"))
