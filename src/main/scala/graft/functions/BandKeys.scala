@@ -60,23 +60,11 @@ object BandKeysUtil {
   def compute(text: UTF8String): ArrayData = {
     val toks = sparkTrim(text.toString).split("\\s+").filter(_.nonEmpty)
     if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    // ONE minima definition shared with the minhash_sigs expression
+    // (round 12) — band keys are the banded rendering of the same 16
+    // numbers, so the two natives cannot drift from each other
+    val mins = MinhashSigsUtil.minima(toks)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = Array.fill(NumHashes)(Long.MaxValue)
-    var i = 0
-    while (i + 2 < toks.length) {
-      val d = md.digest(
-        (toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
-      var j = 0
-      while (j < NumHashes) {
-        val q = j % 4
-        val v = ((d(4 * q) & 0xffL) << 24) | ((d(4 * q + 1) & 0xffL) << 16) |
-          ((d(4 * q + 2) & 0xffL) << 8) | (d(4 * q + 3) & 0xffL)
-        val m = (v * MixA(j) + MixB(j)) % MixMod
-        if (m < mins(j)) mins(j) = m
-        j += 1
-      }
-      i += 1
-    }
     val keys = new Array[Any](Bands)
     var b = 0
     while (b < Bands) {

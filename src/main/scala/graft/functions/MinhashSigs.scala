@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass per-document MinHash signature (the 16 per-seed minima) —
+  * value-identical to the slices→mix→min aggregation over the distinct
+  * shingle base (`TextQueries.sigFrom(distinctShingles)`).
+  *
+  * Why a custom Expression (builder brief, preference (b)): like SimHash,
+  * the MinHash signature is a pure per-document map — minima are
+  * set-semantic, so aggregating over DISTINCT shingles and folding over
+  * every shingle occurrence give the same 16 numbers — but the aggregate
+  * form paid a shingle-explode + groupBy exchange and serialized the warm
+  * chain (shingles → sigs → cands). This computes the minima in one walk
+  * of the token array, turning the sigs base into a shuffle-free
+  * projection over toks that no longer waits on the shingle base.
+  *
+  * The shingle→md5→quarter-slice→multiply-add-mod arithmetic is THE SAME
+  * CODE the native band_keys runs ([[minima]] is shared by both), which
+  * EventStreamSpec already pins bit-identical to the SQL chain — the two
+  * expressions cannot drift from each other or from the oracles.
+  * Docs with fewer than 3 tokens have no shingles and therefore no
+  * signature row — the CALLER filters `size(toks) >= 3` (the aggregate
+  * form drops them by construction). MinhashSigsSpec pins corpus-wide
+  * equality and the codegen path. */
+object MinhashSigsUtil {
+  import graft.queries.TextQueries.{MixMod, NumHashes, mixA, mixB}
+
+  private val MixA: Array[Long] = Array.tabulate(NumHashes)(mixA)
+  private val MixB: Array[Long] = Array.tabulate(NumHashes)(mixB)
+
+  /** 16 per-seed minima over the doc's 3-gram shingles (every occurrence;
+    * duplicates cannot change a minimum). Long.MaxValue slots remain for
+    * docs with no shingles — callers filter those docs out. */
+  def minima(toks: Array[String]): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < toks.length) {
+      val d = md.digest(
+        (toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
+      var j = 0
+      while (j < NumHashes) {
+        val q = j % 4
+        val v = ((d(4 * q) & 0xffL) << 24) | ((d(4 * q + 1) & 0xffL) << 16) |
+          ((d(4 * q + 2) & 0xffL) << 8) | (d(4 * q + 3) & 0xffL)
+        val m = (v * MixA(j) + MixB(j)) % MixMod
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(minima(toks).map(Long.box(_): Any))
+  }
+}
+
+/** `minhash_sigs(toks)` — see [[MinhashSigsUtil]]. Codegen emits one
+  * static call, so the projection stays inside whole-stage codegen. */
+case class MinhashSigs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSigsUtil.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashSigsUtil.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}

@@ -39,7 +39,7 @@ object Snapshot {
     * so every pre-existing snapshot goes stale at once. (Per-callsite revs
     * would be finer-grained, but a missed bump silently serves stale data
     * — one epoch, bumped on any build change, is the safe contract.) */
-  private val logicEpoch = "e12c" // r12: toks + simhash bases moved to native expressions
+  private val logicEpoch = "e12d" // r12: toks/simhash/sigs bases moved to native expressions
 
   /** Escape hatch for dev loops: -Dgraft.snapshot.reuse=false (or env
     * GRAFT_SNAPSHOT_REUSE=false) forces every build to run, ignoring and

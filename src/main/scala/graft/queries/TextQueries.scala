@@ -132,18 +132,22 @@ object TextQueries {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    // dependency shape since the native minhash_sigs (round 12): sigs
+    // builds straight from toks, so the old shingles→sigs serialization
+    // is gone — sigs→cands runs on its own thread WHILE shingles builds
+    // in parallel; shared still needs both (dsh + cands)
     val candsF = Future {
-      t("shingles")(distinctShingles(spark, dir).count())
       t("sigs")(cachedSigs(spark, dir).count())
       t("cands")(cachedCands(spark, dir).count())
     }
+    val shinglesF = Future(t("shingles")(distinctShingles(spark, dir).count()))
     val rest = Seq(
       Future(t("simhash")(cachedSimhashSig(spark, dir).count())),
       Future(t("fps")(cachedFps(spark, dir).count())),
       Future(t("bigrams")(cachedBigrams(spark, dir).count())))
-    val sharedF =
-      candsF.map(_ => t("shared")(cachedSharedCounts(spark, dir).count()))
-    (candsF +: rest :+ sharedF).foreach(Await.result(_, Duration.Inf))
+    val sharedF = candsF.flatMap(_ => shinglesF)
+      .map(_ => t("shared")(cachedSharedCounts(spark, dir).count()))
+    (candsF +: shinglesF +: rest :+ sharedF).foreach(Await.result(_, Duration.Inf))
   }
 
   // ---- corpus ----
@@ -285,7 +289,23 @@ object TextQueries {
     * carried it on both sides — the r9 driver run priced that chain at
     * 16.2 s in one attributable lump. */
   private def cachedSigs(spark: SparkSession, dir: String): DataFrame =
-    checkpointed(spark, dir, "sigs")(sigFrom(distinctShingles(spark, dir)))
+    // shuffle-free since round 12: minima are set-semantic (duplicate
+    // shingles cannot change a minimum), so the native per-doc expression
+    // over toks gives the SAME 16 numbers as the slices→mix→min aggregate
+    // over distinct shingles (MinhashSigsSpec pins corpus-wide equality
+    // against [[sigFrom]]) — and the sigs build no longer waits on the
+    // shingle base, un-serializing the warm chain
+    checkpointed(spark, dir, "sigs")(
+      cachedToks(spark, dir)
+        .filter(size(col("toks")) >= 3)
+        // two projections on purpose: the minima array computes ONCE per
+        // row, then slices to the h0..h15 shape (CollapseProject leaves
+        // non-cheap aliases referenced many times un-inlined)
+        .select(col("doc_id"),
+          call_function("minhash_sigs", col("toks")).as("hs"))
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(j =>
+            element_at(col("hs"), j + 1).as(s"h$j")): _*))
 
   /** Signatures over the cached DISTINCT shingles: MinHash minima are
     * set-semantic, and the distinct base is already materialized for the
@@ -458,7 +478,7 @@ object TextQueries {
     * MinHash minima are unaffected) and the candidate pairs derived from
     * them. One materialization per (sfDir, JVM); every consumer — including
     * the verify join that reads the shingle table twice — scans parquet. */
-  private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def distinctShingles(spark: SparkSession, dir: String): DataFrame =
     // files=4: the one base with real volume (every distinct 3-gram), and
     // the verify join scans it twice — keep a little read parallelism.
     // Deduplication is per-row array_distinct BEFORE the explode, not a

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextQueries
+
+/** The native minhash_sigs expression must be VALUE-IDENTICAL to the
+  * slices→mix→min aggregation over the distinct shingle base: the sigs
+  * table feeds d2/d3/d4/d7/t12 and their oracles. Minima are
+  * set-semantic, so folding every occurrence equals aggregating the
+  * distinct set — the spec proves it corpus-wide. */
+class MinhashSigsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native minima equal the distinct-shingle aggregate over the fixture corpus") {
+    val cols = Seq("doc_id") ++ (0 until TextQueries.NumHashes).map(j => s"h$j")
+    val agg = TextQueries.sigFrom(TextQueries.distinctShingles(spark, sf))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val native = TextQueries.tokenizedCorpus(spark, sf)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), call_function("minhash_sigs", col("toks")).as("hs"))
+      .select(col("doc_id") +: (0 until TextQueries.NumHashes).map(j =>
+        element_at(col("hs"), j + 1).as(s"h$j")): _*)
+      .collect().map(_.toSeq).toSet
+    assert(native == agg,
+      s"minima diverge; examples: ${(native -- agg).take(2)} vs ${(agg -- native).take(2)}")
+    assert(native.nonEmpty)
+  }
+
+  test("minhash_sigs codegens (interpreted fallback would log CodegenFallback)") {
+    val plan = TextQueries.tokenizedCorpus(spark, sf)
+      .filter(size(col("toks")) >= 3)
+      .select(call_function("minhash_sigs", col("toks")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_sigs"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("*") && l.contains("Project")
+      && l.contains("minhash_sigs")), plan)
+  }
+}
