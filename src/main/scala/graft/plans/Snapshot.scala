@@ -91,9 +91,12 @@ object Snapshot {
     val p = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
     java.nio.file.Files.createDirectories(p)
-    // once per JVM: sweep expired entries and aged orphaned temps
+    // once per JVM: sweep expired entries and aged orphaned temps. Lock
+    // files are exempt: deleting one while a process holds its lock would
+    // let a third process lock a fresh inode and break mutual exclusion.
     val now = System.currentTimeMillis()
     Option(p.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => !f.getName.startsWith(".lock-"))
       .filter(f => f.lastModified() < now - ExpireAfterMs ||
         (f.getName.startsWith(".tmp-") &&
           f.lastModified() < now - EvictAfterMs))
@@ -188,35 +191,41 @@ object Snapshot {
               f.getName != path.getFileName.toString &&
               f.lastModified() < System.currentTimeMillis() - EvictAfterMs)
             .foreach(f => deleteTree(f.toPath))
-          // build into a process-unique temp dir, then ATOMIC-RENAME into
-          // place: two processes racing on the same missing key each
-          // write their own temp; exactly one rename wins, the loser
-          // adopts the winner's dir. The pre-rename marker write is safe
-          // because nothing reads a temp path, and a crash mid-build
-          // leaves only an orphaned .tmp- dir for the sweeper — the final
-          // path is never observable half-written (interleaved in-place
-          // overwrites could previously land a marker over a sibling's
-          // partial parquet).
+          // build into a process-unique temp dir, then commit under a
+          // cross-process FILE LOCK: the build itself (minutes) runs
+          // unlocked in parallel across processes; only the adopt-vs-claim
+          // decision serializes. The lock closes both review-found races:
+          // a marker check + deleteTree interleaving with a sibling's
+          // rename (which could delete a just-committed snapshot under
+          // its live reader), and two rename losers double-claiming. A
+          // crash mid-build leaves only an orphaned .tmp- dir for the
+          // sweeper — the final path is never observable half-written.
           val tmp = root.resolve(
             s".tmp-${path.getFileName}-${java.util.UUID.randomUUID()}")
           build.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
           java.nio.file.Files.write(tmp.resolve("_GRAFT_OK"),
             stamp.getBytes("UTF-8"))
-          try java.nio.file.Files.move(tmp, path,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.AccessDeniedException |
-                 _: java.nio.file.FileSystemException =>
-              // another process renamed first; adopt theirs if complete,
-              // else clear the corpse and claim the path with ours
-              if (java.nio.file.Files.exists(marker)) deleteTree(tmp)
-              else {
+          val lockCh = java.nio.channels.FileChannel.open(
+            root.resolve(s".lock-$dirTag"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lk = lockCh.lock() // blocks until the sibling commits
+            try {
+              if (reuseEnabled && java.nio.file.Files.exists(marker)) {
+                // a sibling committed a complete snapshot while we built:
+                // adopt it, discard ours
+                deleteTree(tmp)
+              } else {
+                // claim the path — also the reuse=false OVERWRITE
+                // contract: a dev run with reuse disabled must replace
+                // whatever is on disk, never silently serve it
                 deleteTree(path)
                 java.nio.file.Files.move(tmp, path,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
               }
-          }
+            } finally lk.release()
+          } finally lockCh.close()
         }
         outcomes.synchronized {
           outcomes += ((name, if (fit) "reused" else "built",

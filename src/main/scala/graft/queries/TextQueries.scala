@@ -1024,11 +1024,24 @@ object TextQueries {
     * broadcast-able by construction (eval sets are small) and no
     * all-pairs surface exists. The planted corpus mutants of benchmark
     * docs are guaranteed positives. */
-  def t8Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Benchmark-slice membership — ONE definition for t8's scrub verdict
+    * and t31's magnitude report (a second inline copy is exactly how the
+    * two would silently diverge when the rule moves; the oracle twins
+    * render the same predicate). */
+  private def isBenchDoc(c: Column): Column = c % 97 === 0 && c < 1000000L
+
+  /** The benchmark slice's distinct shingles (broadcast side of both
+    * contamination queries) and the training-doc shingle rows. */
+  private def benchSplit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val dsh = distinctShingles(spark, dir)
-    def isBench(c: Column): Column = c % 97 === 0 && c < 1000000L
-    val bsh = dsh.filter(isBench(col("doc_id"))).select("shingle").distinct()
-    dsh.filter(!isBench(col("doc_id")))
+    (dsh.filter(isBenchDoc(col("doc_id"))).select("shingle").distinct(),
+      dsh.filter(!isBenchDoc(col("doc_id"))))
+  }
+
+  def t8Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val (bsh, train) = benchSplit(spark, dir)
+    train
       .join(broadcast(bsh), "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))
@@ -1047,10 +1060,7 @@ object TextQueries {
     * one doc_id aggregation over the shared distinct-shingle base — plus
     * one join back to per-doc totals (doc_id-keyed). */
   def t31ContaminationFraction(spark: SparkSession, dir: String): DataFrame = {
-    val dsh = distinctShingles(spark, dir)
-    def isBench(c: Column): Column = c % 97 === 0 && c < 1000000L
-    val bsh = dsh.filter(isBench(col("doc_id"))).select("shingle").distinct()
-    val train = dsh.filter(!isBench(col("doc_id")))
+    val (bsh, train) = benchSplit(spark, dir)
     val totals = train.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     train.join(broadcast(bsh), "shingle")

@@ -400,8 +400,22 @@ object EventStream {
             it.foreach(_ => ())
             Iterator.empty
           } else {
-            val take = it.toSeq.sortBy(_.doc_id).take(room)
-            state.update(CapLedger(have + take.size))
+            // bounded selection of the `room` smallest doc_ids: a size-
+            // `room` max-heap over the stream — O(n log room) time,
+            // O(room) memory — instead of materializing and sorting the
+            // whole group (a near-budget hot source could deliver
+            // millions of rows in one micro-batch; buffering them is the
+            // exact skew mode the cap exists to absorb)
+            val heap = new java.util.PriorityQueue[CapDoc](
+              room, Ordering.by[CapDoc, Long](-_.doc_id))
+            it.foreach { d =>
+              if (heap.size < room) heap.add(d)
+              else if (d.doc_id < heap.peek().doc_id) { heap.poll(); heap.add(d) }
+            }
+            val take = new Array[CapDoc](heap.size)
+            var i = take.length - 1
+            while (i >= 0) { take(i) = heap.poll(); i -= 1 } // ascending
+            state.update(CapLedger(have + take.length))
             take.iterator
           }
       }
