@@ -82,6 +82,31 @@ object ExportQueries {
       "a petrel is gliding on the cold air while the krill drift in the deep " +
       "current and the seal waits on the ice for the long night to end"))
 
+  /** The deterministic arrival batch + assembled artifacts shared by
+    * [[xFrontDoor]] and [[xFrontDoorAudit]] — one definition, so the
+    * audit counts and the survivor rows can never describe different
+    * inputs. */
+  private def frontDoorInputs(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         graft.streaming.EventStream.IngestArtifacts) = {
+    import spark.implicits._
+    val d = graft.plans.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text")
+    val arrivals = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      .unionByName(FrontDoorNovels.toDF("doc_id", "text"))
+    val art = graft.streaming.EventStream.IngestArtifacts(
+      corpusFps = TextQueries.cachedFps(spark, dir),
+      corpusBands = TextQueries.corpusBandTable(spark, dir),
+      model = MlQueries.fitted(spark, dir),
+      merges = MlQueries.learnedMerges(spark, dir),
+      bucketWeights = TextQueries.dsirBucketWeights(spark, dir))
+    (arrivals, art)
+  }
+
   /** x_front_door — the composed ingest front door as a driver-checked
     * BATCH query (round-12 verdict task 4): a deterministic arrival batch
     * (corpus re-arrivals at %11 → die at corpus exact dedup,
@@ -105,22 +130,9 @@ object ExportQueries {
     * round-trips through parquet while WHICH docs carry it is
     * independently recomputed). */
   def xFrontDoor(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d = graft.plans.Tables.table(spark, dir, "documents")
-      .select("doc_id", "text")
-    val arrivals = d.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
-      .unionByName(d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 6000000L).as("doc_id"),
-          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
-      .unionByName(FrontDoorNovels.toDF("doc_id", "text"))
-    val model = MlQueries.fitted(spark, dir)
-    val merges = MlQueries.learnedMerges(spark, dir)
-    val art = graft.streaming.EventStream.IngestArtifacts(
-      corpusFps = TextQueries.cachedFps(spark, dir),
-      corpusBands = TextQueries.corpusBandTable(spark, dir),
-      model = model, merges = merges,
-      bucketWeights = TextQueries.dsirBucketWeights(spark, dir))
+    val (arrivals, art) = frontDoorInputs(spark, dir)
+    val model = art.model
+    val merges = art.merges
     graft.plans.VerifyExports.maybeExport(dir, "x_front_door_vocab") {
       import MlQueries.{mergeCol, symsCol}
       arrivals
@@ -139,6 +151,33 @@ object ExportQueries {
       .select("doc_id", "score_micro", "n_words", "n_pieces",
         "fertility_micro", "n_tokens", "dsir_units")
       .orderBy("doc_id")
+  }
+
+  /** x_front_door_audit — the front door's per-tier kill accounting (the
+    * x_compact_audit discipline applied to the flagship pipeline): one
+    * row of counts — arrivals, killed at the quality rules, killed at
+    * corpus exact dedup, killed at the near-dup bands, survivors — with
+    * the conservation identity n_arrivals = kills + survivors checkable
+    * from the row alone. Tier counts are the gates' own frames counted
+    * once each (bounded driver scalars — the audit row is MODEL-state
+    * sized; a production pass computes the same numbers as accumulators
+    * on the single ingest pass). */
+  def xFrontDoorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (arrivals, art) = frontDoorInputs(spark, dir)
+    import graft.streaming.EventStream
+    val q = EventStream.filterQualityAtIngest(arrivals)
+    val e = EventStream.dedupAgainstCorpus(q, art.corpusFps)
+    val b = EventStream.nearDupGateAtIngest(e, art.corpusBands)
+    val (nArr, nQ, nE, nB) =
+      (arrivals.count(), q.count(), e.count(), b.count())
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nArr, nArr - nQ, nQ - nE, nE - nB, nB)),
+      org.apache.spark.sql.types.StructType(
+        Seq("n_arrivals", "n_quality", "n_corpus_exact", "n_corpus_near",
+          "n_survivors").map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The intra-batch novelty fixture of [[xCompactAudit]]: an exact pair
@@ -188,9 +227,44 @@ object ExportQueries {
     Map("x_export_manifest" -> xExportManifest,
       "x_export_counts" -> xExportCounts,
       "x_front_door" -> xFrontDoor,
+      "x_front_door_audit" -> xFrontDoorAudit,
       "x_compact_audit" -> xCompactAudit)
 
   /** DuckDB twin of the whole tier cascade. */
+  /** The front door's gate CTE stack (arrivals → quality → exact → band
+    * survivors) — ONE definition serving the x_front_door oracle and the
+    * x_front_door_audit oracle, so the audited counts and the survivor
+    * rows can never describe different gate logic. */
+  private lazy val frontDoorGateCtes: String = {
+    val novelValues = FrontDoorNovels
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }
+      .mkString(",\n      ")
+    s""", ${TextQueries.sigsCte},
+       |${TextQueries.bandsCte},
+       |arr AS (
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, regexp_replace(text, '^\\S+\\s+', '', 'g')
+       |  FROM documents WHERE doc_id % 13 = 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |      $novelValues) AS nv(doc_id, text)),
+       |${TextQueries.bandChainCtes("arr", "A")},
+       |aq AS (SELECT doc_id
+       |       FROM (${TextQueries.gopherSignalsSqlFor("toksA", "arr")})
+       |       WHERE ${TextQueries.gopherKeepSql}),
+       |arrfp AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp FROM arr),
+       |cfps AS (SELECT DISTINCT ${graft.ops.Fingerprint.sql("text")} AS fp FROM corpus),
+       |ae AS (SELECT q.doc_id FROM aq q
+       |       JOIN arrfp f ON q.doc_id = f.doc_id
+       |       LEFT JOIN cfps c ON f.fp = c.fp
+       |       WHERE c.fp IS NULL),
+       |survivors AS (SELECT e.doc_id FROM ae e WHERE NOT EXISTS (
+       |         SELECT 1 FROM bandsA a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey
+       |         WHERE a.doc_id = e.doc_id))""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = {
     val novelValues = CompactNovels
       .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(",\n      ")
@@ -208,36 +282,10 @@ object ExportQueries {
            |ORDER BY c.lang""".stripMargin),
       "x_front_door" -> {
         import graft.plans.VerifyExports.sqlPath
-        val novelValues = FrontDoorNovels
-          .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }
-          .mkString(",\n      ")
         val B = TextQueries.DsirBuckets
         TextQueries.oracle(
-          s""", ${TextQueries.sigsCte},
-             |${TextQueries.bandsCte},
+          s"""$frontDoorGateCtes,
              |${TextQueries.dsirCorpusCtes},
-             |arr AS (
-             |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
-             |  UNION ALL
-             |  SELECT doc_id + 6000000, regexp_replace(text, '^\\S+\\s+', '', 'g')
-             |  FROM documents WHERE doc_id % 13 = 0
-             |  UNION ALL
-             |  SELECT * FROM (VALUES
-             |      $novelValues) AS nv(doc_id, text)),
-             |${TextQueries.bandChainCtes("arr", "A")},
-             |aq AS (SELECT doc_id
-             |       FROM (${TextQueries.gopherSignalsSqlFor("toksA", "arr")})
-             |       WHERE ${TextQueries.gopherKeepSql}),
-             |arrfp AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp FROM arr),
-             |cfps AS (SELECT DISTINCT ${graft.ops.Fingerprint.sql("text")} AS fp FROM corpus),
-             |ae AS (SELECT q.doc_id FROM aq q
-             |       JOIN arrfp f ON q.doc_id = f.doc_id
-             |       LEFT JOIN cfps c ON f.fp = c.fp
-             |       WHERE c.fp IS NULL),
-             |survivors AS (SELECT e.doc_id FROM ae e WHERE NOT EXISTS (
-             |         SELECT 1 FROM bandsA a JOIN bands b
-             |           ON a.band = b.band AND a.bkey = b.bkey
-             |         WHERE a.doc_id = e.doc_id)),
              |aw AS (SELECT doc_id, unnest(toks) AS word FROM toksA),
              |pieces AS (
              |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
@@ -265,6 +313,16 @@ object ExportQueries {
              |JOIN adsir d ON s.doc_id = d.doc_id
              |ORDER BY s.doc_id""".stripMargin)
       },
+      "x_front_door_audit" -> TextQueries.oracle(
+        s"""$frontDoorGateCtes
+           |SELECT CAST((SELECT COUNT(*) FROM arr) AS BIGINT) AS n_arrivals,
+           |       CAST((SELECT COUNT(*) FROM arr) - (SELECT COUNT(*) FROM aq)
+           |            AS BIGINT) AS n_quality,
+           |       CAST((SELECT COUNT(*) FROM aq) - (SELECT COUNT(*) FROM ae)
+           |            AS BIGINT) AS n_corpus_exact,
+           |       CAST((SELECT COUNT(*) FROM ae) - (SELECT COUNT(*) FROM survivors)
+           |            AS BIGINT) AS n_corpus_near,
+           |       CAST((SELECT COUNT(*) FROM survivors) AS BIGINT) AS n_survivors""".stripMargin),
       "x_compact_audit" -> TextQueries.oracle(
       s""", ${TextQueries.sigsCte},
         |${TextQueries.bandsCte},
