@@ -35,14 +35,35 @@ object MinhashSigsUtil {
 
   /** 16 per-seed minima over the doc's 3-gram shingles (every occurrence;
     * duplicates cannot change a minimum). Long.MaxValue slots remain for
-    * docs with no shingles — callers filter those docs out. */
+    * docs with no shingles — callers filter those docs out.
+    *
+    * A `null` slot in `toks` renders with `array_join` semantics — skipped
+    * entirely, contributing neither itself nor a separator — because the
+    * aggregate chain this claims value-identity with builds each shingle as
+    * `array_join(slice(toks, i+1, 3), " ")`. Unreachable from
+    * tokenize_words/band_keys (their token arrays never contain null), but
+    * minhash_sigs is a registered SQL function callable on arbitrary
+    * array<string>, where the old null→"" mapping produced 'a  b' for the
+    * chain's 'a b' (r12 advice). */
   def minima(toks: Array[String]): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
     var i = 0
     while (i + 2 < toks.length) {
-      val d = md.digest(
-        (toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
+      sb.setLength(0)
+      var first = true
+      var p = i
+      while (p <= i + 2) {
+        val t = toks(p)
+        if (t != null) {
+          if (!first) sb.append(' ')
+          sb.append(t)
+          first = false
+        }
+        p += 1
+      }
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
       var j = 0
       while (j < NumHashes) {
         val q = j % 4
@@ -62,7 +83,9 @@ object MinhashSigsUtil {
     val toks = new Array[String](n)
     var i = 0
     while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      // null stays null: minima renders it with array_join's skip
+      // semantics, matching the aggregate chain (r12 advice)
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
       i += 1
     }
     new GenericArrayData(minima(toks).map(Long.box(_): Any))

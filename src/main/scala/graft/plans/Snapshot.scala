@@ -113,14 +113,40 @@ object Snapshot {
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** Content stamp of an input dir: md5 over the sorted (relative path,
-    * size, mtime-millis) listing plus [[logicEpoch]]. A listing digest —
-    * not a content digest — because the fixture tables are parquet the
-    * driver regenerates atomically; hashing 100s of MB of bytes per bench
-    * run would cost more than the reuse saves. `_temporary`/`_SUCCESS`
-    * bookkeeping files are skipped (commit-time noise, not data). */
+    * size, mtime-millis, head/tail probe) listing plus [[logicEpoch]]. A
+    * listing digest — not a full content digest — because the fixture
+    * tables are parquet the driver regenerates atomically; hashing 100s of
+    * MB of bytes per bench run would cost more than the reuse saves. The
+    * PROBE (first+last 4 KB of each file, r12 advice) closes the
+    * coarse-mtime hole: a fixture regenerated with identical file sizes
+    * inside the filesystem's mtime granularity still flips the stamp,
+    * because a parquet rewrite perturbs its footer (row-group stats,
+    * created_by, offsets) even when the logical data is close — 8 KB per
+    * file is metadata-cheap next to the build the stamp guards.
+    * `_temporary`/`_SUCCESS` bookkeeping files are skipped (commit-time
+    * noise, not data). */
   private def fixtureStamp(dir: String): String = {
     val base = java.nio.file.Paths.get(dir)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val sb = new StringBuilder(logicEpoch)
+    def probe(f: java.io.File): String = {
+      val buf = new Array[Byte](4096)
+      try {
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          md.reset()
+          var n = raf.read(buf)
+          if (n > 0) md.update(buf, 0, n)
+          val tail = math.max(raf.length() - 4096, math.max(n, 0).toLong)
+          if (tail < raf.length()) {
+            raf.seek(tail)
+            n = raf.read(buf)
+            if (n > 0) md.update(buf, 0, n)
+          }
+          md.digest().map(b => f"$b%02x").mkString
+        } finally raf.close()
+      } catch { case scala.util.control.NonFatal(_) => "unreadable" }
+    }
     def walk(f: java.io.File): Unit =
       if (f.getName != "_temporary")
         if (f.isDirectory)
@@ -130,6 +156,7 @@ object Snapshot {
           sb.append('|').append(base.relativize(f.toPath).toString)
             .append(':').append(f.length())
             .append(':').append(f.lastModified())
+            .append(':').append(probe(f))
         }
     walk(base.toFile)
     md5Hex(sb.toString)
@@ -246,10 +273,21 @@ object Snapshot {
     // blocking{}: callers may await from inside a global-EC future (the
     // warm passes); mark the wait so the pool spawns a compensating thread
     // instead of starving the builds it is waiting on.
-    scala.concurrent.blocking {
+    val df = scala.concurrent.blocking {
       scala.concurrent.Await.result(promise.future,
         scala.concurrent.duration.Duration.Inf)
     }
+    // adoption keep-alive (r12 advice): the winner refreshed the dir's
+    // mtime once, at resolution — a LONG-LIVED JVM (interactive session,
+    // notebook) that keeps lazily scanning past EvictAfterMs would
+    // otherwise have its parquet evicted underneath by a sibling's
+    // rebuild. Every consumer call re-touches the dir, so a snapshot ages
+    // toward eviction only while genuinely idle. One metadata write per
+    // call — noise next to the scan it precedes.
+    livePaths.synchronized(livePaths.get((dir, name))).foreach(p =>
+      try p.toFile.setLastModified(System.currentTimeMillis())
+      catch { case scala.util.control.NonFatal(_) => })
+    df
   }
 
   /** Bytes on disk for the snapshots in use by THIS JVM (bench evidence: a
@@ -273,6 +311,12 @@ object Snapshot {
       if (f.getName == "_temporary") 0L
       else if (f.isDirectory) Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
       else f.length()
-    livePaths.synchronized(livePaths.values.toSeq).map(p => sz(p.toFile)).sum
+    livePaths.synchronized(livePaths.values.toSeq).map { p =>
+      // walking the live set anyway — refresh its age against sibling
+      // eviction sweeps (the checkpointed() keep-alive's second leg)
+      try p.toFile.setLastModified(System.currentTimeMillis())
+      catch { case scala.util.control.NonFatal(_) => }
+      sz(p.toFile)
+    }.sum
   }
 }

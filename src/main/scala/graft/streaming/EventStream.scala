@@ -400,14 +400,20 @@ object EventStream {
             it.foreach(_ => ())
             Iterator.empty
           } else {
-            // bounded selection of the `room` smallest doc_ids: a size-
-            // `room` max-heap over the stream — O(n log room) time,
-            // O(room) memory — instead of materializing and sorting the
-            // whole group (a near-budget hot source could deliver
-            // millions of rows in one micro-batch; buffering them is the
-            // exact skew mode the cap exists to absorb)
+            // bounded selection of the `room` smallest doc_ids: a max-heap
+            // capped at `room` entries over the stream — O(n log room)
+            // time, O(min(room, batch)) memory — instead of materializing
+            // and sorting the whole group (a near-budget hot source could
+            // deliver millions of rows in one micro-batch; buffering them
+            // is the exact skew mode the cap exists to absorb). The
+            // INITIAL capacity is deliberately small: PriorityQueue
+            // eagerly allocates its backing array, so seeding it with
+            // `room` would allocate a cap-sized array per source per
+            // micro-batch even for a handful of rows — and a practically-
+            // unlimited cap (>= 2^31) would OOM outright. The queue grows
+            // on demand and never exceeds room+1 live entries.
             val heap = new java.util.PriorityQueue[CapDoc](
-              room, Ordering.by[CapDoc, Long](-_.doc_id))
+              math.min(room, 1024), Ordering.by[CapDoc, Long](-_.doc_id))
             it.foreach { d =>
               if (heap.size < room) heap.add(d)
               else if (d.doc_id < heap.peek().doc_id) { heap.poll(); heap.add(d) }

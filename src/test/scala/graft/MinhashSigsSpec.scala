@@ -28,6 +28,49 @@ class MinhashSigsSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("null array elements render with array_join semantics (skipped, no separator)") {
+    // minhash_sigs is a registered SQL function callable on arbitrary
+    // array<string> — unreachable from tokenize_words (containsNull=false),
+    // but a hand-built array with a null slot must agree with the aggregate
+    // chain, whose shingles come from array_join(slice(toks,i,3),' '):
+    // [a, NULL, b] shingles to 'a b', never 'a  b' (r12 advice).
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, Seq[String]("alpha", null, "beta", "gamma")),
+      (2L, Seq[String]("", null, "beta", "gamma")), // empty string is NOT null: keeps its separator
+      (3L, Seq[String](null, null, null, "omega"))
+    ).toDF("doc_id", "toks")
+    // the chain's rendering: per-position 3-slices joined by array_join
+    val chain = withNull
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i + 1, lit(3)), " "))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shingles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // independent JVM-side recompute of the minima over those exact shingles
+    def miniOf(shingles: Set[String]): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(TextQueries.NumHashes)(Long.MaxValue)
+      for (s <- shingles) {
+        val d = md.digest(s.getBytes("UTF-8"))
+        for (j <- 0 until TextQueries.NumHashes) {
+          val q = j % 4
+          val v = ((d(4 * q) & 0xffL) << 24) | ((d(4 * q + 1) & 0xffL) << 16) |
+            ((d(4 * q + 2) & 0xffL) << 8) | (d(4 * q + 3) & 0xffL)
+          val m = (v * TextQueries.mixA(j) + TextQueries.mixB(j)) % TextQueries.MixMod
+          if (m < mins(j)) mins(j) = m
+        }
+      }
+      mins.toSeq
+    }
+    val native = withNull
+      .select(col("doc_id"), call_function("minhash_sigs", col("toks")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, sh) <- chain) assert(native(id) == miniOf(sh),
+      s"doc $id: native ${native(id)} vs chain-shingle minima ${miniOf(sh)} over $sh")
+  }
+
   test("minhash_sigs codegens (interpreted fallback would log CodegenFallback)") {
     val plan = TextQueries.tokenizedCorpus(spark, sf)
       .filter(size(col("toks")) >= 3)
