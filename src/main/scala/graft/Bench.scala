@@ -39,6 +39,11 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb
     // session-startup cost (touches no benchmark data).
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    // localCheckpoint warmup: the first localCheckpoint in a JVM pays
+    // block-manager storage-path initialization, which otherwise lands in
+    // rep 1 of whichever iterative query (d9's label loop) checkpoints
+    // first and bleeds into its median (r12 verdict task 2).
+    spark.range(0, 1000).toDF("id").localCheckpoint(true).count()
 
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     def once(name: String)(body: => Unit): Double = {

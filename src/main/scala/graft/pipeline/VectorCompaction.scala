@@ -49,10 +49,10 @@ object VectorCompaction {
     val pastCorpus = pinned(graft.streaming.EventStream
       .semanticGateAtIngest(arrivals, index, centroids))
 
-    // survivors' own artifacts (cell + norm), computed once per row
-    val assigned = pastCorpus
-      .withColumn("cell",
-        VectorQueries.cellAssignCol(col("embedding"), centroids))
+    // survivors' own artifacts (cell + norm), computed once per row;
+    // withCellAssigned dispatches expression-vs-probe on K
+    val assigned = VectorQueries
+      .withCellAssigned(pastCorpus, "embedding", "cell", centroids)
       .withColumn("nrm", VectorQueries.norm(col("embedding")))
 
     // tier 2: within-cell batch pairs above the bar → lesser id wins

@@ -158,26 +158,60 @@ object ExportQueries {
     * row of counts — arrivals, killed at the quality rules, killed at
     * corpus exact dedup, killed at the near-dup bands, survivors — with
     * the conservation identity n_arrivals = kills + survivors checkable
-    * from the row alone. Tier counts are the gates' own frames counted
-    * once each (bounded driver scalars — the audit row is MODEL-state
-    * sized; a production pass computes the same numbers as accumulators
-    * on the single ingest pass). */
+    * from the row alone.
+    *
+    * SINGLE PASS (r12 verdict task 1 — the first cut ran four `.count()`
+    * actions over progressively longer prefixes of the same chain,
+    * re-deriving the arrival union and every upstream gate per tier):
+    * each arrival is annotated with its kill tier in ONE scan — the
+    * quality verdict is the gate's own per-row column, the exact tier is
+    * the fp probe turned from LEFT ANTI into a hit-marking LEFT OUTER,
+    * the band tier is the per-band anti-join cascade turned into four
+    * hit-marking LEFT OUTERs (distinct-keyed, so annotation cannot
+    * duplicate rows) — and the five counts fall out of one conditional
+    * aggregate. The `when` cascade encodes the gate ORDER (a doc failing
+    * quality AND matching a fingerprint counts in the quality tier,
+    * exactly as the composed chain kills it). Probe semantics match the
+    * gates bit-for-bit: same Fingerprint column, same bandKeysCol with
+    * try_element_at (a too-short doc's null key misses every probe and
+    * survives the band tier, as it passes the anti-join gate).
+    *
+    * Scale shape: one scan of the arrival batch, one broadcast-or-hash
+    * probe per tier against the same corpus tables the gates probe, one
+    * partial-aggregated count row — arrival-proportional, no tier
+    * recompute, no driver-side counts. */
   def xFrontDoorAudit(spark: SparkSession, dir: String): DataFrame = {
     val (arrivals, art) = frontDoorInputs(spark, dir)
-    import graft.streaming.EventStream
-    val q = EventStream.filterQualityAtIngest(arrivals)
-    val e = EventStream.dedupAgainstCorpus(q, art.corpusFps)
-    val b = EventStream.nearDupGateAtIngest(e, art.corpusBands)
-    val (nArr, nQ, nE, nB) =
-      (arrivals.count(), q.count(), e.count(), b.count())
-    spark.createDataFrame(
-      java.util.Arrays.asList(
-        org.apache.spark.sql.Row(nArr, nArr - nQ, nQ - nE, nE - nB, nB)),
-      org.apache.spark.sql.types.StructType(
-        Seq("n_arrivals", "n_quality", "n_corpus_exact", "n_corpus_near",
-          "n_survivors").map(f =>
-          org.apache.spark.sql.types.StructField(f,
-            org.apache.spark.sql.types.LongType, nullable = false))))
+    val nBands = TextQueries.Bands
+    val fpProbe = art.corpusFps.select(col("fp")).distinct()
+      .withColumn("fp_hit", lit(1))
+    val annotated0 = arrivals
+      .withColumn("q_ok",
+        TextQueries.gopherKeepCol(col("text")) === 1L)
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+      .join(fpProbe, Seq("fp"), "left")
+      .withColumn("bk_arr", TextQueries.bandKeysCol(col("text")))
+    val annotated = (0 until nBands).foldLeft(annotated0) { (df, b) =>
+      df.join(
+        art.corpusBands.filter(col("band") === b)
+          .select(col("bkey").as(s"bk$b")).distinct()
+          .withColumn(s"bh$b", lit(1)),
+        try_element_at(col("bk_arr"), lit(b + 1)) === col(s"bk$b"), "left")
+        .drop(s"bk$b")
+    }
+    val anyBandHit = (0 until nBands)
+      .map(b => col(s"bh$b").isNotNull).reduce(_ || _)
+    val tier = when(!coalesce(col("q_ok"), lit(false)), "quality")
+      .when(col("fp_hit").isNotNull, "exact")
+      .when(anyBandHit, "near")
+      .otherwise("survivor")
+    annotated.select(tier.as("tier"))
+      .agg(
+        count(lit(1)).as("n_arrivals"),
+        count(when(col("tier") === "quality", 1)).as("n_quality"),
+        count(when(col("tier") === "exact", 1)).as("n_corpus_exact"),
+        count(when(col("tier") === "near", 1)).as("n_corpus_near"),
+        count(when(col("tier") === "survivor", 1)).as("n_survivors"))
   }
 
   /** The intra-batch novelty fixture of [[xCompactAudit]]: an exact pair

@@ -414,22 +414,123 @@ object VectorQueries {
       }).getField("cell")
   }
 
+  /** Expression-form cap for [[withCellAssigned]]: the K-term aggregate
+    * fold stays comfortably inside Janino through hundreds of cells
+    * (measured: one fold, not a when-chain), but a production quantizer
+    * (K up to 2^16, ivfCellsFor's cap) would inline 2^16 centroid
+    * literals into one expression tree — unplannable. Beyond this K the
+    * same arithmetic moves to the mapPartitions probe. */
+  private[graft] val CellAssignExprMaxK = 256
+
+  /** Per-row cell assignment at PRODUCTION K — the mapPartitions probe
+    * over a broadcast centroid matrix that [[cellAssignCol]]'s scaladoc
+    * promised (r12 verdict task 3). Same arithmetic, replicated
+    * bit-for-bit JVM-side:
+    *   - dot products double-accumulate left-to-right over min-length,
+    *     widening float→double per element (FloatDotProduct's loop);
+    *   - centroid norms come from the same driver-side fold;
+    *   - cosines round to 6 decimals via Spark's Round semantics for
+    *     doubles (NaN/Inf pass through, else BigDecimal HALF_UP);
+    *   - the argmax scans cells ASCENDING with a strict-greater update —
+    *     (ccos desc, cell asc) ties, exactly the fold's accumulator rule —
+    *     and compares with Spark SQL's NaN-is-greatest ordering;
+    *   - a NULL embedding assigns cell -1, the fold's accumulator seed.
+    * One broadcast of K×dims doubles per plan, one tight loop per row: no
+    * shuffle, no state — streaming-safe like the expression form (map-like
+    * ops are allowed on streaming Datasets), so the ingest gate can ride
+    * it unchanged. VectorSpec pins bit-identity against the expression
+    * form on the fixture corpus and at a forced-probe K. */
+  private[graft] def cellAssignProbe(df: DataFrame, embCol: String,
+      outCol: String, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "cellAssignProbe needs at least one centroid")
+    val spark = df.sparkSession
+    val sorted = cents.sortBy(_._1)
+    val cellIds = sorted.map(_._1).toArray
+    val mat = sorted.map(_._2.toArray).toArray
+    val norms = mat.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    val bc = spark.sparkContext.broadcast((cellIds, mat, norms))
+    val embIdx = df.schema.fieldIndex(embCol)
+    val elemIsFloat = df.schema(embCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"$embCol must be array<float|double>, got ${t.catalogString}")
+    }
+    val outSchema = df.schema.add(outCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    // Spark's Round on double: NaN/Inf unchanged, else BigDecimal HALF_UP
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // Spark SQL double ordering: NaN is greater than everything, NaN = NaN
+    def sqlGt(a: Double, b: Double): Boolean =
+      if (a.isNaN) !b.isNaN else if (b.isNaN) false else a > b
+    df.mapPartitions { it =>
+      val (ids, m, nrms) = bc.value
+      it.map { r =>
+        val cell =
+          if (r.isNullAt(embIdx)) -1L
+          else {
+            val e: Array[Double] =
+              if (elemIsFloat) r.getSeq[Float](embIdx).iterator.map(_.toDouble).toArray
+              else r.getSeq[Double](embIdx).toArray
+            var selfDot = 0.0
+            var i = 0
+            while (i < e.length) { selfDot += e(i) * e(i); i += 1 }
+            val n = math.sqrt(selfDot)
+            var bestS = -2.0
+            var bestCell = -1L
+            var c = 0
+            while (c < ids.length) {
+              val cv = m(c)
+              val len = math.min(e.length, cv.length)
+              var d = 0.0
+              var j = 0
+              while (j < len) { d += e(j) * cv(j); j += 1 }
+              val sc = round6(d / (n * nrms(c)))
+              if (sqlGt(sc, bestS)) { bestS = sc; bestCell = ids(c) }
+              c += 1
+            }
+            bestCell
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cell)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Cell assignment behind ONE signature, dispatching on K (r12 verdict
+    * task 3): the codegen'd expression fold through
+    * [[CellAssignExprMaxK]] cells — zero serialization boundary, stays
+    * inside whole-stage codegen — and the broadcast-matrix
+    * [[cellAssignProbe]] beyond, where the literal tree would not compile
+    * reasonably. Both forms are bit-identical (VectorSpec); callers never
+    * choose. */
+  private[graft] def withCellAssigned(df: DataFrame, embCol: String,
+      outCol: String, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size <= CellAssignExprMaxK)
+      df.withColumn(outCol, cellAssignCol(col(embCol), cents))
+    else cellAssignProbe(df, embCol, outCol, cents)
+
   /** Static side of the streaming semantic gate (and any cell probe): the
     * corpus assigned to its quantizer cells with per-vector norms — the
     * same frame v4/v8 build internally, surfaced for stream-static joins.
     * At 100 TB this is a bucketed parquet table keyed by cell, re-read
     * per micro-batch. */
   def corpusCellIndex(spark: SparkSession, dir: String): DataFrame =
-    // per-row assignment expression, NOT the assignCells window: the k=1
-    // argmax needs no join and no shuffle, so the index derives in one
-    // codegen'd scan+project (measured at sf0.1: the window form cost a
-    // 400k-row sort-shuffle per evaluation; a columnar-cache memo was
-    // even slower — per-probe array access dominates). cellAssignCol is
-    // spec-pinned bit-identical to the window argmax. At 100 TB this
-    // frame is a bucketed parquet TABLE written once and read per batch.
-    emb(spark, dir).select(col("vec_id"), col("embedding"),
-      cellAssignCol(col("embedding"), quantizerRows(spark, dir)).as("cell"),
-      norm(col("embedding")).as("nrm"))
+    // per-row assignment, NOT the assignCells window: the k=1 argmax
+    // needs no join and no shuffle, so the index derives in one
+    // scan+project (measured at sf0.1: the window form cost a 400k-row
+    // sort-shuffle per evaluation; a columnar-cache memo was even slower
+    // — per-probe array access dominates). withCellAssigned dispatches
+    // expression-vs-probe on K; both are spec-pinned bit-identical to
+    // the window argmax. At 100 TB this frame is a bucketed parquet
+    // TABLE written once and read per batch.
+    withCellAssigned(emb(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", "cell", quantizerRows(spark, dir))
+      .withColumn("nrm", norm(col("embedding")))
 
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** [EXT] ST7 — event-time streaming analytics (SURVEY §2.8): the watermarked
   * windowed aggregations the reference never had (all its processing was
@@ -268,10 +268,12 @@ object EventStream {
     * drop-the-greater-id pair rule.
     *
     * The arrival's cell is computed PER ROW by [[graft.queries
-    * .VectorQueries.cellAssignCol]] — the batch argmax as a pure
-    * expression over the memoized (K x dims) quantizer rows, bit-identical
-    * to the batch assignment — so the stream side needs no window, no
-    * aggregation, no state store. The kill itself is ONE stream-static
+    * .VectorQueries.withCellAssigned]] — the batch argmax, dispatched on
+    * K between the pure-expression fold (≤ hundreds of cells) and the
+    * broadcast-centroid-matrix mapPartitions probe (production K up to
+    * 2^16); both bit-identical to the batch assignment, both map-like
+    * and therefore streaming-legal — so the stream side needs no window,
+    * no aggregation, no state store. The kill itself is ONE stream-static
     * LEFT ANTI join whose condition carries both the cell equality and
     * the rounded-cosine bar: stateless, and the static index is re-read
     * per micro-batch so a corpus compaction is picked up live.
@@ -285,9 +287,8 @@ object EventStream {
   def semanticGateAtIngest(vecs: DataFrame, corpusIndex: DataFrame,
       centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     import graft.queries.VectorQueries
-    val withCell = vecs
-      .withColumn("gate_cell",
-        VectorQueries.cellAssignCol(col("embedding"), centroids))
+    val withCell = VectorQueries
+      .withCellAssigned(vecs, "embedding", "gate_cell", centroids)
       .withColumn("gate_nrm", VectorQueries.norm(col("embedding")))
     withCell.join(
         corpusIndex.select(col("cell").as("c_cell"),
@@ -372,9 +373,9 @@ object EventStream {
     * stateless gates this one is inherently STATEFUL (a budget is a
     * running count), so it rides flatMapGroupsWithState keyed by source —
     * one Long per domain ever seen, the smallest possible state (a 100 TB
-    * crawl has millions of hosts; millions of Longs is nothing, and a
-    * processing-time TTL via transformWithState ages out dead hosts, the
-    * latestStatusTws precedent).
+    * crawl has millions of hosts; millions of Longs is nothing, and
+    * [[domainCapAtIngestTws]] — the transformWithState twin below — adds
+    * the processing-time TTL that ages out dead hosts).
     *
     * Semantics are FIRST-ARRIVED-FIRST-KEPT (within a micro-batch, doc_id
     * order for determinism) — the only semantics an online budget can
@@ -385,6 +386,32 @@ object EventStream {
     * dependence; a pipeline wanting t29's unbiased cap re-ranks offline
     * at compaction time. EventStreamSpec pins the in-order-feed parity:
     * streaming keeps exactly batch row_number-by-doc_id <= cap. */
+  /** Bounded selection of the `room` smallest doc_ids in one stream pass —
+    * a max-heap capped at `room` entries: O(n log room) time,
+    * O(min(room, batch)) memory — instead of materializing and sorting
+    * the whole group (a near-budget hot source could deliver millions of
+    * rows in one micro-batch; buffering them is the exact skew mode the
+    * cap exists to absorb). The INITIAL capacity is deliberately small
+    * (r12 advice): PriorityQueue eagerly allocates its backing array, so
+    * seeding it with `room` would allocate a cap-sized array per source
+    * per micro-batch even for a handful of rows — and a practically-
+    * unlimited cap (>= 2^31) would OOM outright. The queue grows on
+    * demand and never exceeds room+1 live entries. Returned ascending.
+    * ONE definition serving both state-API forms of the gate, so their
+    * selection semantics cannot drift. */
+  private def smallestByDocId(it: Iterator[CapDoc], room: Int): Array[CapDoc] = {
+    val heap = new java.util.PriorityQueue[CapDoc](
+      math.min(room, 1024), Ordering.by[CapDoc, Long](-_.doc_id))
+    it.foreach { d =>
+      if (heap.size < room) heap.add(d)
+      else if (d.doc_id < heap.peek().doc_id) { heap.poll(); heap.add(d) }
+    }
+    val take = new Array[CapDoc](heap.size)
+    var i = take.length - 1
+    while (i >= 0) { take(i) = heap.poll(); i -= 1 } // ascending
+    take
+  }
+
   def domainCapAtIngest(docs: Dataset[CapDoc], cap: Long): Dataset[CapDoc] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
@@ -400,31 +427,53 @@ object EventStream {
             it.foreach(_ => ())
             Iterator.empty
           } else {
-            // bounded selection of the `room` smallest doc_ids: a max-heap
-            // capped at `room` entries over the stream — O(n log room)
-            // time, O(min(room, batch)) memory — instead of materializing
-            // and sorting the whole group (a near-budget hot source could
-            // deliver millions of rows in one micro-batch; buffering them
-            // is the exact skew mode the cap exists to absorb). The
-            // INITIAL capacity is deliberately small: PriorityQueue
-            // eagerly allocates its backing array, so seeding it with
-            // `room` would allocate a cap-sized array per source per
-            // micro-batch even for a handful of rows — and a practically-
-            // unlimited cap (>= 2^31) would OOM outright. The queue grows
-            // on demand and never exceeds room+1 live entries.
-            val heap = new java.util.PriorityQueue[CapDoc](
-              math.min(room, 1024), Ordering.by[CapDoc, Long](-_.doc_id))
-            it.foreach { d =>
-              if (heap.size < room) heap.add(d)
-              else if (d.doc_id < heap.peek().doc_id) { heap.poll(); heap.add(d) }
-            }
-            val take = new Array[CapDoc](heap.size)
-            var i = take.length - 1
-            while (i >= 0) { take(i) = heap.poll(); i -= 1 } // ascending
+            val take = smallestByDocId(it, room)
             state.update(CapLedger(have + take.length))
             take.iterator
           }
       }
+  }
+
+  /** [[domainCapAtIngest]] on the modern state API with a processing-time
+    * TTL (r12 verdict task 4 — the latestStatusTws precedent,
+    * [[graft.streaming.JobStream.LatestStatusProcessor]]): the budget
+    * ledger is a TTL'd ValueState, so a source idle past `ttl` frees its
+    * one Long instead of pinning the state store forever — the one
+    * streaming state that previously had no aging story. Expiry RESETS
+    * the budget: a crawl host silent for a week is a new host as far as
+    * dominance control cares (the within-horizon watermark-eviction
+    * trade [[dedupByFingerprint]] documents — aging bounds state, and
+    * the periodic batch re-rank at compaction time owns cross-horizon
+    * fairness). Inside the horizon, semantics are IDENTICAL to the
+    * untimed form — same [[smallestByDocId]] selection, same
+    * first-arrived-first-kept — which EventStreamSpec pins by running
+    * both forms over one feed. Requires the RocksDB state store
+    * provider (the transformWithState contract). */
+  class DomainCapProcessor(cap: Long, ttl: java.time.Duration)
+      extends StatefulProcessor[String, CapDoc, CapDoc] {
+    @transient private var state: ValueState[CapLedger] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CapLedger]("budget",
+        org.apache.spark.sql.Encoders.product[CapLedger], TTLConfig(ttl))
+    override def handleInputRows(src: String, it: Iterator[CapDoc],
+        timers: TimerValues): Iterator[CapDoc] = {
+      val have = if (state.exists()) state.get().n else 0L
+      val room = math.min((cap - have).max(0L), Int.MaxValue.toLong).toInt
+      if (room == 0) { it.foreach(_ => ()); Iterator.empty }
+      else {
+        val take = smallestByDocId(it, room)
+        state.update(CapLedger(have + take.length))
+        take.iterator
+      }
+    }
+  }
+
+  def domainCapAtIngestTws(docs: Dataset[CapDoc], cap: Long,
+      ttl: java.time.Duration = java.time.Duration.ofDays(7)): Dataset[CapDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new DomainCapProcessor(cap, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   // ---- streaming conversion funnel ----

@@ -127,6 +127,65 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("domain cap on transformWithState: within-horizon parity, budget resets after TTL expiry") {
+    // r12 verdict task 4: the TTL'd twin must behave exactly like the
+    // untimed gate inside the horizon (same smallestByDocId selection,
+    // same first-arrived-first-kept), and a source idle past the TTL
+    // frees its ledger — budget RESETS, the documented aging semantics.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val docs = ms.toDF().toDF("doc_id", "source").as[EventStream.CapDoc]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cap-tws").toString
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      // transformWithState in processing-time mode never quiesces under a
+      // continuous trigger (processAllAvailable would wait forever — the
+      // latestStatusTws lesson), so each stage runs an AvailableNow query
+      // over ONE shared checkpoint: state carries across the restarts,
+      // which doubles as the recovery pin.
+      def drain(): Unit = {
+        val q = EventStream.domainCapAtIngestTws(docs, cap = 2,
+          ttl = java.time.Duration.ofSeconds(2)).writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[EventStream.CapDoc], _: Long) =>
+              val ids = b.collect().map(_.doc_id)
+              out.synchronized { out ++= ids }
+              ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      def kept() = out.synchronized(out.sorted.toSeq)
+      // within the horizon: the untimed gate's spec feed (batches 1+2 in
+      // one drain — the drain-to-drain gap includes query startup, which
+      // must not eat into the deliberately-short test TTL), identical
+      // keeps: srcA capped at {1,2} with 4L losing, srcB at budget, srcC
+      // fresh
+      ms.addData((3L, "srcA"), (1L, "srcA"), (2L, "srcA"), (10L, "srcB"), (11L, "srcB"))
+      ms.addData((4L, "srcA"), (20L, "srcC"))
+      drain()
+      assert(kept() == Seq(1L, 2L, 10L, 11L, 20L),
+        s"within the horizon the budget binds; got ${kept()}")
+      // idle past the TTL (srcA's ledger last updated in stage 1): the
+      // expired ledger reads as absent, so a fresh budget opens — and the
+      // cap immediately re-binds within it (3 arrivals, 2 kept)
+      Thread.sleep(2500)
+      ms.addData((5L, "srcA"), (7L, "srcA"), (6L, "srcA"))
+      drain()
+      assert(kept() == Seq(1L, 2L, 5L, 6L, 10L, 11L, 20L),
+        s"expired source must start a fresh, still-capped budget; got ${kept()}")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("stream-static anti-join drops arrivals already in the corpus, keeps zero state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -107,6 +107,25 @@ class PlanSpec extends AnyFunSuite {
       s"front-door executed plan degenerated:\n$fin")
   }
 
+  test("x_front_door_audit: single pass — arrivals derive once, tiers annotate instead of recompute") {
+    // r12 verdict task 1: the first cut ran four .count() actions over
+    // progressively longer prefixes of the gate chain, so the arrival
+    // union (two `documents` scans + the novel literals) re-derived four
+    // times. The single-pass form annotates kill tiers in one plan: the
+    // `documents` relation must appear exactly twice (the union's two
+    // arms), and the whole audit is ONE aggregate — a third scan or a
+    // second agg means a tier went back to recomputing the chain.
+    val df = ExportQueries.queries("x_front_door_audit")(spark, sf)
+    val p = planOf(df)
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 2, s"expected the 2 union-arm documents scans, got $docScans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val row = df.collect().head
+    // conservation identity from the row alone
+    assert(row.getLong(0) == row.getLong(1) + row.getLong(2) + row.getLong(3) + row.getLong(4),
+      row.toString)
+  }
+
   test("t29/t30: domain cap and sequence packing shuffle once by source, no global window") {
     // the scale contract of both ops: work parallelizes BY DOMAIN — a
     // window with no partition key would serialize the corpus through one

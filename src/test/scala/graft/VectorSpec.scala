@@ -246,6 +246,68 @@ class VectorSpec extends AnyFunSuite {
     assert(c8 == 8, "default K must remain the fixture pin")
   }
 
+  test("cell assignment: mapPartitions probe is bit-identical to the expression fold at both K regimes") {
+    // r12 verdict task 3: the production-K probe behind withCellAssigned
+    // must reproduce the expression fold's argmax EXACTLY — same dots,
+    // same round-6, same (ccos desc, cell asc) ties — at the fixture K
+    // (where the dispatcher picks the expression) and at a K past
+    // CellAssignExprMaxK (where it must pick the probe).
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+    // regime 1: fixture K=8 — force the probe, compare corpus-wide
+    val cents8 = VectorQueries.quantizerRows(spark, sf)
+    val viaExpr = e.select(col("vec_id"),
+      VectorQueries.cellAssignCol(col("embedding"), cents8).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProbe = VectorQueries.cellAssignProbe(e, "embedding", "cell", cents8)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProbe == viaExpr, {
+      val diff = viaProbe.collect { case (k, v) if viaExpr(k) != v => (k, v, viaExpr(k)) }
+      s"probe diverges from expression at K=8: ${diff.take(5)}"
+    })
+    assert(viaExpr.nonEmpty)
+
+    // regime 2: K=300 > CellAssignExprMaxK — synthetic centroids from the
+    // fixture's own vectors (rounded like quantizer state); the dispatcher
+    // must pick the probe (plan shows the object boundary), and the probe
+    // must still equal the expression fold run at the same K
+    assert(VectorQueries.CellAssignExprMaxK < 300)
+    val cents300: Seq[(Long, Seq[Double])] = e.orderBy("vec_id").limit(300)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i.toLong -> r.getSeq[Float](1).map(f =>
+          math.rint(f.toDouble * 1e6) / 1e6).toSeq
+      }.toSeq
+    val dispatched = VectorQueries.withCellAssigned(e, "embedding", "cell", cents300)
+    val dp = dispatched.queryExecution.executedPlan.toString
+    assert(dp.contains("MapPartitions"),
+      s"withCellAssigned at K=300 must dispatch to the probe:\n$dp")
+    val got = dispatched.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = e.select(col("vec_id"),
+      VectorQueries.cellAssignCol(col("embedding"), cents300).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, {
+      val diff = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+      s"probe diverges from expression at K=300: ${diff.take(5)}"
+    })
+    // a vector that IS centroid 0 must land in cell 0 through the probe
+    assert(got.nonEmpty && got.values.exists(_ == 0L))
+
+    // null embedding: both forms assign the accumulator seed -1
+    import spark.implicits._
+    val withNull = Seq((9999L, null: Array[Float])).toDF("vec_id", "embedding")
+    val exprNull = withNull.select(
+      VectorQueries.cellAssignCol(col("embedding"), cents8).as("cell"))
+      .collect().head.getLong(0)
+    val probeNull = VectorQueries
+      .cellAssignProbe(withNull, "embedding", "cell", cents8)
+      .select("cell").collect().head.getLong(0)
+    assert(exprNull == -1L && probeNull == -1L,
+      s"null embedding: expr=$exprNull probe=$probeNull (want -1/-1)")
+  }
+
   test("quantizer training is bounded: a corpus past the target trains on the md5-slice sample") {
     // threshold arithmetic — the exact integers the oracle recomputes
     assert(VectorQueries.trainSampleThresholdFor(500).isEmpty,
