@@ -1,0 +1,32 @@
+package graft
+
+/** Sibling-JVM entry for SnapshotSpec's two-process commit race: a real
+  * second process (not a thread — FileChannel locks are per-JVM, so only a
+  * separate process exercises the cross-process lock) builds the given
+  * (dir, name) snapshot with an artificial delay that widens the
+  * build-and-commit window until the two racers overlap, then reports
+  * "mode,count" through its result file. The parent spec launches two of
+  * these on the SAME cold key and asserts both commit safely. */
+object SnapRaceMain {
+  def main(args: Array[String]): Unit = {
+    val Array(fixtureDir, name, out) = args.take(3)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName(s"snap-race-$name")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val df = graft.plans.Snapshot.checkpointed(spark, fixtureDir, name) {
+        Thread.sleep(1500)
+        spark.range(0, 50).toDF("id")
+      }
+      val n = df.count()
+      val mode = graft.plans.Snapshot.lastOutcomes
+        .find(_._1 == name).map(_._2).getOrElse("?")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        s"$mode,$n".getBytes("UTF-8"))
+    } finally spark.stop()
+  }
+}

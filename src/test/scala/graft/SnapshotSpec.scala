@@ -69,6 +69,106 @@ class SnapshotSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(marker), "rebuild must restore the marker")
   }
 
+  test("two real JVMs racing the same cold key: both commit safely, one consistent snapshot survives") {
+    // r12 verdict task 5: the adversarial cross-process case the file
+    // lock exists for. Threads cannot stand in for processes here —
+    // FileChannel.lock throws OverlappingFileLockException within one
+    // JVM — so this launches two actual sibling JVMs (the forked test
+    // JVM's own classpath and --add-opens) against the SAME cold
+    // (name, stamp) key, builds overlapping via SnapRaceMain's widened
+    // build window, and asserts: both exit clean, both read the full
+    // table, and exactly one marker-complete snapshot dir remains.
+    val d = fixtureDir()
+    val name = s"race${System.nanoTime()}" // unique => cold by construction
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter(_.startsWith("--add-opens"))
+        .flatMap(a => a.split("=", 2) match {
+          case Array(k, v) if k == "--add-opens" => Seq("--add-opens", v)
+          case _ => Seq(a) // already split form not expected, pass through
+        }).toSeq
+    }
+    def launch(tag: String): (Process, java.nio.file.Path) = {
+      val out = java.nio.file.Files.createTempFile(s"snap-race-$tag", ".txt")
+      java.nio.file.Files.delete(out)
+      val cmd = Seq(javaBin) ++ addOpens ++
+        Seq("-Xmx2g", "-cp", cp, "graft.SnapRaceMain", d.toString, name,
+          out.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(new java.io.File(sys.props("user.dir")))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(java.nio.file.Files
+        .createTempFile(s"snap-race-$tag", ".log").toFile)
+      (pb.start(), out)
+    }
+    val (p1, o1) = launch("a")
+    val (p2, o2) = launch("b")
+    assert(p1.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "racing siblings must terminate")
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0,
+      s"racing siblings must exit clean, got ${p1.exitValue()}/${p2.exitValue()}")
+    def result(o: java.nio.file.Path): (String, Long) = {
+      val Array(m, n) = new String(
+        java.nio.file.Files.readAllBytes(o), "UTF-8").trim.split(",")
+      (m, n.toLong)
+    }
+    val (m1, n1) = result(o1)
+    val (m2, n2) = result(o2)
+    assert(n1 == 50 && n2 == 50, s"both racers must read the full table: $n1/$n2")
+    assert(Set("built", "reused")((m1)) && Set("built", "reused")(m2),
+      s"unexpected outcome modes $m1/$m2")
+    // exactly one marker-complete snapshot dir for the key, readable here
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
+    val dirs = Option(root.toFile.listFiles()).get
+      .filter(_.getName.startsWith(s"$name-")).toSeq
+    assert(dirs.size == 1, s"one snapshot dir must survive, got ${dirs.map(_.getName)}")
+    assert(java.nio.file.Files.exists(dirs.head.toPath.resolve("_GRAFT_OK")),
+      "the surviving snapshot must be marker-complete")
+    assert(spark.read.parquet(dirs.head.toString).count() == 50)
+    // and no orphaned .tmp- leftovers for this key linger as garbage
+    val tmps = Option(root.toFile.listFiles()).get
+      .filter(_.getName.startsWith(s".tmp-$name-")).toSeq
+    assert(tmps.isEmpty, s"loser's temp dir must be discarded, got ${tmps.map(_.getName)}")
+  }
+
+  test("same-JVM consumer calls refresh the snapshot's age (the long-lived-reader keep-alive)") {
+    // r12 advice: a long-lived JVM that resolved a snapshot over an hour
+    // ago and still lazily reads it must not have the parquet evicted
+    // underneath by a sibling's rebuild. Every checkpointed() call
+    // re-touches the live dir, so only a genuinely idle snapshot ages
+    // toward the eviction horizon.
+    val d = fixtureDir()
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "graft-ckpt-shared")
+    def stampDirs() = Option(root.toFile.listFiles()).get
+      .filter(_.getName.startsWith("snapspec-"))
+      .filter(_.getName.contains(Snapshot.md5Hex(d.toString))).toSeq
+    val snap = stampDirs().head
+    // simulate an hour of mid-session idling since resolution
+    assert(snap.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // the long-lived reader touches the base again (promise-hit path, no
+    // rebuild) — the keep-alive must refresh the dir's age
+    val builtBefore = builds
+    assert(build(d.toString).count() == 10)
+    assert(builds == builtBefore, "promise-hit path must not rebuild")
+    assert(snap.lastModified() > System.currentTimeMillis() - 10L * 60 * 1000,
+      "consumer call must refresh the live snapshot's mtime")
+    // a sibling's rebuild (fixture changed => new stamp) now runs its
+    // eviction sweep: the refreshed old stamp must survive it
+    java.nio.file.Files.write(d.resolve("extra.txt"), "x".getBytes("UTF-8"))
+    Snapshot.resetForTest()
+    assert(build(d.toString).count() == 10)
+    assert(stampDirs().map(_.getName).contains(snap.getName),
+      "an actively-read old stamp must survive the sibling's eviction sweep")
+  }
+
   test("rebuild evicts AGED stale stamps only (young ones may have live readers)") {
     val d = fixtureDir()
     Snapshot.resetForTest()
