@@ -38,9 +38,25 @@ object CorpusCompaction {
 
   /** The post-compaction artifacts plus a one-row audit of every kill
     * tier (the conservation identity n_arrivals = killed + appended is
-    * checkable from the row alone). */
+    * checkable from the row alone). `appended`/`newFingerprints`/
+    * `newBands` are the survivor DELTAS — what an incremental loop
+    * appends to its artifact tables (the full unions are for consumers
+    * that want the post-state as one frame).
+    *
+    * APPEND-BACK DISCIPLINE (r13, found by the front-door soak): a loop
+    * that appends these deltas into the same directories `compact`'s
+    * inputs were read from must SNAPSHOT each delta first
+    * (`localCheckpoint(true)`, or a staging write) BEFORE the first
+    * append. Spark's file-commit path refreshes every cached plan that
+    * reads the written directory (`refreshByPath`), which recomputes the
+    * pinned survivor tier against the HALF-APPENDED state — after the
+    * fingerprint append lands, a recomputed survivor set sees its own
+    * docs in the corpus fp table and goes empty, so the band delta
+    * appends nothing and the band gate silently never learns the batch.
+    * EventStreamSpec's soak pins the staged order end to end. */
   case class Compacted(corpus: DataFrame, fingerprints: DataFrame,
       bands: DataFrame, audit: DataFrame,
+      appended: DataFrame, newFingerprints: DataFrame, newBands: DataFrame,
       pinnedBases: Seq[DataFrame] = Nil) {
     /** Drop the survivor pin backing the returned unions. Call once the
       * artifacts are materialized (written, or superseded by the next
@@ -120,6 +136,7 @@ object CorpusCompaction {
       corpusFps.select("doc_id", "fp").unionByName(newFps),
       corpusBands.select("doc_id", "band", "bkey").unionByName(newBands),
       audit,
+      appended, newFps, newBands,
       pinnedBases = Seq(survivors))
   }
 }

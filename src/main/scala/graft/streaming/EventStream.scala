@@ -313,6 +313,32 @@ object EventStream {
       merges: Seq[(Int, String, String, Long)],
       bucketWeights: Array[Long])
 
+  /** Production refresh hook for the stream-static gate artifacts: a
+    * PATH-backed static DataFrame caches its file listing at resolution
+    * (InMemoryFileIndex), so a running stream-static join keeps probing
+    * the old file set even after a compaction fold appends new artifact
+    * files to the same directory. Calling this between micro-batches
+    * invalidates the listing (`FileIndex.refresh`) on every file relation
+    * under the given frames — the REFRESH TABLE analogue for
+    * path-defined artifacts; the next micro-batch re-lists and the fold
+    * is live without restarting the query. A table-format deployment
+    * (catalog parquet + REFRESH TABLE, or Delta/Iceberg whose snapshots
+    * refresh per scan) gets the same effect without the hook — this
+    * exists so the plain-directory topology the specs and local runs use
+    * has the same live-fold semantics. EventStreamSpec's soak pins it:
+    * N micro-batches with interleaved [[graft.pipeline.CorpusCompaction]]
+    * folds, each picked up by the next batch. */
+  def refreshStaticArtifacts(dfs: DataFrame*): Unit =
+    dfs.foreach(_.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.refresh()
+          case _ => ()
+        }
+      case _ => ()
+    })
+
   /** The one-call ingest FRONT DOOR: the full stateless ingest topology
     * composed in its production order — gates first (cheapest kill
     * earliest), annotators after (never price a doc that dies):
