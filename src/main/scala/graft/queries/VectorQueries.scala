@@ -952,6 +952,89 @@ object VectorQueries {
       .orderBy("qid")
   }
 
+  /** One index-maintenance pass's verdict: the measured drift signals and
+    * whether they tripped a retrain. `minRecallMicro` is None when the
+    * recall audit was disabled (floor 0). */
+  case class DriftReport(hotCells: Long, deadCells: Long,
+      minRecallMicro: Option[Long], retrained: Boolean)
+
+  /** Drop every trained-model memo for `dir` (coarse quantizer at every
+    * (cells, sampleTarget) key, PQ codebooks) so the next consumer
+    * retrains over the corpus as it stands. The spec hook behind
+    * [[retrainIfDrifted]]'s retrain path. */
+  private[graft] def evictTrained(dir: String): Unit = {
+    quantizers.synchronized {
+      quantizers.keys.filter(_._1 == dir).toList
+        .foreach(quantizers.remove)
+    }
+    pqCodebooks.synchronized(pqCodebooks.remove(dir))
+  }
+
+  /** The index-maintenance loop v16/v17 exist to feed — measure drift,
+    * retrain when a monitor trips:
+    *
+    *   1. re-list the corpus (a compaction loop APPENDS embedding files;
+    *      the memoized reader pins its listing at first read, so a
+    *      maintenance pass must observe the corpus as it stands);
+    *   2. v16 cell balance → hot-cell and dead-cell counts;
+    *   3. v17 recall audit → min per-query recall@5 (only when
+    *      `recallFloorMicro` > 0 — the audit costs an exhaustive top-k
+    *      pass, so deployments choose whether to pay it per cycle);
+    *   4. any monitor past its threshold ⇒ evict the memoized
+    *      quantizer + PQ codebooks for `dir` and retrain eagerly, so
+    *      every later consumer (v4/v6/v8/v11/v12, [[corpusCellIndex]],
+    *      the streaming semantic gate's next deployment) probes the
+    *      fresh quantizer.
+    *
+    * Thresholds are exact micro-units like the monitors themselves;
+    * defaults trip on ANY hot cell and never on dead cells or recall.
+    * Retraining is the same deterministic bounded-sample Lloyd chain as
+    * cold training — at 100 TB a maintenance pass costs one assignment
+    * scan (v16) plus the ~[[TrainSampleTarget]]-vector retrain, and the
+    * report is quantizer-sized. A point-mass arrival heavier than the
+    * hot bar stays hot even under a fresh quantizer (that is a data
+    * property, not drift) — the loop converges by measuring the
+    * RETRAINED state on the next cycle and holding thresholds, not by
+    * retraining forever: pass the previous report's counts as the new
+    * thresholds to trip only on regression. */
+  def retrainIfDrifted(spark: SparkSession, dir: String,
+      maxHotCells: Long = 0L,
+      maxDeadCells: Long = Long.MaxValue,
+      recallFloorMicro: Long = 0L): DriftReport = {
+    graft.plans.Tables.invalidate(s"$dir/embeddings.parquet")
+    val bal = v16CellBalance(spark, dir)
+      .agg(sum(col("hot")).as("hot"),
+        sum(when(col("n_vecs") === 0L, 1L).otherwise(0L)).as("dead"))
+      .collect()(0)
+    val (hot, dead) = (bal.getLong(0), bal.getLong(1))
+    val minRecall =
+      if (recallFloorMicro <= 0L) None
+      else Some(v17RecallAudit(spark, dir)
+        .agg(min(col("recall_micro")).as("mr")).collect()(0).getLong(0))
+    val drifted = hot > maxHotCells || dead > maxDeadCells ||
+      minRecall.exists(_ < recallFloorMicro)
+    if (drifted) {
+      evictTrained(dir)
+      quantizerRows(spark, dir) // retrain now, not at the next probe
+    }
+    DriftReport(hot, dead, minRecall, retrained = drifted)
+  }
+
+  /** x_drift_report — the maintenance pass's monitor summary as ONE
+    * oracled row: hot/dead cell counts from v16's balance report and the
+    * min per-query recall from v17's audit — exactly the numbers
+    * [[retrainIfDrifted]] thresholds against, surfaced as a query so the
+    * trigger's inputs are themselves hash-gated (and dashboard-able
+    * without re-deriving either monitor). Plan shape: both sides are
+    * quantizer-/sample-sized aggregates over the already-scale-shaped
+    * monitors, crossed as 1-row broadcasts — nothing corpus-sized moves. */
+  def xDriftReport(spark: SparkSession, dir: String): DataFrame =
+    v16CellBalance(spark, dir)
+      .agg(sum(col("hot")).as("n_hot"),
+        sum(when(col("n_vecs") === 0L, 1L).otherwise(0L)).as("n_dead"))
+      .crossJoin(broadcast(v17RecallAudit(spark, dir)
+        .agg(min(col("recall_micro")).as("min_recall_micro"))))
+
   /** v9's Hamming radius: at 24/64 bits the prefilter passes ~3% of the
     * corpus (measured at every fixture SF) and keeps recall@5 = 0.6
     * against the exact top-5 — 3x v3's single sign-bucket (0.20) for the
@@ -1150,6 +1233,7 @@ object VectorQueries {
     "v15_ivfpq_ann" -> v15IvfPqAnn,
     "v16_cell_balance" -> v16CellBalance,
     "v17_recall_audit" -> v17RecallAudit,
+    "x_drift_report" -> xDriftReport,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_label_centroid" -> v2LabelCentroid,
     "v3_bucketed_ann" -> v3BucketedAnn,
@@ -1642,23 +1726,35 @@ object VectorQueries {
        |ORDER BY cell""".stripMargin
   }
 
+  /** v17's oracle — hoisted so the drift-report oracle composes it. */
+  private def recallAuditOracle: String =
+    s"""WITH exact5 AS (SELECT qid, vid FROM ($v1Oracle) WHERE rk <= 5),
+       |approx5 AS (SELECT qid, vid FROM (${ivfOracle(nprobe = 1)})),
+       |hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |         FROM exact5 e JOIN approx5 a ON e.qid = a.qid AND e.vid = a.vid
+       |         GROUP BY e.qid),
+       |ex AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |       FROM exact5 GROUP BY qid)
+       |SELECT ex.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000)
+       |         // ex.n_exact AS recall_micro
+       |FROM ex LEFT JOIN hits h ON ex.qid = h.qid
+       |ORDER BY ex.qid""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x_vcompact_audit" -> vcompactOracle,
     "v15_ivfpq_ann" -> ivfPqOracle,
     "v16_cell_balance" -> cellBalanceOracle,
-    "v17_recall_audit" ->
-      s"""WITH exact5 AS (SELECT qid, vid FROM ($v1Oracle) WHERE rk <= 5),
-         |approx5 AS (SELECT qid, vid FROM (${ivfOracle(nprobe = 1)})),
-         |hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
-         |         FROM exact5 e JOIN approx5 a ON e.qid = a.qid AND e.vid = a.vid
-         |         GROUP BY e.qid),
-         |ex AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
-         |       FROM exact5 GROUP BY qid)
-         |SELECT ex.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |       (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000)
-         |         // ex.n_exact AS recall_micro
-         |FROM ex LEFT JOIN hits h ON ex.qid = h.qid
-         |ORDER BY ex.qid""".stripMargin,
+    "v17_recall_audit" -> recallAuditOracle,
+    "x_drift_report" ->
+      s"""WITH bal AS ($cellBalanceOracle),
+         |rec AS ($recallAuditOracle)
+         |SELECT b.n_hot, b.n_dead, r.min_recall_micro
+         |FROM (SELECT CAST(SUM(hot) AS BIGINT) AS n_hot,
+         |             CAST(SUM(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_dead FROM bal) b
+         |CROSS JOIN (SELECT CAST(MIN(recall_micro) AS BIGINT)
+         |              AS min_recall_micro FROM rec) r""".stripMargin,
     "v11_prototype_prune" -> protoPruneOracle,
     "v12_balanced_sample" -> balancedSampleOracle,
     "v13_filtered_ann" -> filteredAnnOracle,

@@ -448,4 +448,66 @@ class VectorSpec extends AnyFunSuite {
     // the training side never includes the benchmark slice itself
     assert(rows.forall(_.getLong(0) >= 10L))
   }
+
+  test("retrainIfDrifted: no monitor tripped leaves the quantizer untouched") {
+    val before = VectorQueries.quantizerRows(spark, sf)
+    val r = VectorQueries.retrainIfDrifted(spark, sf,
+      maxHotCells = Long.MaxValue, maxDeadCells = Long.MaxValue,
+      recallFloorMicro = 0L)
+    assert(!r.retrained)
+    assert(r.minRecallMicro.isEmpty, "floor 0 must skip the recall audit")
+    // the memoized quantizer is the SAME instance — no silent retrain
+    assert(VectorQueries.quantizerRows(spark, sf).asInstanceOf[AnyRef]
+      eq before.asInstanceOf[AnyRef])
+  }
+
+  test("retrainIfDrifted: recall floor trips eviction; deterministic retrain reproduces the quantizer") {
+    val before = VectorQueries.quantizerRows(spark, sf)
+    // an unsatisfiable floor (recall_micro <= 1000000 by construction)
+    // forces the retrain path on the immutable fixture: the monitors must
+    // report, the memo must be evicted, and the deterministic Lloyd chain
+    // must reproduce the identical centroids in a FRESH memo entry
+    val r = VectorQueries.retrainIfDrifted(spark, sf,
+      maxHotCells = Long.MaxValue, recallFloorMicro = 1000001L)
+    assert(r.retrained)
+    assert(r.minRecallMicro.exists(m => m >= 0L && m <= 1000000L), s"$r")
+    val after = VectorQueries.quantizerRows(spark, sf)
+    assert(after.asInstanceOf[AnyRef] ne before.asInstanceOf[AnyRef],
+      "retrain must evict the memo, not serve the old instance")
+    assert(after == before,
+      "training is deterministic: same corpus => same centroids")
+  }
+
+  test("retrainIfDrifted: corpus growth makes a hot cell, trips retrain, loop reaches a fixed point") {
+    import spark.implicits._
+    // a corpus dir the test owns: seed with the fixture, train, then
+    // APPEND a point mass (the compaction-loop growth shape) so the
+    // stale quantizer's cell balance drifts hot
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val embDir = s"$dir/embeddings.parquet"
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    base.write.parquet(embDir)
+    val stale = VectorQueries.quantizerRows(spark, dir) // trains on the seed
+    val proto = base.filter(col("vec_id") === 42L)
+      .select(col("embedding"), col("label"))
+    spark.range(100000, 100600).toDF("vec_id").crossJoin(proto)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.mode("append").parquet(embDir)
+    // the maintenance pass re-lists, measures with the STALE quantizer,
+    // trips on the mass cell (~55% share >> the 25% hot bar), retrains
+    val r1 = VectorQueries.retrainIfDrifted(spark, dir, maxHotCells = 0L)
+    assert(r1.retrained && r1.hotCells >= 1L, s"$r1")
+    val fresh = VectorQueries.quantizerRows(spark, dir)
+    assert(fresh != stale,
+      "retraining on the grown corpus must move the centroids")
+    // convergence: a point mass is legitimately hot under ANY quantizer
+    // (a data property, not drift) — holding the threshold at the
+    // retrained state's own count, the next cycle does NOT retrain again
+    val h2 = VectorQueries.v16CellBalance(spark, dir)
+      .agg(sum(col("hot"))).collect()(0).getLong(0)
+    val r2 = VectorQueries.retrainIfDrifted(spark, dir, maxHotCells = h2)
+    assert(!r2.retrained && r2.hotCells == h2, s"$r2 vs hot=$h2")
+    assert(VectorQueries.quantizerRows(spark, dir).asInstanceOf[AnyRef]
+      eq fresh.asInstanceOf[AnyRef])
+  }
 }
