@@ -30,8 +30,15 @@ import graft.queries.VectorQueries
   * (the t19/t20 redeploy discipline). */
 object VectorCompaction {
 
+  /** `appended` is the survivor DELTA — what an incremental loop appends
+    * to its index table (the full union is for consumers that want the
+    * post-state as one frame). The [[CorpusCompaction.Compacted]]
+    * append-back discipline applies: a loop appending the delta into the
+    * directory `index` was read from must SNAPSHOT it first
+    * (`localCheckpoint(true)`), since the file commit refreshes cached
+    * plans reading that dir. */
   case class Compacted(index: DataFrame, audit: DataFrame,
-      pinnedBases: Seq[DataFrame] = Nil) {
+      appended: DataFrame, pinnedBases: Seq[DataFrame] = Nil) {
     /** Drop the survivor pin backing the returned index union — the
       * CorpusCompaction.Compacted.release contract. */
     def release(): Unit = pinnedBases.foreach(_.unpersist(blocking = false))
@@ -79,10 +86,12 @@ object VectorCompaction {
           .map(f => org.apache.spark.sql.types.StructField(f,
             org.apache.spark.sql.types.LongType, nullable = false))))
 
+    val delta = survivors.select("vec_id", "embedding", "cell", "nrm")
     Compacted(
       index.select("vec_id", "embedding", "cell", "nrm")
-        .unionByName(survivors.select("vec_id", "embedding", "cell", "nrm")),
+        .unionByName(delta),
       audit,
+      appended = delta,
       pinnedBases = Seq(survivors))
   }
 }

@@ -682,6 +682,82 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vector soak: semantic-gate index folds between micro-batches are picked up live, state stays zero") {
+    // the vector twin of the front-door soak: a RUNNING semanticGateAtIngest
+    // query over N micro-batches with a VectorCompaction fold after each,
+    // the cell index living as a parquet DIR the fold appends to. Round r
+    // re-feeds round r-1's accepted vector as an exact re-arrival (cosine
+    // 1.0 to the folded index row — must die at the gate, proving the fold
+    // went live without a restart) while round r's own novelty survives.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.VectorQueries
+    implicit val sq = spark.sqlContext
+    val cents = VectorQueries.quantizerRows(spark, sf)
+    val baseAll = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    // JVM twin of the gate's cosine (the semgate-test discipline) for the
+    // fixture preconditions below
+    def pdF(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      r6(pdF(a, b) / (math.sqrt(pdF(a, a)) * math.sqrt(pdF(b, b))))
+    val seedIds = (0L until 50L).toSet
+    val novelSrc = Seq(100L, 200L, 300L)
+    // preconditions: each novelty is novel vs the seed index AND vs the
+    // other novelties (so only the deliberate re-arrivals can die)
+    for (n <- novelSrc; s <- seedIds)
+      assert(cos(baseAll(n), baseAll(s)) < 0.999, s"novel $n collides seed $s")
+    for (Seq(a, b) <- novelSrc.combinations(2))
+      assert(cos(baseAll(a), baseAll(b)) < 0.999, s"novels $a/$b collide")
+    val indexDir =
+      s"${java.nio.file.Files.createTempDirectory("graft-vsoak")}/index"
+    VectorQueries.withCellAssigned(
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")),
+        "embedding", "cell", cents)
+      .withColumn("nrm", VectorQueries.norm(col("embedding")))
+      .write.parquet(indexDir)
+    val idx = spark.read.parquet(indexDir)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val df = ms.toDF().toDF("vec_id", "embedding")
+    val q = EventStream.semanticGateAtIngest(df, idx, cents)
+      .writeStream.format("memory").queryName("vsoak")
+      .outputMode("append").start()
+    try {
+      var expected = Set.empty[Long]
+      for (r <- novelSrc.indices) {
+        val rb = 9100000L + r * 1000L
+        val feed = Seq(rb + 1 -> baseAll(novelSrc(r))) ++ (if (r == 0) Nil
+          else Seq(rb + 2 -> baseAll(novelSrc(r - 1)))) // exact re-arrival
+        ms.addData(feed: _*)
+        q.processAllAvailable()
+        expected += rb + 1
+        val got = spark.table("vsoak").select("vec_id").collect()
+          .map(_.getLong(0)).toSet
+        assert(got == expected,
+          s"round $r: survivors $got != $expected — a re-arrival slipped " +
+            "the gate, so the previous fold was NOT live")
+        assert(q.lastProgress.stateOperators.isEmpty,
+          s"round $r: the semantic gate must stay stateless")
+        // the fold: append the accepted arrival's index delta (snapshot
+        // first — the Compacted append-back discipline), then re-list
+        val arrivals = Seq((rb + 1, baseAll(novelSrc(r))))
+          .toDF("vec_id", "embedding")
+        val res = graft.pipeline.VectorCompaction.compact(arrivals,
+          spark.read.parquet(indexDir), cents)
+        assert(res.audit.collect()(0).getLong(3) == 1,
+          s"round $r: the fold must append exactly the accepted vector")
+        val delta = res.appended.localCheckpoint(true)
+        res.release()
+        delta.write.mode("append").parquet(indexDir)
+        EventStream.refreshStaticArtifacts(idx)
+      }
+    } finally q.stop()
+  }
+
   test("frame dedup gate over the avi-frames stream: re-muxed dup contributes zero novel frames") {
     import org.apache.spark.sql.functions.{col, md5}
     import graft.multimodal.MultimodalOps
