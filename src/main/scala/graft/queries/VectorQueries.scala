@@ -532,6 +532,21 @@ object VectorQueries {
       "embedding", "cell", quantizerRows(spark, dir))
       .withColumn("nrm", norm(col("embedding")))
 
+  /** Post-retrain REASSIGNMENT of a materialized cell index — the
+    * one-batch-pass redeploy [[graft.pipeline.VectorCompaction]]'s
+    * scaladoc names: after [[retrainIfDrifted]] replaces the quantizer, a
+    * cell-bucketed index TABLE (the soak/production topology, grown by
+    * appends) still carries assignments computed under the stale
+    * centroids; this recomputes `cell` for every indexed row under the
+    * fresh ones — per-row norms and every other column ride along
+    * unchanged (norms are quantizer-independent). One scan + project via
+    * [[withCellAssigned]] (expression or broadcast-matrix probe by K), no
+    * shuffle; at 100 TB the rewrite lands as the new bucketed table and
+    * readers swap over atomically. */
+  def reassignIndex(index: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    withCellAssigned(index.drop("cell"), "embedding", "cell", cents)
+
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
@@ -984,7 +999,8 @@ object VectorQueries {
     *      quantizer + PQ codebooks for `dir` and retrain eagerly, so
     *      every later consumer (v4/v6/v8/v11/v12, [[corpusCellIndex]],
     *      the streaming semantic gate's next deployment) probes the
-    *      fresh quantizer.
+    *      fresh quantizer; a MATERIALIZED index table redeploys its
+    *      stale assignments in one batch pass via [[reassignIndex]].
     *
     * Thresholds are exact micro-units like the monitors themselves;
     * defaults trip on ANY hot cell and never on dead cells or recall.

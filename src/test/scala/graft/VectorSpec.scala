@@ -478,6 +478,30 @@ class VectorSpec extends AnyFunSuite {
       "training is deterministic: same corpus => same centroids")
   }
 
+  test("reassignIndex: identity under the same quantizer, equals a fresh build under a new one") {
+    import org.apache.spark.sql.functions.col
+    val idx = VectorQueries.corpusCellIndex(spark, sf)
+    val cents = VectorQueries.quantizerRows(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("nrm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // same quantizer => reassignment is the identity (bit-level: same
+    // argmax arithmetic over the same centroids)
+    assert(rows(VectorQueries.reassignIndex(idx, cents)) == rows(idx))
+    // a RETRAINED quantizer at a different K: reassignment of the stale
+    // index equals building the index fresh under the new quantizer —
+    // the post-retrain redeploy contract (norms ride along unchanged)
+    val fresh = VectorQueries.quantizerRows(spark, sf, cells = 16)
+    val re = VectorQueries.reassignIndex(idx, fresh)
+    val scratch = VectorQueries.withCellAssigned(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      "embedding", "cell", fresh)
+      .withColumn("nrm", VectorQueries.norm(col("embedding")))
+    assert(rows(re) == rows(scratch))
+  }
+
   test("retrainIfDrifted: corpus growth makes a hot cell, trips retrain, loop reaches a fixed point") {
     import spark.implicits._
     // a corpus dir the test owns: seed with the fixture, train, then
