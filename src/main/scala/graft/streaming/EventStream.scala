@@ -365,6 +365,42 @@ object EventStream {
       art.bucketWeights)
   }
 
+  /** [[ingestFrontDoor]] with the per-domain budget gate in its
+    * production position: gates → DOMAIN CAP → annotators. The ordering
+    * is the whole point of the composition —
+    *   - a doc that dies at quality or dedup must NOT consume its
+    *     domain's budget (the cap meters ACCEPTED contribution, batch
+    *     t29's cap-the-keeps semantics — a spam host cannot starve its
+    *     own good documents by flooding junk);
+    *   - a doc the cap kills is never priced by the annotators (the
+    *     front door's never-price-a-dying-doc rule extended to the
+    *     budget tier).
+    * The arrival schema is pinned to (doc_id, source, text): the cap is
+    * a typed transformWithState leg and its row type carries exactly
+    * what the annotators consume. It is the topology's ONE stateful leg
+    * — one TTL'd Long per source, first-arrived-first-kept within the
+    * horizon ([[domainCapAtIngestTws]]'s documented online semantics) —
+    * everything before and after stays stateless. Requires the RocksDB
+    * state store provider (the transformWithState contract). */
+  def ingestFrontDoorCapped(docs: DataFrame, art: IngestArtifacts,
+      cap: Long,
+      ttl: java.time.Duration = java.time.Duration.ofDays(7)): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gated = nearDupGateAtIngest(
+      dedupAgainstCorpus(filterQualityAtIngest(docs), art.corpusFps),
+      art.corpusBands)
+    val capped = gated
+      .select(col("doc_id"), col("source"), col("text")).as[CapTextDoc]
+      .groupByKey(_.source)
+      .transformWithState(new DomainCapTextProcessor(cap, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF()
+    scoreImportanceAtIngest(
+      encodeAtIngest(
+        scoreQualityAtIngest(capped, art.model), art.merges),
+      art.bucketWeights)
+  }
+
   /** Streaming FRAME-level media dedup at ingest — the multimodal leg of
     * the ingest-dedup topology, composing directly with the `avi-frames`
     * streaming source: frames tail the landing zone through the
@@ -425,17 +461,41 @@ object EventStream {
     * demand and never exceeds room+1 live entries. Returned ascending.
     * ONE definition serving both state-API forms of the gate, so their
     * selection semantics cannot drift. */
-  private def smallestByDocId(it: Iterator[CapDoc], room: Int): Array[CapDoc] = {
-    val heap = new java.util.PriorityQueue[CapDoc](
-      math.min(room, 1024), Ordering.by[CapDoc, Long](-_.doc_id))
+  private def smallestBy[T](it: Iterator[T], room: Int, id: T => Long)(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val heap = new java.util.PriorityQueue[T](
+      math.min(room, 1024), Ordering.by[T, Long](t => -id(t)))
     it.foreach { d =>
       if (heap.size < room) heap.add(d)
-      else if (d.doc_id < heap.peek().doc_id) { heap.poll(); heap.add(d) }
+      else if (id(d) < id(heap.peek())) { heap.poll(); heap.add(d) }
     }
-    val take = new Array[CapDoc](heap.size)
+    val take = new Array[T](heap.size)
     var i = take.length - 1
     while (i >= 0) { take(i) = heap.poll(); i -= 1 } // ascending
     take
+  }
+
+  private def smallestByDocId(it: Iterator[CapDoc], room: Int): Array[CapDoc] =
+    smallestBy(it, room, (_: CapDoc).doc_id)
+
+  /** One budget decision against a TTL'd ledger — the shared body of both
+    * transformWithState cap processors, so the row type the cap carries
+    * (bare [[CapDoc]], or [[CapTextDoc]] inside the composed front door)
+    * cannot change its selection or update semantics. NOTE the ledger is
+    * updated only when something is taken: an exhausted-but-hot source
+    * does not refresh its TTL, which is exactly the aging contract — the
+    * horizon runs from the last ACCEPTED contribution. */
+  private def capTake[T](cap: Long, state: ValueState[CapLedger],
+      it: Iterator[T], id: T => Long)(
+      implicit ct: scala.reflect.ClassTag[T]): Iterator[T] = {
+    val have = if (state.exists()) state.get().n else 0L
+    val room = math.min((cap - have).max(0L), Int.MaxValue.toLong).toInt
+    if (room == 0) { it.foreach(_ => ()); Iterator.empty }
+    else {
+      val take = smallestBy(it, room, id)
+      state.update(CapLedger(have + take.length))
+      take.iterator
+    }
   }
 
   def domainCapAtIngest(docs: Dataset[CapDoc], cap: Long): Dataset[CapDoc] = {
@@ -482,16 +542,28 @@ object EventStream {
       state = getHandle.getValueState[CapLedger]("budget",
         org.apache.spark.sql.Encoders.product[CapLedger], TTLConfig(ttl))
     override def handleInputRows(src: String, it: Iterator[CapDoc],
-        timers: TimerValues): Iterator[CapDoc] = {
-      val have = if (state.exists()) state.get().n else 0L
-      val room = math.min((cap - have).max(0L), Int.MaxValue.toLong).toInt
-      if (room == 0) { it.foreach(_ => ()); Iterator.empty }
-      else {
-        val take = smallestByDocId(it, room)
-        state.update(CapLedger(have + take.length))
-        take.iterator
-      }
-    }
+        timers: TimerValues): Iterator[CapDoc] =
+      capTake(cap, state, it, (_: CapDoc).doc_id)
+  }
+
+  /** A capped document WITH its payload — what the budget gate carries
+    * when it sits inside the composed front door ([[ingestFrontDoorCapped]]):
+    * the annotators downstream need the text, and survivors of a
+    * transformWithState leg are exactly its output rows, so the row type
+    * must carry every column the rest of the topology consumes. */
+  case class CapTextDoc(doc_id: Long, source: String, text: String)
+
+  /** [[DomainCapProcessor]] for payload-carrying rows — same ledger, same
+    * [[capTake]] decision (shared body, so the two cannot drift). */
+  class DomainCapTextProcessor(cap: Long, ttl: java.time.Duration)
+      extends StatefulProcessor[String, CapTextDoc, CapTextDoc] {
+    @transient private var state: ValueState[CapLedger] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CapLedger]("budget",
+        org.apache.spark.sql.Encoders.product[CapLedger], TTLConfig(ttl))
+    override def handleInputRows(src: String, it: Iterator[CapTextDoc],
+        timers: TimerValues): Iterator[CapTextDoc] =
+      capTake(cap, state, it, (_: CapTextDoc).doc_id)
   }
 
   def domainCapAtIngestTws(docs: Dataset[CapDoc], cap: Long,

@@ -682,6 +682,113 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("capped front door: gate-dead docs never consume budget, capped docs are never priced, budget binds across batches") {
+    // the composed production ingest: gates -> DOMAIN CAP -> annotators
+    // (ingestFrontDoorCapped). The ordering is what's under test:
+    //   - srcA feeds junk + two novelties with cap=1: the junk dies at
+    //     quality WITHOUT consuming the budget (else nothing from srcA
+    //     could survive), the smaller-id novelty takes the one slot, the
+    //     other dies at the cap unpriced;
+    //   - srcB feeds a corpus exact-dup before its novelty: the dedup
+    //     death does not consume srcB's budget either;
+    //   - a second drain over the same checkpoint: srcA's further novelty
+    //     dies (budget spent CROSS-batch), fresh srcC's survives.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.{MlQueries, TextQueries}
+    implicit val sq = spark.sqlContext
+    val art = EventStream.IngestArtifacts(
+      corpusFps = TextQueries.corpus(spark, sf)
+        .select(graft.ops.Fingerprint.col(col("text")).as("fp")),
+      corpusBands = TextQueries.corpusBandTable(spark, sf),
+      model = MlQueries.fitted(spark, sf),
+      merges = MlQueries.learnedMerges(spark, sf),
+      bucketWeights = TextQueries.dsirBucketWeights(spark, sf))
+    val kept = TextQueries.corpus(spark, sf)
+      .filter(TextQueries.gopherKeepCol(col("text")) === 1L)
+      .orderBy("doc_id").limit(1).collect()(0).getString(1)
+    // five distinct novelties: interleave rewrites of the kept doc (every
+    // 3-gram changed => no corpus band collision, new fingerprint)
+    val novels = Seq("the", "and", "with", "from", "that")
+      .map(w => kept.split("\\s+").mkString(s"$w ", s" $w ", s" $w"))
+    val junk = "!!! ??? $$$ %%% @@@ ###"
+    // precondition: every novelty individually survives all three BATCH
+    // gates (the gate functions are stream/batch agnostic)
+    val pre = EventStream.nearDupGateAtIngest(
+        EventStream.dedupAgainstCorpus(
+          EventStream.filterQualityAtIngest(
+            novels.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+              .toDF("doc_id", "text")),
+          art.corpusFps),
+        art.corpusBands)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre == novels.indices.map(_.toLong).toSet,
+      s"fixture precondition: every novelty must pass the gates, got $pre")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String, String)]
+      val docs = ms.toDF().toDF("doc_id", "source", "text")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-fd-cap").toString
+      val out = scala.collection.mutable.ArrayBuffer[
+        (Long, Map[String, Boolean])]()
+      val annCols = Seq("score_micro", "n_words", "n_pieces",
+        "fertility_micro", "n_tokens", "dsir_units")
+      def drain(): Unit = {
+        // transformWithState in processing-time mode never quiesces under
+        // a continuous trigger — each stage is an AvailableNow query over
+        // ONE shared checkpoint (the domainCapAtIngestTws discipline)
+        val q = EventStream.ingestFrontDoorCapped(docs, art, cap = 1)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.collect().map(r => (r.getAs[Long]("doc_id"),
+              annCols.map(c => c -> !r.isNullAt(r.fieldIndex(c))).toMap))
+            out.synchronized { out ++= rows }
+            ()
+          }
+          .start()
+        q.awaitTermination(180000)
+        q.stop()
+      }
+      // drain 1: srcA junk(1) + novels 2,3 under cap=1; srcB exact-dup(10)
+      // then novelty(11)
+      ms.addData(
+        (8100001L, "srcA", junk),
+        (8100002L, "srcA", novels(0)),
+        (8100003L, "srcA", novels(1)),
+        (8100010L, "srcB", kept),
+        (8100011L, "srcB", novels(2)))
+      drain()
+      assert(out.synchronized(out.map(_._1).sorted.toSeq) ==
+        Seq(8100002L, 8100011L),
+        s"drain 1 survivors ${out.map(_._1)}: the gate-dead arrivals must " +
+          "not consume budget; the cap must bind within srcA")
+      // drain 2, same checkpoint: srcA's budget is spent; srcC is fresh
+      ms.addData(
+        (8100004L, "srcA", novels(3)),
+        (8100020L, "srcC", novels(4)))
+      drain()
+      assert(out.synchronized(out.map(_._1).sorted.toSeq) ==
+        Seq(8100002L, 8100011L, 8100020L),
+        s"drain 2 survivors ${out.map(_._1)}: srcA's budget must bind " +
+          "across batches, fresh srcC must pass")
+      // every survivor left the annotators fully priced
+      for ((id, anns) <- out.synchronized(out.toSeq); (c, ok) <- anns)
+        assert(ok, s"survivor $id annotation $c is null")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("vector soak: semantic-gate index folds between micro-batches are picked up live, state stays zero") {
     // the vector twin of the front-door soak: a RUNNING semanticGateAtIngest
     // query over N micro-batches with a VectorCompaction fold after each,
