@@ -502,6 +502,60 @@ class VectorSpec extends AnyFunSuite {
     assert(rows(re) == rows(scratch))
   }
 
+  test("maintenance invariant: a retrained quantizer with a stale index breaks the semantic gate; reassignIndex restores it") {
+    // THE production failure mode reassignIndex exists to prevent: the
+    // gate assigns arrivals under the DEPLOYED quantizer but probes an
+    // index whose cell column was computed under the REPLACED one — an
+    // exact duplicate of an indexed vector lands in a different cell,
+    // finds no cell-mate, and sails through. Index assignments and the
+    // deployed quantizer must come from the same epoch.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    val embDir = s"$dir/embeddings.parquet"
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    base.write.parquet(embDir)
+    val stale = VectorQueries.quantizerRows(spark, dir)
+    // the index, assigned under the stale quantizer, pinned as a local
+    // snapshot (the materialized-table topology)
+    val idx = VectorQueries.corpusCellIndex(spark, dir).localCheckpoint(true)
+    // grow the corpus with a point mass and let the maintenance pass trip
+    val proto = base.filter(col("vec_id") === 42L)
+      .select(col("embedding"), col("label"))
+    spark.range(200000, 200600).toDF("vec_id").crossJoin(proto)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.mode("append").parquet(embDir)
+    assert(VectorQueries.retrainIfDrifted(spark, dir, maxHotCells = 0L).retrained)
+    val fresh = VectorQueries.quantizerRows(spark, dir)
+    // find a seed vector whose cell changed across the epochs — the
+    // arrivals the mismatch silently lets through
+    def cellsUnder(cents: Seq[(Long, Seq[Double])]): Map[Long, Long] =
+      VectorQueries.withCellAssigned(
+          base.select(col("vec_id"), col("embedding")), "embedding", "cell",
+          cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cs, cf) = (cellsUnder(stale), cellsUnder(fresh))
+    val moved = cs.keys.filter(k => cs(k) != cf(k)).toSeq.sorted
+    assert(moved.nonEmpty,
+      "fixture precondition: retraining on the grown corpus must move at " +
+        "least one seed vector's assignment")
+    val baseAll = base.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val dup = Seq((888888L, baseAll(moved.head))).toDF("vec_id", "embedding")
+    import graft.streaming.EventStream.semanticGateAtIngest
+    // stale index + fresh quantizer: the exact duplicate slips the gate
+    assert(semanticGateAtIngest(dup, idx, fresh).count() == 1L,
+      "epoch mismatch should let the duplicate through — if this now " +
+        "fails, the gate no longer depends on cell co-location and the " +
+        "invariant (and reassignIndex) may be obsolete")
+    // reassigned index + fresh quantizer: the duplicate dies again
+    assert(semanticGateAtIngest(dup,
+      VectorQueries.reassignIndex(idx, fresh), fresh).count() == 0L,
+      "after reassignIndex the gate must kill the exact duplicate")
+    idx.unpersist(blocking = false)
+  }
+
   test("retrainIfDrifted: corpus growth makes a hot cell, trips retrain, loop reaches a fixed point") {
     import spark.implicits._
     // a corpus dir the test owns: seed with the fixture, train, then
