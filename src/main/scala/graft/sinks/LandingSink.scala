@@ -1,0 +1,84 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Exactly-once parquet LANDING ZONE for streaming survivors — the link
+  * between the ingest front door and the batch compaction loop: the
+  * front door's accepted (annotated) documents land here continuously,
+  * and [[graft.pipeline.CorpusCompaction]] periodically folds the landed
+  * batches into the corpus artifacts the gates probe.
+  *
+  * Exactly-once discipline (the AlertSink contract, file-shaped): each
+  * micro-batch lands as its own `batch=<id>` subdirectory, written to a
+  * hidden temp dir first and COMMITTED by a single atomic same-directory
+  * rename. Spark replays a failed micro-batch under its ORIGINAL batchId
+  * (checkpointed offsets + deterministic sources ⇒ same rows), so the
+  * replay path is: directory already present → the whole batch is a
+  * no-op; directory absent → the previous attempt died before its
+  * rename, its leftovers are invisible (readers skip dot-dirs) and the
+  * rewrite commits the identical rows. A crashed attempt can therefore
+  * orphan a temp dir but never a half-readable batch, and no batch ever
+  * lands twice.
+  *
+  * Readers just `spark.read.parquet(root)`: `batch=<id>` is a hive
+  * partition column for free (so the compaction fold can select only
+  * batches newer than its last fold), temp dirs start with `.` and are
+  * ignored by the reader, and an empty micro-batch commits an empty
+  * (but marker-complete) directory.
+  *
+  * At 100 TB this is the standard streaming-landing topology: the sink
+  * is per-batch atomic on any filesystem with atomic dir rename
+  * (HDFS/local; object stores deploy the same shape through their
+  * committers or a table format), and the landing dir is exactly the
+  * `arrivals` frame the compaction loop consumes. */
+object LandingSink {
+
+  /** Land one micro-batch exactly once; safe to call from a replayed
+    * foreachBatch. Returns true when this call committed the batch,
+    * false when it was already landed. */
+  def landBatch(batch: DataFrame, root: String, batchId: Long): Boolean = {
+    val rootP = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(rootP)
+    val dest = rootP.resolve(s"batch=$batchId")
+    if (java.nio.file.Files.exists(dest)) false // replay of a committed batch
+    else {
+      val tmp = rootP.resolve(
+        s".tmp-batch-$batchId-${java.util.UUID.randomUUID()}")
+      batch.write.mode("overwrite").parquet(tmp.toString)
+      try {
+        java.nio.file.Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        // lost a commit race (a concurrent attempt of the SAME batch
+        // renamed first — identical rows by the replay contract): drop
+        // this attempt's copy, the landed batch stands
+        case _: java.nio.file.FileAlreadyExistsException =>
+          deleteTree(tmp); false
+      }
+    }
+  }
+
+  /** Start the landing consumer over any streaming DataFrame (typically
+    * `EventStream.ingestFrontDoor(...)` / `ingestFrontDoorCapped(...)`
+    * survivors). */
+  def start(survivors: DataFrame, root: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    survivors.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        landBatch(b, root, id)
+        ()
+      }
+      .start()
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case scala.util.control.NonFatal(_) => }
+}

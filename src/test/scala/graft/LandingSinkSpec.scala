@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.LandingSink
+
+class LandingSinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming landing: every micro-batch lands once, batch id is a partition column") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-land-ck").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = LandingSink.start(ms.toDF().toDF("doc_id", "text"), root, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms.addData(1L -> "alpha", 2L -> "beta")
+      q.processAllAvailable()
+      ms.addData(3L -> "gamma")
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(root)
+    assert(landed.columns.toSet == Set("doc_id", "text", "batch"),
+      s"batch=<id> must surface as a partition column: ${landed.columns.toSeq}")
+    val rows = landed.select("doc_id", "batch").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"landed $rows")
+    assert(rows(1L) == rows(2L) && rows(1L) != rows(3L),
+      s"batch boundaries must be preserved: $rows")
+  }
+
+  test("landBatch is replay-idempotent and recovers from a died attempt's temp dir") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-land2").toString
+    val b = Seq((10L, "x"), (11L, "y")).toDF("doc_id", "text")
+    // first attempt commits; the replay (same batchId — Spark's replay
+    // contract re-offers identical rows) is a whole-batch no-op
+    assert(LandingSink.landBatch(b, root, 7L))
+    assert(!LandingSink.landBatch(b, root, 7L))
+    assert(spark.read.parquet(root).count() == 2,
+      "a replayed batch must not double-land")
+    // a previous attempt that died BEFORE its atomic rename leaves only a
+    // hidden temp dir: invisible to readers, and the replay lands cleanly
+    val orphan = java.nio.file.Paths.get(root, ".tmp-batch-9-deadbeef")
+    Seq((90L, "stale")).toDF("doc_id", "text")
+      .write.parquet(orphan.toString)
+    assert(LandingSink.landBatch(
+      Seq((91L, "fresh")).toDF("doc_id", "text"), root, 9L))
+    val landed = spark.read.parquet(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == Set(10L, 11L, 91L),
+      s"readers must see committed batches only, got $landed")
+    // an empty micro-batch commits (idle trigger fires are normal) and
+    // readers stay unaffected
+    assert(LandingSink.landBatch(b.filter(lit(false)), root, 12L))
+    assert(!LandingSink.landBatch(b.filter(lit(false)), root, 12L))
+    assert(spark.read.parquet(root).count() == 3)
+  }
+
+  test("the landing dir is directly consumable as compaction arrivals, newest-batches-only") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-land3").toString
+    LandingSink.landBatch(
+      Seq((1L, "one doc")).toDF("doc_id", "text"), root, 0L)
+    LandingSink.landBatch(
+      Seq((2L, "two doc")).toDF("doc_id", "text"), root, 1L)
+    // the fold-since-last-checkpoint read the compaction loop runs:
+    // partition pruning on the batch column, no rewrite, no listing trick
+    val newer = spark.read.parquet(root).filter(col("batch") > 0)
+    assert(newer.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val scan = newer.queryExecution.executedPlan.toString
+    assert(!scan.contains("batch=0"),
+      s"the batch filter must prune partitions, plan reads:\n$scan")
+  }
+}
