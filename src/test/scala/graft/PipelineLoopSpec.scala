@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{MlQueries, TextQueries}
+import graft.sinks.LandingSink
+import graft.streaming.EventStream
+
+/** The full ingest loop composed from its individually-pinned pieces:
+  *
+  *   capped front door → exactly-once landing → fold-since-last
+  *   compaction → artifact refresh → (gates live for the next batch)
+  *
+  * What only the COMPOSITION can pin:
+  *   - the fold consumes `batch > lastFolded` straight off the landing
+  *     dir (the LandingSink contract feeding the CorpusCompaction
+  *     contract);
+  *   - a doc the CAP killed was never landed, never folded — so it can
+  *     return through a fresh source later and be accepted: a budget
+  *     kill is metering, not dedup;
+  *   - a doc the fold DID land dies at the gates on re-arrival (exact
+  *     and near-dup) without a query restart.
+  */
+class PipelineLoopSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ingest loop: capped front door -> landing -> fold-since-last -> live gates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two novelties per round, disjoint content vocabulary throughout so
+    // the only possible gate kills are the deliberate re-arrivals
+    val novels = Seq(
+      "the aardwolf and his bontebok walk to a sunlit edge of that pan " +
+        "while a civet rests among tall reeds and one duiker drinks " +
+        "beside an eland near some old acacia which shades their track",
+      "a heron stands within this marsh as an ibis wades toward its " +
+        "bank and the jacana steps over every lily when that kite " +
+        "turns upon warm winds above these waters during our late sun",
+      "one marmot and each pika sit on loose scree since a raven calls " +
+        "from the crag so both tahr and some urial climb that high " +
+        "ridge through thin air while cold morning light covers them",
+      "the otter slides down his muddy slope as a beaver drags one " +
+        "willow branch across their pond and some heron chicks wait " +
+        "inside a stick nest above quiet water near those alder trees",
+      "a gecko clings beneath this warm stone when the scorpion hides " +
+        "under its dry bark and one oryx walks across pale dunes while " +
+        "some lark sings over sparse grass beside a shallow salt flat",
+      "each puffin dives from our chalk cliff as the gannet folds both " +
+        "wings above grey swells and one seal hauls onto a shingle " +
+        "beach where some tern colony rests behind tall dune grasses")
+    for (n <- novels)
+      assert(Seq(n).toDF("text")
+        .select(TextQueries.gopherKeepCol(col("text"))).collect()(0)
+        .getLong(0) == 1L,
+        s"fixture precondition: novelty must pass the quality rules: $n")
+    // pairwise band disjointness: no accidental near-dup collisions, so
+    // every non-re-arrival kill below would be diagnosable
+    val keys = novels.zipWithIndex.map { case (t, i) =>
+      i -> Seq(t).toDF("text")
+        .select(TextQueries.bandKeysCol(col("text")).as("bk"))
+        .collect()(0).getSeq[Long](0).toSet }.toMap
+    for (Seq(a, b) <- novels.indices.combinations(2))
+      assert((keys(a) intersect keys(b)).isEmpty,
+        s"fixture precondition: novelties $a/$b band-collide")
+    // per-round pairing: round r accepts novelA(r); novelB(r) dies at the
+    // cap and RETURNS in round r+1 through a fresh source
+    def novelA(r: Int) = novels(2 * r)
+    def novelB(r: Int) = novels(2 * r + 1)
+    // artifact + landing directories, the production topology
+    val base = java.nio.file.Files.createTempDirectory("graft-loop")
+    val (corpusDir, fpsDir, bandsDir, landDir, ckpt) =
+      (s"$base/corpus", s"$base/fps", s"$base/bands", s"$base/landing",
+        s"$base/ckpt")
+    val seed = Seq((1L, "the quick brown fox jumps over the lazy dog and " +
+      "the quick brown fox naps in the sun by the door of the barn", "en"))
+      .toDF("doc_id", "text", "lang")
+    seed.write.parquet(corpusDir)
+    seed.select(col("doc_id"), graft.ops.Fingerprint.col(col("text")).as("fp"))
+      .write.parquet(fpsDir)
+    seed.select(col("doc_id"),
+      posexplode(TextQueries.bandKeysCol(col("text"))).as(Seq("band", "bkey")))
+      .write.parquet(bandsDir)
+    val art = EventStream.IngestArtifacts(
+      corpusFps = spark.read.parquet(fpsDir),
+      corpusBands = spark.read.parquet(bandsDir),
+      model = MlQueries.fitted(spark, sf),
+      merges = MlQueries.learnedMerges(spark, sf),
+      bucketWeights = TextQueries.dsirBucketWeights(spark, sf))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String, String)]
+      val docs = ms.toDF().toDF("doc_id", "source", "text")
+      // transformWithState never quiesces under a continuous trigger: each
+      // round is an AvailableNow landing run over ONE shared checkpoint
+      def drain(): Unit = {
+        val q = LandingSink.start(
+          EventStream.ingestFrontDoorCapped(docs, art, cap = 1),
+          landDir, ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination(180000)
+        q.stop()
+      }
+      var lastFolded = -1L
+      var landedSoFar = Set.empty[Long]
+      for (r <- 0 until 3) {
+        val rb = 9200000L + r * 100L
+        val src = s"src$r"
+        val feed = Seq(
+          rb + 1 -> (src, novelA(r)),          // accepted, lands, folds
+          rb + 3 -> (src, novelB(r))) ++       // dies at the CAP (unlanded)
+          (if (r == 0) Nil else Seq(
+            rb + 2 -> (s"ret$r", novelB(r - 1)), // cap-killed returns: fresh
+                                                 //   source, passes gates
+            rb + 4 -> (src, novelA(r - 1)),      // exact re-arrival: gates
+            rb + 5 -> (src, novelA(r - 1).split("\\s+", 2).last))) // near-dup
+        ms.addData(feed.map { case (id, (s, t)) => (id, s, t) }: _*)
+        drain()
+        landedSoFar ++= Seq(rb + 1L) ++ (if (r == 0) Nil else Seq(rb + 2L))
+        val landed = spark.read.parquet(landDir)
+        assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet
+          == landedSoFar,
+          s"round $r: landing must hold exactly the accepted docs")
+        // the fold: everything landed since the last fold, via the batch
+        // partition column — no listing tricks, no rewrite
+        val arrivals = landed.filter(col("batch") > lastFolded)
+          .select(col("doc_id"), col("text"), lit("en").as("lang"))
+        lastFolded = landed.agg(max(col("batch").cast("long")))
+          .collect()(0).getLong(0)
+        val res = graft.pipeline.CorpusCompaction.compact(arrivals,
+          spark.read.parquet(corpusDir), spark.read.parquet(fpsDir),
+          spark.read.parquet(bandsDir))
+        val appended = res.audit.collect()(0).getLong(5)
+        assert(appended == (if (r == 0) 1L else 2L),
+          s"round $r: the fold must append every newly landed doc, " +
+            s"got $appended")
+        val (dc, dfp, dbd) = (res.appended.localCheckpoint(true),
+          res.newFingerprints.localCheckpoint(true),
+          res.newBands.localCheckpoint(true))
+        res.release()
+        dc.write.mode("append").parquet(corpusDir)
+        dfp.write.mode("append").parquet(fpsDir)
+        dbd.write.mode("append").parquet(bandsDir)
+        EventStream.refreshStaticArtifacts(art.corpusFps, art.corpusBands)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
