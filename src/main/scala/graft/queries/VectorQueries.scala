@@ -532,6 +532,26 @@ object VectorQueries {
       "embedding", "cell", quantizerRows(spark, dir))
       .withColumn("nrm", norm(col("embedding")))
 
+  /** The maintenance pass and its consequence in ONE call, so the epoch
+    * invariant (VectorSpec: a retrained quantizer probing stale-assigned
+    * index rows silently breaks the semantic gate) cannot be violated by
+    * a caller who retrains and forgets to redeploy: measure + maybe
+    * retrain via [[retrainIfDrifted]], and when it retrained, hand back
+    * the index REASSIGNED under the fresh quantizer (the caller
+    * republishes it and redeploys the gate with the same
+    * [[quantizerRows]] the reassignment used). No drift → the index
+    * comes back untouched, same instance. */
+  def maintainIndex(spark: SparkSession, dir: String, index: DataFrame,
+      maxHotCells: Long = 0L,
+      maxDeadCells: Long = Long.MaxValue,
+      recallFloorMicro: Long = 0L): (DriftReport, DataFrame) = {
+    val report = retrainIfDrifted(spark, dir, maxHotCells, maxDeadCells,
+      recallFloorMicro)
+    (report,
+      if (report.retrained) reassignIndex(index, quantizerRows(spark, dir))
+      else index)
+  }
+
   /** Post-retrain REASSIGNMENT of a materialized cell index — the
     * one-batch-pass redeploy [[graft.pipeline.VectorCompaction]]'s
     * scaladoc names: after [[retrainIfDrifted]] replaces the quantizer, a

@@ -553,6 +553,23 @@ class VectorSpec extends AnyFunSuite {
     assert(semanticGateAtIngest(dup,
       VectorQueries.reassignIndex(idx, fresh), fresh).count() == 0L,
       "after reassignIndex the gate must kill the exact duplicate")
+    // maintainIndex is the two steps fused — with no further drift under
+    // held thresholds it returns the index untouched (same instance)...
+    val h = VectorQueries.v16CellBalance(spark, dir)
+      .agg(sum(col("hot"))).collect()(0).getLong(0)
+    val (rNo, idxNo) = VectorQueries.maintainIndex(spark, dir, idx,
+      maxHotCells = h)
+    assert(!rNo.retrained && (idxNo.asInstanceOf[AnyRef] eq
+      idx.asInstanceOf[AnyRef]))
+    // ...and on a tripped pass the returned index already satisfies the
+    // epoch invariant: the gate under it kills the duplicate
+    val (rYes, idxYes) = VectorQueries.maintainIndex(spark, dir, idx,
+      maxHotCells = 0L, recallFloorMicro = 0L)
+    assert(rYes.retrained,
+      "the point-mass cell stays hot, so maxHotCells=0 must trip")
+    assert(semanticGateAtIngest(dup, idxYes,
+      VectorQueries.quantizerRows(spark, dir)).count() == 0L,
+      "maintainIndex must hand back a gate-consistent (index, quantizer) pair")
     idx.unpersist(blocking = false)
   }
 
