@@ -60,11 +60,30 @@ object LandingSink {
     }
   }
 
+  /** Reclaim temp dirs orphaned by crashed attempts (invisible to
+    * readers, but disk). Age-gated like the Snapshot sweeps: a YOUNG
+    * temp dir may belong to a sibling attempt mid-write — a replayed
+    * batch under a restarted driver — so only dirs past `olderThanMs`
+    * are garbage (an attempt lives seconds; the default horizon is an
+    * hour). Returns the number of dirs reclaimed. Called once at
+    * [[start]]; long-lived deployments can also run it on a schedule. */
+  def sweepOrphans(root: String,
+      olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val now = System.currentTimeMillis()
+    val rootF = new java.io.File(root)
+    val dead = Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".tmp-batch-") &&
+        f.lastModified() < now - olderThanMs)
+    dead.foreach(f => deleteTree(f.toPath))
+    dead.length
+  }
+
   /** Start the landing consumer over any streaming DataFrame (typically
     * `EventStream.ingestFrontDoor(...)` / `ingestFrontDoorCapped(...)`
     * survivors). */
   def start(survivors: DataFrame, root: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    sweepOrphans(root)
     survivors.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -74,6 +93,7 @@ object LandingSink {
         ()
       }
       .start()
+  }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
     try {

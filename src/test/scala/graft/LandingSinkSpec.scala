@@ -59,6 +59,16 @@ class LandingSinkSpec extends AnyFunSuite {
     assert(LandingSink.landBatch(b.filter(lit(false)), root, 12L))
     assert(!LandingSink.landBatch(b.filter(lit(false)), root, 12L))
     assert(spark.read.parquet(root).count() == 3)
+    // orphan hygiene: the temp dir above is reclaimable once aged past
+    // the horizon; a YOUNG one (possibly a sibling attempt mid-write) is
+    // spared by the default
+    assert(LandingSink.sweepOrphans(root, olderThanMs = 0) >= 1)
+    assert(!java.nio.file.Files.exists(orphan), "aged orphan must be swept")
+    val young = java.nio.file.Paths.get(root, ".tmp-batch-13-cafe")
+    java.nio.file.Files.createDirectories(young)
+    assert(LandingSink.sweepOrphans(root) == 0 &&
+      java.nio.file.Files.exists(young),
+      "a young temp dir must be spared by the default horizon")
   }
 
   test("the landing dir is directly consumable as compaction arrivals, newest-batches-only") {
