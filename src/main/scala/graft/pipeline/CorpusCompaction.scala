@@ -43,26 +43,51 @@ object CorpusCompaction {
     * appends to its artifact tables (the full unions are for consumers
     * that want the post-state as one frame).
     *
-    * APPEND-BACK DISCIPLINE (r13, found by the front-door soak): a loop
-    * that appends these deltas into the same directories `compact`'s
-    * inputs were read from must SNAPSHOT each delta first
-    * (`localCheckpoint(true)`, or a staging write) BEFORE the first
-    * append. Spark's file-commit path refreshes every cached plan that
-    * reads the written directory (`refreshByPath`), which recomputes the
-    * pinned survivor tier against the HALF-APPENDED state — after the
-    * fingerprint append lands, a recomputed survivor set sees its own
+    * APPEND-BACK DISCIPLINE (r13, found by the front-door soak; since
+    * enforced HERE rather than by caller convention): a loop that appends
+    * these deltas into the same directories `compact`'s inputs were read
+    * from would otherwise need to snapshot each delta BEFORE the first
+    * append — Spark's file-commit path refreshes every cached plan that
+    * reads the written directory (`refreshByPath`), which would recompute
+    * a still-lazy survivor tier against the HALF-APPENDED state (after
+    * the fingerprint append lands, a recomputed survivor set sees its own
     * docs in the corpus fp table and goes empty, so the band delta
-    * appends nothing and the band gate silently never learns the batch.
-    * EventStreamSpec's soak pins the staged order end to end. */
-  case class Compacted(corpus: DataFrame, fingerprints: DataFrame,
-      bands: DataFrame, audit: DataFrame,
-      appended: DataFrame, newFingerprints: DataFrame, newBands: DataFrame,
-      pinnedBases: Seq[DataFrame] = Nil) {
-    /** Drop the survivor pin backing the returned unions. Call once the
+    * appends nothing and the band gate silently never learns the batch).
+    * The API closes that mode by construction: the first access to ANY
+    * delta snapshots ALL THREE together (`localCheckpoint(true)` cuts the
+    * file lineage), so no append the caller can issue afterwards — and no
+    * append can precede a delta read — invalidates a sibling delta.
+    * Audit-only consumers never touch the deltas and pay nothing.
+    * EventStreamSpec's soak pins the loop end to end. */
+  final class Compacted private[pipeline] (
+      corpusBase: DataFrame, fpsBase: DataFrame, bandsBase: DataFrame,
+      val audit: DataFrame,
+      appendedPlan: DataFrame, newFpsPlan: DataFrame,
+      newBandsPlan: DataFrame,
+      pinnedBases: Seq[DataFrame]) {
+    // one staging point for all three deltas: snapshotting them together
+    // is what makes the first append unable to corrupt a later read
+    private lazy val staged: (DataFrame, DataFrame, DataFrame) =
+      (appendedPlan.localCheckpoint(true),
+        newFpsPlan.localCheckpoint(true),
+        newBandsPlan.localCheckpoint(true))
+    /** Survivor-row delta (lineage-free snapshot, safe to append back). */
+    lazy val appended: DataFrame = staged._1
+    /** Fingerprint-table delta (lineage-free snapshot). */
+    lazy val newFingerprints: DataFrame = staged._2
+    /** Band-table delta (lineage-free snapshot). */
+    lazy val newBands: DataFrame = staged._3
+    /** Post-state unions, for consumers that want one frame; built over
+      * the staged deltas so they too survive an append-back. */
+    lazy val corpus: DataFrame = corpusBase.unionByName(appended)
+    lazy val fingerprints: DataFrame = fpsBase.unionByName(newFingerprints)
+    lazy val bands: DataFrame = bandsBase.unionByName(newBands)
+    /** Drop the survivor pin backing the delta plans. Call once the
       * artifacts are materialized (written, or superseded by the next
       * round): an incremental loop that never releases accumulates one
-      * pinned batch per round for the session lifetime (r11 advice). The
-      * unions stay valid — they just recompute if re-evaluated later. */
+      * pinned batch per round for the session lifetime (r11 advice).
+      * Deltas staged later still evaluate correctly — they just recompute
+      * their cascade uncached. */
     def release(): Unit = pinnedBases.foreach(_.unpersist(blocking = false))
   }
 
@@ -131,10 +156,10 @@ object CorpusCompaction {
           org.apache.spark.sql.types.StructField(f,
             org.apache.spark.sql.types.LongType, nullable = false))))
 
-    Compacted(
-      corpus.unionByName(appended),
-      corpusFps.select("doc_id", "fp").unionByName(newFps),
-      corpusBands.select("doc_id", "band", "bkey").unionByName(newBands),
+    new Compacted(
+      corpus,
+      corpusFps.select("doc_id", "fp"),
+      corpusBands.select("doc_id", "band", "bkey"),
       audit,
       appended, newFps, newBands,
       pinnedBases = Seq(survivors))

@@ -33,13 +33,20 @@ object VectorCompaction {
   /** `appended` is the survivor DELTA — what an incremental loop appends
     * to its index table (the full union is for consumers that want the
     * post-state as one frame). The [[CorpusCompaction.Compacted]]
-    * append-back discipline applies: a loop appending the delta into the
-    * directory `index` was read from must SNAPSHOT it first
-    * (`localCheckpoint(true)`), since the file commit refreshes cached
-    * plans reading that dir. */
-  case class Compacted(index: DataFrame, audit: DataFrame,
-      appended: DataFrame, pinnedBases: Seq[DataFrame] = Nil) {
-    /** Drop the survivor pin backing the returned index union — the
+    * append-back discipline is enforced the same way: the delta
+    * snapshots on first access (`localCheckpoint(true)` cuts the file
+    * lineage), so appending it back into the directory `index` was read
+    * from cannot invalidate it — the file commit's `refreshByPath` only
+    * refreshes plans that still read that dir. Audit-only consumers
+    * never touch it and pay nothing. */
+  final class Compacted private[pipeline] (indexBase: DataFrame,
+      val audit: DataFrame, appendedPlan: DataFrame,
+      pinnedBases: Seq[DataFrame]) {
+    /** Survivor-row delta (lineage-free snapshot, safe to append back). */
+    lazy val appended: DataFrame = appendedPlan.localCheckpoint(true)
+    /** Post-state union over the staged delta. */
+    lazy val index: DataFrame = indexBase.unionByName(appended)
+    /** Drop the survivor pin backing the delta plan — the
       * CorpusCompaction.Compacted.release contract. */
     def release(): Unit = pinnedBases.foreach(_.unpersist(blocking = false))
   }
@@ -87,11 +94,10 @@ object VectorCompaction {
             org.apache.spark.sql.types.LongType, nullable = false))))
 
     val delta = survivors.select("vec_id", "embedding", "cell", "nrm")
-    Compacted(
-      index.select("vec_id", "embedding", "cell", "nrm")
-        .unionByName(delta),
+    new Compacted(
+      index.select("vec_id", "embedding", "cell", "nrm"),
       audit,
-      appended = delta,
+      appendedPlan = delta,
       pinnedBases = Seq(survivors))
   }
 }

@@ -162,7 +162,10 @@ object Snapshot {
     md5Hex(sb.toString)
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit =
+  /** Best-effort recursive delete, errors swallowed — shared by the
+    * snapshot sweeps and [[graft.sinks.LandingSink]]'s temp-dir hygiene
+    * (one definition so a future fix cannot miss a copy). */
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

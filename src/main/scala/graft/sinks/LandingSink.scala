@@ -51,10 +51,16 @@ object LandingSink {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         true
       } catch {
-        // lost a commit race (a concurrent attempt of the SAME batch
-        // renamed first — identical rows by the replay contract): drop
-        // this attempt's copy, the landed batch stands
-        case _: java.nio.file.FileAlreadyExistsException =>
+        // lost a commit race (a concurrent attempt of the SAME batch —
+        // a zombie driver beside its restart — renamed first; identical
+        // rows by the replay contract): drop this attempt's copy, the
+        // landed batch stands. rename(2) onto an existing non-empty dir
+        // surfaces as ENOTEMPTY (DirectoryNotEmptyException) on
+        // Linux/macOS, not EEXIST, so match any FileSystemException and
+        // confirm the committed dir is really there — anything else
+        // (EACCES, EXDEV, ...) is a genuine failure and rethrows.
+        case e: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(dest) =>
           deleteTree(tmp); false
       }
     }
@@ -96,9 +102,5 @@ object LandingSink {
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    } catch { case scala.util.control.NonFatal(_) => }
+    graft.plans.Snapshot.deleteTree(p)
 }

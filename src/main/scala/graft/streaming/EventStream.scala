@@ -392,7 +392,8 @@ object EventStream {
     val capped = gated
       .select(col("doc_id"), col("source"), col("text")).as[CapTextDoc]
       .groupByKey(_.source)
-      .transformWithState(new DomainCapTextProcessor(cap, ttl),
+      .transformWithState(
+        new DomainCapProcessor[CapTextDoc](cap, ttl, _.doc_id),
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF()
     scoreImportanceAtIngest(
@@ -535,42 +536,34 @@ object EventStream {
     * first-arrived-first-kept — which EventStreamSpec pins by running
     * both forms over one feed. Requires the RocksDB state store
     * provider (the transformWithState contract). */
-  class DomainCapProcessor(cap: Long, ttl: java.time.Duration)
-      extends StatefulProcessor[String, CapDoc, CapDoc] {
+  class DomainCapProcessor[T](cap: Long, ttl: java.time.Duration,
+      id: T => Long)(implicit ct: scala.reflect.ClassTag[T])
+      extends StatefulProcessor[String, T, T] {
     @transient private var state: ValueState[CapLedger] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[CapLedger]("budget",
         org.apache.spark.sql.Encoders.product[CapLedger], TTLConfig(ttl))
-    override def handleInputRows(src: String, it: Iterator[CapDoc],
-        timers: TimerValues): Iterator[CapDoc] =
-      capTake(cap, state, it, (_: CapDoc).doc_id)
+    override def handleInputRows(src: String, it: Iterator[T],
+        timers: TimerValues): Iterator[T] =
+      capTake(cap, state, it, id)
   }
 
   /** A capped document WITH its payload — what the budget gate carries
     * when it sits inside the composed front door ([[ingestFrontDoorCapped]]):
     * the annotators downstream need the text, and survivors of a
     * transformWithState leg are exactly its output rows, so the row type
-    * must carry every column the rest of the topology consumes. */
+    * must carry every column the rest of the topology consumes. The
+    * processor itself is the ONE generic [[DomainCapProcessor]] — ledger
+    * wiring and [[capTake]] decision are shared by type parameter, so the
+    * bare gate and the composed front door cannot drift. */
   case class CapTextDoc(doc_id: Long, source: String, text: String)
-
-  /** [[DomainCapProcessor]] for payload-carrying rows — same ledger, same
-    * [[capTake]] decision (shared body, so the two cannot drift). */
-  class DomainCapTextProcessor(cap: Long, ttl: java.time.Duration)
-      extends StatefulProcessor[String, CapTextDoc, CapTextDoc] {
-    @transient private var state: ValueState[CapLedger] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[CapLedger]("budget",
-        org.apache.spark.sql.Encoders.product[CapLedger], TTLConfig(ttl))
-    override def handleInputRows(src: String, it: Iterator[CapTextDoc],
-        timers: TimerValues): Iterator[CapTextDoc] =
-      capTake(cap, state, it, (_: CapTextDoc).doc_id)
-  }
 
   def domainCapAtIngestTws(docs: Dataset[CapDoc], cap: Long,
       ttl: java.time.Duration = java.time.Duration.ofDays(7)): Dataset[CapDoc] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
-      .transformWithState(new DomainCapProcessor(cap, ttl),
+      .transformWithState(
+        new DomainCapProcessor[CapDoc](cap, ttl, _.doc_id),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 

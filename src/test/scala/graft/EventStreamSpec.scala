@@ -148,9 +148,16 @@ class EventStreamSpec extends AnyFunSuite {
       // latestStatusTws lesson), so each stage runs an AvailableNow query
       // over ONE shared checkpoint: state carries across the restarts,
       // which doubles as the recovery pin.
+      // TTL sizing: the within-horizon stage drains two micro-batches
+      // under one AvailableNow query, and the ledger must NOT expire
+      // between them — a too-tight TTL races micro-batch scheduling on a
+      // loaded host (RocksDB init or a GC pause between the batches would
+      // expire srcA mid-drain and keep 4L). 10 s dwarfs any plausible
+      // intra-drain gap while keeping the expiry stage's sleep bounded.
+      val ttl = java.time.Duration.ofSeconds(10)
       def drain(): Unit = {
         val q = EventStream.domainCapAtIngestTws(docs, cap = 2,
-          ttl = java.time.Duration.ofSeconds(2)).writeStream
+          ttl = ttl).writeStream
           .option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -178,7 +185,7 @@ class EventStreamSpec extends AnyFunSuite {
       // idle past the TTL (srcA's ledger last updated in stage 1): the
       // expired ledger reads as absent, so a fresh budget opens — and the
       // cap immediately re-binds within it (3 arrivals, 2 kept)
-      Thread.sleep(2500)
+      Thread.sleep(ttl.toMillis + 500)
       ms.addData((5L, "srcA"), (7L, "srcA"), (6L, "srcA"))
       drain()
       assert(kept() == Seq(1L, 2L, 5L, 6L, 10L, 11L, 20L),
@@ -665,18 +672,17 @@ class EventStreamSpec extends AnyFunSuite {
           spark.read.parquet(bandsDir))
         assert(res.audit.collect()(0).getLong(5) == 1,
           s"round $r: the fold must append exactly the accepted doc")
-        // the Compacted append-back discipline: SNAPSHOT every delta
-        // before the first append — each append's file-commit refreshes
-        // cached plans reading that dir, which would recompute the later
-        // deltas against the half-appended state (and silently lose the
-        // band rows; see the Compacted scaladoc)
-        val (dc, dfp, dbd) = (res.appended.localCheckpoint(true),
-          res.newFingerprints.localCheckpoint(true),
-          res.newBands.localCheckpoint(true))
+        // the Compacted append-back discipline is enforced by the API:
+        // the first delta access snapshots all three together, so the
+        // NATURAL append order below — which with lazy deltas was the
+        // silent-loss bug (the fp append's file-commit refreshes cached
+        // plans reading fpsDir, recomputing a still-lazy newBands against
+        // the half-appended state: empty) — is safe as written. This
+        // interleaved append-then-read order IS the regression test.
+        res.appended.write.mode("append").parquet(corpusDir)
+        res.newFingerprints.write.mode("append").parquet(fpsDir)
+        res.newBands.write.mode("append").parquet(bandsDir)
         res.release()
-        dc.write.mode("append").parquet(corpusDir)
-        dfp.write.mode("append").parquet(fpsDir)
-        dbd.write.mode("append").parquet(bandsDir)
         EventStream.refreshStaticArtifacts(art.corpusFps, art.corpusBands)
       }
     } finally q.stop()
@@ -849,17 +855,17 @@ class EventStreamSpec extends AnyFunSuite {
             "the gate, so the previous fold was NOT live")
         assert(q.lastProgress.stateOperators.isEmpty,
           s"round $r: the semantic gate must stay stateless")
-        // the fold: append the accepted arrival's index delta (snapshot
-        // first — the Compacted append-back discipline), then re-list
+        // the fold: append the accepted arrival's index delta (the
+        // Compacted API stages it on first access — appending back into
+        // indexDir cannot invalidate it), then re-list
         val arrivals = Seq((rb + 1, baseAll(novelSrc(r))))
           .toDF("vec_id", "embedding")
         val res = graft.pipeline.VectorCompaction.compact(arrivals,
           spark.read.parquet(indexDir), cents)
         assert(res.audit.collect()(0).getLong(3) == 1,
           s"round $r: the fold must append exactly the accepted vector")
-        val delta = res.appended.localCheckpoint(true)
+        res.appended.write.mode("append").parquet(indexDir)
         res.release()
-        delta.write.mode("append").parquet(indexDir)
         EventStream.refreshStaticArtifacts(idx)
       }
     } finally q.stop()

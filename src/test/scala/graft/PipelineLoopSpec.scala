@@ -138,13 +138,13 @@ class PipelineLoopSpec extends AnyFunSuite {
         assert(appended == (if (r == 0) 1L else 2L),
           s"round $r: the fold must append every newly landed doc, " +
             s"got $appended")
-        val (dc, dfp, dbd) = (res.appended.localCheckpoint(true),
-          res.newFingerprints.localCheckpoint(true),
-          res.newBands.localCheckpoint(true))
+        // interleaved append-then-read on purpose: the Compacted API
+        // stages all three deltas at the first access, so this natural
+        // order — the silent-loss mode under lazy deltas — is safe
+        res.appended.write.mode("append").parquet(corpusDir)
+        res.newFingerprints.write.mode("append").parquet(fpsDir)
+        res.newBands.write.mode("append").parquet(bandsDir)
         res.release()
-        dc.write.mode("append").parquet(corpusDir)
-        dfp.write.mode("append").parquet(fpsDir)
-        dbd.write.mode("append").parquet(bandsDir)
         EventStream.refreshStaticArtifacts(art.corpusFps, art.corpusBands)
       }
     } finally {
