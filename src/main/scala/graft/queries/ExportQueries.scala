@@ -257,12 +257,100 @@ object ExportQueries {
     r.audit
   }
 
+  /** Seed + shard count for the export shuffle — inlined into BOTH the
+    * Spark plan and the oracle SQL (the mixHash discipline), so the
+    * permutation is reproducible run-to-run and engine-to-engine. */
+  private val ShardSeed = "shard:42|"
+  private val NShards = 8L
+
+  /** x_shuffle_shards — the deterministic SHUFFLE-to-shards pass between
+    * the clean corpus and the trainer: training order must be a seeded
+    * pseudo-random permutation (a source-ordered export bakes curriculum
+    * bias into every epoch, and `rand()` could never hash-match an oracle
+    * or a resumed job), so each clean document gets a salted md5 sort key,
+    * its shard is a slice of that key mod [[NShards]], and its position is
+    * the key's rank within the shard. Rides the same t12 composition the
+    * export writes, so the layout describes exactly the shipped corpus.
+    *
+    * Plan shape at 100 TB: ONE hash-partitioned exchange on `shard` plus
+    * an in-partition sort — exactly the physical motion writing shuffled
+    * shards requires, nothing corpus-squared; the window is per-shard, so
+    * parallelism is the shard count you asked for. */
+  def xShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = TextQueries.queries("t12_clean_corpus")(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("skey",
+        md5(concat(lit(ShardSeed), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 8), 16, 10).cast("bigint") % NShards)
+    keyed
+      .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+        .cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Seed + holdout percentage for the split — same inlining discipline. */
+  private val SplitSeed = "split:7|"
+  private val ValPct = 10L
+
+  /** x_train_val_split — LEAKAGE-SAFE deterministic holdout: every corpus
+    * document is assigned train/val by a salted md5 hash (reproducible —
+    * the same doc lands on the same side in every run and engine), and
+    * then any TRAIN document that shares content with a VAL document is
+    * evicted as `leak`: exact (same normalized fingerprint) or near (an
+    * LSH-verified Jaccard≥0.5 pair, either direction). A random split
+    * without the eviction puts near-copies of held-out documents in the
+    * training set, and the eval is contaminated before training starts —
+    * this is the train/test-decontamination pass every serious
+    * pretraining eval pipeline runs, expressed over the engine's own dup
+    * machinery (one fp table + the verified pair set; no new pairwise
+    * work anywhere).
+    *
+    * Plan shape at 100 TB: the assignment is a stateless per-row hash;
+    * exact leakage is one fp-keyed join against the val side's
+    * fingerprints; near leakage re-uses [[TextQueries.verifiedPairs]] —
+    * LSH-candidates-bounded, already checkpointed. Nothing beyond the
+    * dup pipeline's own cost. */
+  def xTrainValSplit(spark: SparkSession, dir: String): DataFrame = {
+    val assign = TextQueries.corpus(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("split0",
+        when(conv(substring(
+              md5(concat(lit(SplitSeed), col("doc_id").cast("string"))),
+              1, 8), 16, 10).cast("bigint") % 100L < ValPct,
+          lit("val")).otherwise(lit("train")))
+    val fps = TextQueries.cachedFps(spark, dir)
+    val valIds = assign.filter(col("split0") === "val").select(col("doc_id"))
+    val valFps = fps.join(valIds, "doc_id").select("fp").distinct()
+    // includes the val docs themselves (they share their own fp) — the
+    // final CASE resolves split0='val' first, so only train docs flip
+    val leakExact = fps.join(valFps, "fp").select("doc_id")
+    val pairs = TextQueries.verifiedPairs(spark, dir)
+    val leakNear = pairs.select(col("doc_a").as("t"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("t"), col("doc_a").as("v")))
+      .join(valIds.withColumnRenamed("doc_id", "v"), "v")
+      .select(col("t").as("doc_id"))
+    val leaks = leakExact.unionByName(leakNear).distinct()
+      .withColumn("leak", lit(1L))
+    assign.join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("split0") === "val", lit("val"))
+          .when(col("leak").isNotNull, lit("leak"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,
       "x_export_counts" -> xExportCounts,
       "x_front_door" -> xFrontDoor,
       "x_front_door_audit" -> xFrontDoorAudit,
-      "x_compact_audit" -> xCompactAudit)
+      "x_compact_audit" -> xCompactAudit,
+      "x_shuffle_shards" -> xShuffleShards,
+      "x_train_val_split" -> xTrainValSplit)
 
   /** DuckDB twin of the whole tier cascade. */
   /** The front door's gate CTE stack (arrivals → quality → exact → band
@@ -314,6 +402,54 @@ object ExportQueries {
            |WHERE x.doc_id IS NULL
            |GROUP BY c.lang
            |ORDER BY c.lang""".stripMargin),
+      // the shuffle layout: the SAME t12 CTE stack (cleanset inlines
+      // t12's final join), then the salted-key shard+rank arithmetic
+      "x_shuffle_shards" -> TextQueries.oracle(
+        s"""${TextQueries.t12OracleCtes},
+           |cleanset AS (
+           |  SELECT k.doc_id FROM keepset k
+           |  JOIN quality q ON k.doc_id = q.doc_id
+           |    AND q.quality_micro >= ${TextQueries.CleanQualityFloor}
+           |  LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |  WHERE x.doc_id IS NULL),
+           |keyed AS (
+           |  SELECT doc_id,
+           |         md5('$ShardSeed' || CAST(doc_id AS VARCHAR)) AS skey,
+           |         CAST(('0x' || substr(md5('$ShardSeed' || CAST(doc_id AS VARCHAR)), 1, 8))
+           |              AS BIGINT) % $NShards AS shard
+           |  FROM cleanset)
+           |SELECT doc_id, shard,
+           |       row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+           |FROM keyed
+           |ORDER BY shard, pos""".stripMargin),
+      // the leakage-safe split: assignment is pure hash arithmetic; the
+      // leak set reuses the t12 stack's fps + jpairs CTEs verbatim
+      "x_train_val_split" -> TextQueries.oracle(
+        s"""${TextQueries.t12OracleCtes},
+           |assign AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN CAST(('0x' || substr(md5('$SplitSeed' || CAST(doc_id AS VARCHAR)), 1, 8))
+           |                        AS BIGINT) % 100 < $ValPct
+           |              THEN 'val' ELSE 'train' END AS split0
+           |  FROM corpus),
+           |valids AS (SELECT doc_id FROM assign WHERE split0 = 'val'),
+           |valfps AS (
+           |  SELECT DISTINCT f.fp FROM fps f
+           |  JOIN valids v ON f.doc_id = v.doc_id),
+           |leaks AS (
+           |  SELECT f.doc_id FROM fps f JOIN valfps vf ON f.fp = vf.fp
+           |  UNION
+           |  SELECT p.t AS doc_id FROM (
+           |    SELECT doc_a AS t, doc_b AS v FROM jpairs
+           |    UNION ALL
+           |    SELECT doc_b AS t, doc_a AS v FROM jpairs) p
+           |  JOIN valids v ON p.v = v.doc_id)
+           |SELECT a.doc_id, a.lang,
+           |       CASE WHEN a.split0 = 'val' THEN 'val'
+           |            WHEN l.doc_id IS NOT NULL THEN 'leak'
+           |            ELSE 'train' END AS split
+           |FROM assign a LEFT JOIN leaks l ON a.doc_id = l.doc_id
+           |ORDER BY a.doc_id""".stripMargin),
       "x_front_door" -> {
         import graft.plans.VerifyExports.sqlPath
         val B = TextQueries.DsirBuckets

@@ -543,8 +543,9 @@ object TextQueries {
 
   /** The LSH-verified Jaccard≥0.5 pair set: one exact IEEE division per
     * row of [[cachedSharedCounts]], so it needs no checkpoint of its own —
-    * every consumer (d4, d7, d9, t12) derives it from the same base. */
-  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    * every consumer (d4, d7, d9, t12, and ExportQueries' leakage-safe
+    * split) derives it from the same base. */
+  private[queries] def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
     cachedSharedCounts(spark, dir)
       .select(col("doc_a"), col("doc_b"),
         round(col("shared").cast("double") /
