@@ -60,7 +60,7 @@ object ExportQueries {
     * [[xExportManifest]] keeps only the file-layout tier (shard counts,
     * rows_conserved vs the actual write) rows-only. */
   def xExportCounts(spark: SparkSession, dir: String): DataFrame =
-    TextQueries.queries("t12_clean_corpus")(spark, dir)
+    TextQueries.t12CleanUnordered(spark, dir)
       .join(TextQueries.corpus(spark, dir).select("doc_id", "lang"), "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("expected_rows"))
@@ -278,7 +278,7 @@ object ExportQueries {
     * parallelism is the shard count you asked for. */
   def xShuffleShards(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = TextQueries.queries("t12_clean_corpus")(spark, dir)
+    val keyed = TextQueries.t12CleanUnordered(spark, dir)
       .select(col("doc_id"))
       .withColumn("skey",
         md5(concat(lit(ShardSeed), col("doc_id").cast("string"))))
@@ -292,9 +292,11 @@ object ExportQueries {
       .orderBy("shard", "pos")
   }
 
-  /** Seed + holdout percentage for the split — same inlining discipline. */
-  private val SplitSeed = "split:7|"
-  private val ValPct = 10L
+  /** Seed + holdout percentage for the split — same inlining discipline;
+    * the column itself lives in TextQueries so the streaming annotator
+    * shares it verbatim. */
+  private def SplitSeed = TextQueries.SplitSeed
+  private def ValPct = TextQueries.SplitValPct
 
   /** x_train_val_split — LEAKAGE-SAFE deterministic holdout: every corpus
     * document is assigned train/val by a salted md5 hash (reproducible —
@@ -317,11 +319,7 @@ object ExportQueries {
   def xTrainValSplit(spark: SparkSession, dir: String): DataFrame = {
     val assign = TextQueries.corpus(spark, dir)
       .select(col("doc_id"), col("lang"))
-      .withColumn("split0",
-        when(conv(substring(
-              md5(concat(lit(SplitSeed), col("doc_id").cast("string"))),
-              1, 8), 16, 10).cast("bigint") % 100L < ValPct,
-          lit("val")).otherwise(lit("train")))
+      .withColumn("split0", TextQueries.splitAssignCol(col("doc_id")))
     val fps = TextQueries.cachedFps(spark, dir)
     val valIds = assign.filter(col("split0") === "val").select(col("doc_id"))
     val valFps = fps.join(valIds, "doc_id").select("fp").distinct()

@@ -1144,6 +1144,20 @@ object TextQueries {
     * (streaming/EventStream.sampleMixAtIngest) — one definition, so the
     * sampling decision for a document is identical in both by
     * construction (the Fingerprint-sharing discipline). */
+  /** The x_train_val_split assignment — salted md5 slice of the doc_id
+    * against [[SplitValPct]] — shared by the batch split
+    * ([[graft.queries.ExportQueries.xTrainValSplit]]) and the streaming
+    * annotator ([[graft.streaming.EventStream.assignSplitAtIngest]]): one
+    * definition, so a document lands on the same side in both by
+    * construction (the mixHash discipline). */
+  private[graft] val SplitSeed = "split:7|"
+  private[graft] val SplitValPct = 10L
+  private[graft] def splitAssignCol(docId: Column): Column =
+    when(conv(substring(
+          md5(concat(lit(SplitSeed), docId.cast("string"))),
+          1, 8), 16, 10).cast("bigint") % 100L < SplitValPct,
+      lit("val")).otherwise(lit("train"))
+
   private[graft] def mixHash: Column =
     conv(substring(
         md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -1299,6 +1313,16 @@ object TextQueries {
     * co-partitioned join chain over bases that each exist for their own
     * operator; nothing new shuffles by anything but doc_id. */
   def t12CleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    t12CleanUnordered(spark, dir).orderBy("doc_id")
+
+  /** t12's clean frame WITHOUT the presentation sort (the d7KeepSet
+    * discipline): a consumer composing further work — the export count
+    * audit, the shuffle-shard layout — rides the snapshot scan directly.
+    * Under a window the embedded orderBy would NOT be elided (EliminateSorts
+    * removes sorts below aggregations and joins, not below windows), so
+    * composing the sorted form costs a full extra exchange+sort of the
+    * clean corpus (caught by the x_shuffle_shards plan pin). */
+  private[queries] def t12CleanUnordered(spark: SparkSession, dir: String): DataFrame =
     // CHECKPOINTED (round 12): three driver entries consume this chain —
     // t12 itself, the shard export, and the export count audit — and each
     // was re-deriving the full join cascade. One snapshot build serves
@@ -1313,7 +1337,7 @@ object TextQueries {
         .join(t5RedactPii(spark, dir)
           .select("doc_id", "n_emails", "n_urls", "redacted"), "doc_id")
         .select("doc_id", "quality_micro", "n_emails", "n_urls", "redacted")
-    }.orderBy("doc_id")
+    }
 
   /** t14 — corpus unigram-LM fluency score: how "typical" each document's
     * tokens are under the corpus's own unigram distribution — the cheap

@@ -100,6 +100,19 @@ object EventStream {
         explode(sequence(lit(1L), graft.queries.TextQueries.mixEpochs))
           .as("epoch"))
 
+  /** Streaming split assignment — the streaming face of the batch
+    * x_train_val_split: every arriving document gets its train/val side
+    * stamped from the SAME salted-hash column
+    * ([[graft.queries.TextQueries.splitAssignCol]] — one definition, so
+    * the assignment is bit-identical engine-wide). STATELESS: a pure
+    * per-row expression. The batch op's `leak` tier has no streaming leg
+    * BY CONSTRUCTION: an arrival that duplicates any corpus document —
+    * val side included — already died at the exact/near-dup gates
+    * upstream, so survivors cannot leak held-out content. */
+  def assignSplitAtIngest(docs: DataFrame): DataFrame =
+    docs.withColumn("split",
+      graft.queries.TextQueries.splitAssignCol(col("doc_id")))
+
   /** Streaming ingest quality gate — the streaming face of
     * TextQueries.t16: the same Gopher rule conjunction applied as
     * documents arrive, BEFORE they cost dedup/index state downstream

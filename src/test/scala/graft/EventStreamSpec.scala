@@ -265,6 +265,33 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming split assignment matches the batch hash rule exactly and keeps zero state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val df = ms.toDF().toDF("doc_id")
+    val q = EventStream.assignSplitAtIngest(df).writeStream
+      .format("memory").queryName("splitted").outputMode("append").start()
+    ms.addData(0L until 300L: _*)
+    q.processAllAvailable()
+    val got = spark.table("splitted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ground truth recomputed locally: the x_train_val_split assignment
+    def side(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:7|$id".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 100 < 10) "val" else "train"
+    }
+    (0L until 300L).foreach(id =>
+      assert(got(id) == side(id), s"doc $id: ${got(id)} != ${side(id)}"))
+    assert(got.valuesIterator.contains("val") &&
+      got.valuesIterator.contains("train"), "both sides must occur")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "split assignment must not create streaming state")
+    q.stop()
+  }
+
   test("streaming ingest quality gate matches an independent rule recompute, keeps zero state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -621,4 +621,52 @@ class PlanSpec extends AnyFunSuite {
           s"$name: a corpus-sized sort-merge crept in at fixture scale:\n$p")
     }
   }
+
+  test("x_shuffle_shards: one shard-keyed exchange feeds the rank window, no cartesian") {
+    // the scale contract: the shuffle layout costs exactly the physical
+    // motion shuffled shard-writing needs — ONE hash exchange on `shard`
+    // into the per-shard rank window; more windows or an all-pairs
+    // surface means the permutation went global
+    val p = planOf(ExportQueries.queries("x_shuffle_shards")(spark, sf))
+    assert(p.contains("hashpartitioning(shard"),
+      s"no shard-keyed exchange:\n$p")
+    assert("Window \\(".r.findAllIn(p).size == 1,
+      s"expected exactly the rank window:\n$p")
+    // two exchanges TOTAL: the shard hash partition + the presentation
+    // range sort — a third means a composed base's embedded orderBy got
+    // dragged in (the t12CleanUnordered fix)
+    assert("Exchange \\(".r.findAllIn(p).size == 2,
+      s"expected exactly 2 exchanges (shard hash + output sort):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x_train_val_split: leakage eviction is complete and one-sided") {
+    // functional pin of the op's whole point: after the split, NO train
+    // doc shares a fingerprint with a val doc and NO verified near-dup
+    // pair crosses train->val; and eviction is one-sided (every leak doc
+    // would have been train — the val side never shrinks)
+    val df = ExportQueries.queries("x_train_val_split")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.valuesIterator.contains("leak"),
+      "fixture must plant at least one cross-split duplicate")
+    val fps = graft.queries.TextQueries.queries("t4_fingerprint")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val valFps = fps.collect { case (id, fp) if rows(id) == "val" => fp }.toSet
+    fps.foreach { case (id, fp) =>
+      if (rows(id) == "train")
+        assert(!valFps(fp), s"train doc $id shares a fingerprint with val")
+    }
+    // d4 IS the verified Jaccard>=0.5 pair set
+    val pairs = graft.queries.TextQueries.queries("d4_jaccard_verify")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(!(rows(a) == "train" && rows(b) == "val") &&
+        !(rows(a) == "val" && rows(b) == "train"),
+        s"near-dup pair ($a,$b) crosses the split: ${rows(a)}/${rows(b)}")
+    }
+  }
 }
