@@ -112,7 +112,11 @@ object BatchPipeline {
     * driver-side scalar, and the cache is dropped before returning. */
   def exportCleanCorpusAudited(spark: SparkSession, dir: String,
       outDir: String, maxRecordsPerFile: Int = 10000): ExportAudit = {
-    val clean = graft.queries.TextQueries.queries("t12_clean_corpus")(spark, dir)
+    // unordered form on purpose: the embedded presentation sort would be
+    // elided under the join by EliminateSorts anyway, but composing the
+    // snapshot scan directly keeps the intent explicit (the d7KeepSet /
+    // t12CleanUnordered discipline)
+    val clean = graft.queries.TextQueries.t12CleanUnordered(spark, dir)
       .join(graft.queries.TextQueries.corpus(spark, dir).select("doc_id", "lang"),
         "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1322,7 +1322,7 @@ object TextQueries {
     * removes sorts below aggregations and joins, not below windows), so
     * composing the sorted form costs a full extra exchange+sort of the
     * clean corpus (caught by the x_shuffle_shards plan pin). */
-  private[queries] def t12CleanUnordered(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def t12CleanUnordered(spark: SparkSession, dir: String): DataFrame =
     // CHECKPOINTED (round 12): three driver entries consume this chain —
     // t12 itself, the shard export, and the export count audit — and each
     // was re-deriving the full join cascade. One snapshot build serves
