@@ -86,4 +86,42 @@ class LandingSinkSpec extends AnyFunSuite {
     assert(!scan.contains("batch=0"),
       s"the batch filter must prune partitions, plan reads:\n$scan")
   }
+
+  test("restart over the same checkpoint continues batch numbering, never re-lands") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-land4").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-land4-ck").toString
+    val ms = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = LandingSink.start(ms.toDF().toDF("doc_id", "text"), root, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000); q.stop()
+    }
+    ms.addData(1L -> "alpha", 2L -> "beta")
+    drain()
+    val committedDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    val mtimes = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    // a NEW query instance over the SAME checkpoint (a driver restart):
+    // offsets resume, batch ids continue, and the already-committed dirs
+    // are byte-untouched — exactly-once across restarts, not just within
+    // one query's replay
+    ms.addData(3L -> "gamma")
+    drain()
+    val after = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(committedDirs.subsetOf(after) && after.size == committedDirs.size + 1,
+      s"restart must add exactly one new batch dir: $committedDirs -> $after")
+    mtimes.foreach { case (name, t) =>
+      assert(new java.io.File(root, name).lastModified() == t,
+        s"restart must not rewrite committed dir $name")
+    }
+    val rows = spark.read.parquet(root).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(rows.sameElements(Array(1L, 2L, 3L)),
+      s"every doc exactly once across the restart, got ${rows.toSeq}")
+  }
 }
