@@ -1837,6 +1837,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t32 — duplicated-span SCRUB: the ACT half of t27's measure (the
+    * published exact-substring dedup removes all but one occurrence of
+    * every long verbatim cross-document run — boilerplate headers,
+    * license blocks, quoted chunks — instead of dropping whole documents
+    * the way d7 does). Each shared [[DupSpanTokens]]-token window gets a
+    * CANONICAL owner (the min doc_id holding it); in every other doc the
+    * window's positions are cut, and the survivors re-join in order as
+    * the scrubbed text. The canonical copy keeps its text intact — one
+    * occurrence survives corpus-wide, including a window's repeats inside
+    * its owner (intra-doc multiplicity is the owner's own business, as in
+    * t27's cross-doc "shared" notion).
+    *
+    * Plan shape at 100 TB: the window chain is t27's (toks-scale explode,
+    * one hash-keyed groupBy); the cut set explodes only NON-OWNER shared
+    * windows by W (duplication-proportional); reassembly is one
+    * doc_id-keyed aggregation of the token table with an in-group sort —
+    * every shuffle key is doc_id or the window hash, nothing pairwise. */
+  def t32SpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = DupSpanTokens
+    val toks = cachedToks(spark, dir)
+    val wins = toks.filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - W),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(W)), " "))))
+          .as(Seq("pos", "w")))
+    val owners = wins.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("w", "owner")
+    val removedPos = wins.join(owners, "w")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("p"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+    val scrubbed = tokens
+      .join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("kt"))
+      .select(col("doc_id"),
+        size(col("kt")).cast("bigint").as("n_kept"),
+        array_join(transform(col("kt"), x => x.getField("tok")), " ")
+          .as("scrubbed"))
+    toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(scrubbed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** t28's configured target mixture (micro-share per language, summing
     * to 1,000,000) — the "what the trainer wants" side of the solve; the
     * corpus supplies the "what exists" side. One constant, rendered into
@@ -1996,7 +2050,8 @@ object TextQueries {
     "t28_mix_solver" -> t28MixSolver,
     "t29_domain_cap" -> t29DomainCap,
     "t31_contamination_frac" -> t31ContaminationFraction,
-    "t30_sequence_pack" -> t30SequencePack)
+    "t30_sequence_pack" -> t30SequencePack,
+    "t32_span_scrub" -> t32SpanScrub)
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -2491,6 +2546,40 @@ object TextQueries {
           |       CAST((COALESCE(c.n_covered, 0) * 1000000) //
           |            GREATEST(len(t.toks), 1) AS BIGINT) AS covered_frac_micro
           |FROM toks t LEFT JOIN cov27 c ON t.doc_id = c.doc_id
+          |ORDER BY t.doc_id""".stripMargin),
+      // t32 shares t27's window construction verbatim (the one-definition
+      // discipline at the SQL level: same CTE text, different consumers)
+      "t32_span_scrub" -> oracle(
+        s""", wins32 AS (
+          |  SELECT doc_id,
+          |         unnest(range(0, len(toks) - ${DupSpanTokens - 1})) AS pos,
+          |         unnest(list_transform(range(0, len(toks) - ${DupSpanTokens - 1}),
+          |                i -> md5(array_to_string(toks[i+1:i+$DupSpanTokens], ' ')))) AS w
+          |  FROM toks WHERE len(toks) >= $DupSpanTokens),
+          |own32 AS (
+          |  SELECT w, MIN(doc_id) AS owner FROM wins32 GROUP BY w
+          |  HAVING COUNT(DISTINCT doc_id) >= 2),
+          |rem32 AS (
+          |  SELECT DISTINCT doc_id, p FROM (
+          |    SELECT wi.doc_id, unnest(range(wi.pos, wi.pos + $DupSpanTokens)) AS p
+          |    FROM wins32 wi JOIN own32 o ON wi.w = o.w
+          |    WHERE wi.doc_id <> o.owner)),
+          |tok32 AS (
+          |  SELECT doc_id, unnest(range(0, len(toks))) AS p, unnest(toks) AS tok
+          |  FROM toks),
+          |scr32 AS (
+          |  SELECT t.doc_id, COUNT(*) AS n_kept,
+          |         string_agg(t.tok, ' ' ORDER BY t.p) AS scrubbed
+          |  FROM tok32 t
+          |  LEFT JOIN rem32 r ON t.doc_id = r.doc_id AND t.p = r.p
+          |  WHERE r.doc_id IS NULL
+          |  GROUP BY t.doc_id)
+          |SELECT t.doc_id,
+          |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |       CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept,
+          |       CAST(len(t.toks) - COALESCE(s.n_kept, 0) AS BIGINT) AS n_removed,
+          |       COALESCE(s.scrubbed, '') AS scrubbed
+          |FROM toks t LEFT JOIN scr32 s ON t.doc_id = s.doc_id
           |ORDER BY t.doc_id""".stripMargin),
       "t31_contamination_frac" -> oracle(
         s""", dsh31 AS (SELECT DISTINCT doc_id, shingle FROM shingles),

@@ -575,6 +575,43 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.exists(_._4 < 1000000L), "every doc fully covered — vacuous")
   }
 
+  test("t32 span scrub: canonical copy untouched, its exact copy scrubbed empty, cuts bounded by t27 coverage") {
+    import graft.queries.TextQueries
+    val scrub = TextQueries.queries("t32_span_scrub")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val cover = TextQueries.queries("t27_dup_span_coverage")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub.nonEmpty)
+    scrub.foreach { case (id, (n, kept, removed, text)) =>
+      assert(kept + removed == n, s"doc $id: token mass not conserved")
+      // the scrub can only cut positions t27 counts as covered — and the
+      // canonical occurrence survives, so strictly fewer when it owns any
+      assert(removed <= cover(id),
+        s"doc $id: removed $removed > covered ${cover(id)}")
+      assert((text.isEmpty && kept == 0L) ||
+        (text.split("\\s+").length.toLong == kept),
+        s"doc $id: scrubbed text does not hold $kept tokens")
+    }
+    // an exact copy (%7 mutant, id = src + 2000000) shares EVERY window
+    // with its lower-id source: the source is canonical everywhere (id
+    // order) and keeps all tokens; the copy loses all of them
+    val copies = scrub.keys.filter(id =>
+      id >= 2000000L && id < 3000000L && scrub(id)._1 >= 8L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      // the copy's every window also lives in its lower-id source, so the
+      // owner is always <= src < c: the copy never keeps a single token
+      // (the source itself may duplicate an even-lower base doc — the
+      // fixture has exact-dup groups — so only the GREATER side is pinned)
+      assert(scrub(c)._3 == scrub(c)._1, s"copy $c not fully scrubbed")
+    }
+    // discrimination: canonical/unique docs keep text; fully-covered
+    // non-owners lose it all — both poles must occur
+    assert(scrub.values.exists(v => v._3 == 0L && v._1 > 0L),
+      "no doc survived untouched — vacuous")
+    assert(scrub.values.exists(_._4.nonEmpty), "all scrubbed empty — vacuous")
+  }
+
   test("t28 mix solver: limiting language saturates, no upsampling, realized shares hit targets") {
     import graft.queries.TextQueries
     val rows = TextQueries.queries("t28_mix_solver")(spark, sf).collect()
