@@ -1891,6 +1891,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x_corpus_report — the text pipeline's one-row health dashboard (the
+    * [[VectorQueries.xDriftReport]] discipline applied to the corpus
+    * side): total docs, clean survivors, exact-dup redundancy, verified
+    * near-pairs, mean quality, and total token mass — the numbers an
+    * operator watches to decide whether the dedup/quality gates are
+    * keeping up as the corpus grows. Every aggregate rides a base that
+    * already exists for its own operator (corpus, t12 snapshot, fp table,
+    * verified pairs, quality chain, toks), crossed as 1-row broadcasts —
+    * nothing corpus-sized moves beyond the bases' own scans, so the
+    * report costs a handful of cached-scan aggregations at any scale. */
+  def xCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = corpus(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val nClean = t12CleanUnordered(spark, dir)
+      .agg(count(lit(1)).as("n_clean"))
+    val exactDups = cachedFps(spark, dir)
+      .agg((count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+    val nearPairs = verifiedPairs(spark, dir)
+      .agg(count(lit(1)).as("n_near_pairs"))
+    val meanQ = t2QualityScore(spark, dir)
+      .agg(expr("CAST(sum(quality_micro) DIV count(1) AS BIGINT)")
+        .as("mean_quality_micro"))
+    val toksTot = cachedToks(spark, dir)
+      .agg(sum(size(col("toks"))).cast("bigint").as("n_tokens"))
+    nDocs.crossJoin(broadcast(nClean))
+      .crossJoin(broadcast(exactDups))
+      .crossJoin(broadcast(nearPairs))
+      .crossJoin(broadcast(meanQ))
+      .crossJoin(broadcast(toksTot))
+  }
+
   /** t28's configured target mixture (micro-share per language, summing
     * to 1,000,000) — the "what the trainer wants" side of the solve; the
     * corpus supplies the "what exists" side. One constant, rendered into
@@ -2051,7 +2081,8 @@ object TextQueries {
     "t29_domain_cap" -> t29DomainCap,
     "t31_contamination_frac" -> t31ContaminationFraction,
     "t30_sequence_pack" -> t30SequencePack,
-    "t32_span_scrub" -> t32SpanScrub)
+    "t32_span_scrub" -> t32SpanScrub,
+    "x_corpus_report" -> xCorpusReport)
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -2581,6 +2612,24 @@ object TextQueries {
           |       COALESCE(s.scrubbed, '') AS scrubbed
           |FROM toks t LEFT JOIN scr32 s ON t.doc_id = s.doc_id
           |ORDER BY t.doc_id""".stripMargin),
+      // the report recomputes each monitor from the SAME CTE stack its
+      // own operator oracles against — scalar subqueries, one row
+      "x_corpus_report" -> oracle(
+        s"""$t12OracleCtes
+           |SELECT
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+           |     SELECT k.doc_id FROM keepset k
+           |     JOIN quality q ON k.doc_id = q.doc_id
+           |       AND q.quality_micro >= $CleanQualityFloor
+           |     LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |     WHERE x.doc_id IS NULL)) AS n_clean,
+           |  (SELECT CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) FROM fps)
+           |    AS n_exact_dups,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jpairs) AS n_near_pairs,
+           |  (SELECT CAST(SUM(quality_micro) // COUNT(*) AS BIGINT) FROM quality)
+           |    AS mean_quality_micro,
+           |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM toks) AS n_tokens""".stripMargin),
       "t31_contamination_frac" -> oracle(
         s""", dsh31 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
            |bsh31 AS (SELECT DISTINCT shingle FROM dsh31
