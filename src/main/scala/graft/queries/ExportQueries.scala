@@ -263,6 +263,14 @@ object ExportQueries {
   private val ShardSeed = "shard:42|"
   private val NShards = 8L
 
+  /** The seeded shard-assignment arithmetic — factored so a delta row
+    * ([[xExportDelta]]) names the SAME shard the full shuffle layout
+    * ([[xShuffleShards]]) places the doc in. */
+  private def shardKeyCol(docId: org.apache.spark.sql.Column) =
+    md5(concat(lit(ShardSeed), docId.cast("string")))
+  private def shardOfKeyCol(skey: org.apache.spark.sql.Column) =
+    conv(substring(skey, 1, 8), 16, 10).cast("bigint") % NShards
+
   /** x_shuffle_shards — the deterministic SHUFFLE-to-shards pass between
     * the clean corpus and the trainer: training order must be a seeded
     * pseudo-random permutation (a source-ordered export bakes curriculum
@@ -280,10 +288,8 @@ object ExportQueries {
     import org.apache.spark.sql.expressions.Window
     val keyed = TextQueries.t12CleanUnordered(spark, dir)
       .select(col("doc_id"))
-      .withColumn("skey",
-        md5(concat(lit(ShardSeed), col("doc_id").cast("string"))))
-      .withColumn("shard",
-        conv(substring(col("skey"), 1, 8), 16, 10).cast("bigint") % NShards)
+      .withColumn("skey", shardKeyCol(col("doc_id")))
+      .withColumn("shard", shardOfKeyCol(col("skey")))
     keyed
       .withColumn("pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
@@ -341,6 +347,59 @@ object ExportQueries {
       .orderBy("doc_id")
   }
 
+  /** The v2 export policy: the SAME three quality signals reweighted
+    * (length saturation up, stopword ratio down — a filter-v2 rollout
+    * recalibration) with a floor raised to match the shifted score
+    * distribution. Inlined into BOTH the Spark plan and the oracle. */
+  private val V2WStop = 0.3
+  private val V2WPunct = 0.3
+  private val V2WLen = 0.4
+  private val QualityV2Floor = 550000L
+
+  /** x_export_delta — the INCREMENTAL export: when the certification
+    * policy moves (here a quality reweighting, v1 = 0.5/0.3/0.2 floor
+    * 450000 → v2 = 0.3/0.3/0.4 floor 550000), a 100 TB
+    * pipeline never re-ships the corpus — it ships the CHANGE SET:
+    * `add` rows (newly certified under v2) and `tombstone` rows (losing
+    * certification), each tagged with the shard the shuffle layout
+    * places that doc in, so the writer knows exactly which shard files
+    * change and every other shard is untouched.
+    *
+    * ONE PASS (the x_front_door_audit discipline): both scores come off
+    * the same signal scan ([[TextQueries.qualitySignals]] — one
+    * definition, two [[TextQueries.qualityMicroCol]] weightings), joined
+    * once against the shared eligibility set
+    * ([[TextQueries.certEligible]] — dedup keep set minus
+    * decontamination, the composition both policies filter); the action
+    * is a two-sided `when` over the two floors. No v1-set/v2-set
+    * materialization, no anti-joins: the delta falls out of the
+    * boundary comparison row by row. BatchPipelineSpec cross-checks this
+    * one-pass form against the literal two-set difference.
+    *
+    * Scale shape: eligibility is the pipeline's own checkpointed dedup
+    * output, the signal scan is one pass over the corpus, the join is
+    * doc_id-keyed, and the shard tag is stateless hash arithmetic — the
+    * whole delta is corpus-linear with NO new shuffle classes, and the
+    * downstream write is delta-proportional instead of corpus-
+    * proportional. */
+  def xExportDelta(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextQueries.qualitySignals(spark, dir)
+      .select(col("doc_id"),
+        TextQueries.qualityMicroCol(0.5, 0.3, 0.2).as("q1"),
+        TextQueries.qualityMicroCol(V2WStop, V2WPunct, V2WLen).as("q2"))
+    val action = when(
+        col("q2") >= QualityV2Floor &&
+          col("q1") < TextQueries.CleanQualityFloor, "add")
+      .when(col("q1") >= TextQueries.CleanQualityFloor &&
+          col("q2") < QualityV2Floor, "tombstone")
+    TextQueries.certEligible(spark, dir)
+      .join(scored, "doc_id")
+      .select(col("doc_id"), action.as("action"),
+        shardOfKeyCol(shardKeyCol(col("doc_id"))).as("shard"))
+      .filter(col("action").isNotNull)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,
       "x_export_counts" -> xExportCounts,
@@ -348,7 +407,8 @@ object ExportQueries {
       "x_front_door_audit" -> xFrontDoorAudit,
       "x_compact_audit" -> xCompactAudit,
       "x_shuffle_shards" -> xShuffleShards,
-      "x_train_val_split" -> xTrainValSplit)
+      "x_train_val_split" -> xTrainValSplit,
+      "x_export_delta" -> xExportDelta)
 
   /** DuckDB twin of the whole tier cascade. */
   /** The front door's gate CTE stack (arrivals → quality → exact → band
@@ -420,6 +480,32 @@ object ExportQueries {
            |       row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
            |FROM keyed
            |ORDER BY shard, pos""".stripMargin),
+      // the policy-move delta: the SAME t12 CTE stack (quality = the v1
+      // score it already defines), plus the v2 reweighting rendered by
+      // the SAME qualityCteSql fragment, the shared eligibility join,
+      // and the boundary CASE — DuckDB recomputes both scores and both
+      // floors fully independently
+      "x_export_delta" -> TextQueries.oracle(
+        s"""${TextQueries.t12OracleCtes},
+           |${TextQueries.qualityCteSql("qual2", "q2", V2WStop, V2WPunct, V2WLen)},
+           |elig AS (
+           |  SELECT k.doc_id FROM keepset k
+           |  LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |  WHERE x.doc_id IS NULL)
+           |SELECT e.doc_id,
+           |       CASE WHEN q2.q2 >= $QualityV2Floor
+           |                 AND q1.quality_micro < ${TextQueries.CleanQualityFloor}
+           |            THEN 'add' ELSE 'tombstone' END AS action,
+           |       CAST(('0x' || substr(md5('$ShardSeed' || CAST(e.doc_id AS VARCHAR)), 1, 8))
+           |            AS BIGINT) % $NShards AS shard
+           |FROM elig e
+           |JOIN quality q1 ON e.doc_id = q1.doc_id
+           |JOIN qual2 q2 ON e.doc_id = q2.doc_id
+           |WHERE (q2.q2 >= $QualityV2Floor
+           |       AND q1.quality_micro < ${TextQueries.CleanQualityFloor})
+           |   OR (q1.quality_micro >= ${TextQueries.CleanQualityFloor}
+           |       AND q2.q2 < $QualityV2Floor)
+           |ORDER BY e.doc_id""".stripMargin),
       // the leakage-safe split: assignment is pure hash arithmetic; the
       // leak set reuses the t12 stack's fps + jpairs CTEs verbatim
       "x_train_val_split" -> TextQueries.oracle(

@@ -670,6 +670,16 @@ object TextQueries {
       .except(exactRemoved.unionByName(nearRemoved))
   }
 
+  /** The certification-ELIGIBLE set — d7's dedup keep set minus t8's
+    * decontamination flags, i.e. t12's composition BEFORE the quality
+    * floor. Both export policies (t12's v1 floor and the export-delta's
+    * v2 reweighting) filter THIS set by quality, so the delta between
+    * them is purely a quality-boundary move — shared here so the two
+    * consumers cannot diverge in what "eligible" means. */
+  private[graft] def certEligible(spark: SparkSession, dir: String): DataFrame =
+    d7KeepSet(spark, dir)
+      .join(t8Decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+
   /** d8 — edit-distance verify over LSH candidates: exact Levenshtein on
     * the candidate pairs (the character-level complement of d4's set-based
     * Jaccard — catches reorder-free edits Jaccard underweights). Same
@@ -879,6 +889,33 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** The t2 signal frame — one cachedToks scan carrying the three quality
+    * signals (plus `text` for the length terms). ONE definition shared by
+    * the v1 score and the export-delta's v2 reweighting
+    * ([[graft.queries.ExportQueries.xExportDelta]]), so the two policies
+    * cannot drift in signal semantics. */
+  private[graft] def qualitySignals(spark: SparkSession, dir: String): DataFrame =
+    cachedToks(spark, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(stopwords))))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** The weighted micro-score over [[qualitySignals]]' columns —
+    * parameterized weights, same expression tree otherwise, so a
+    * reweighted policy is the SAME arithmetic with different literals
+    * (v1 = 0.5/0.3/0.2; the export-delta's v2 = its own constants). */
+  private[graft] def qualityMicroCol(
+      wStop: Double, wPunct: Double, wLen: Double): Column =
+    floor(
+      (col("n_stop").cast("double") /
+        greatest(col("n_tokens").cast("double"), lit(1.0)) * wStop +
+        (lit(1.0) - least(col("n_punct").cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0)), lit(1.0))) * wPunct +
+        least(length(col("text")).cast("double"), lit(500.0)) / 500.0 * wLen) *
+        lit(1000000.0)).cast("bigint")
+
   /** Quality score: stopword ratio, punctuation density, length saturation
     * — weighted to [0,1] like production pretraining-data filters. Emitted
     * as integer micro-units via floor: round() interprets the SAME double
@@ -887,20 +924,9 @@ object TextQueries {
     * rational inputs here DO land on halves; floor of an identical double
     * is identical everywhere. */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame =
-    cachedToks(spark, dir)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isInCollection(stopwords))))
-      .withColumn("n_punct",
-        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))))
+    qualitySignals(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
-        floor(
-          (col("n_stop").cast("double") /
-            greatest(col("n_tokens").cast("double"), lit(1.0)) * 0.5 +
-            (lit(1.0) - least(col("n_punct").cast("double") /
-              greatest(length(col("text")).cast("double"), lit(1.0)), lit(1.0))) * 0.3 +
-            least(length(col("text")).cast("double"), lit(500.0)) / 500.0 * 0.2) *
-            lit(1000000.0)).cast("bigint").as("quality_micro"))
+        qualityMicroCol(0.5, 0.3, 0.2).as("quality_micro"))
       .orderBy("doc_id")
 
   /** Language ID: distinctive-stopword vote with a fixed precedence order —
@@ -2160,6 +2186,25 @@ object TextQueries {
     * ([[graft.queries.ExportQueries]]): the per-language survivor counts
     * the shard writer must conserve are, by definition, an aggregation of
     * exactly this survivor set — one definition, two final SELECTs. */
+  /** The weighted quality CTE — the SQL rendering of [[qualityMicroCol]]
+    * over [[qualitySignals]]' inner select, weights parameterized. ONE
+    * definition serving the t12 stack's v1 score and the export-delta
+    * oracle's v2 reweighting, mirroring the Spark-side sharing. */
+  private[queries] def qualityCteSql(name: String, scoreName: String,
+      wStop: Double, wPunct: Double, wLen: Double): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |         CAST(floor((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * $wStop +
+       |               (1.0 - least(CAST(n_punct AS DOUBLE) /
+       |                            greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * $wPunct +
+       |               least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * $wLen)
+       |              * 1000000.0) AS BIGINT) AS $scoreName
+       |  FROM (
+       |    SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
+       |           len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
+       |           len(regexp_extract_all(c.text, '[^A-Za-z0-9\\s]')) AS n_punct
+       |    FROM toks t JOIN corpus c ON t.doc_id = c.doc_id))""".stripMargin
+
   private[queries] lazy val t12OracleCtes: String =
     s""", $sigsCte,
        |$bandsCte,
@@ -2180,18 +2225,7 @@ object TextQueries {
        |  SELECT s.doc_id FROM dsh s JOIN bsh ON s.shingle = bsh.shingle
        |  WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 1000000)
        |  GROUP BY s.doc_id HAVING count(*) >= 3),
-       |quality AS (
-       |  SELECT doc_id,
-       |         CAST(floor((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 0.5 +
-       |               (1.0 - least(CAST(n_punct AS DOUBLE) /
-       |                            greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 +
-       |               least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.2)
-       |              * 1000000.0) AS BIGINT) AS quality_micro
-       |  FROM (
-       |    SELECT c.doc_id, c.text, len(t.toks) AS n_tokens,
-       |           len(list_filter(t.toks, x -> x IN ($stopList))) AS n_stop,
-       |           len(regexp_extract_all(c.text, '[^A-Za-z0-9\\s]')) AS n_punct
-       |    FROM toks t JOIN corpus c ON t.doc_id = c.doc_id)),
+       |${qualityCteSql("quality", "quality_micro", 0.5, 0.3, 0.2)},
        |redacted AS (
        |  SELECT doc_id,
        |         len(regexp_extract_all(t, '$EmailRe')) AS n_emails,

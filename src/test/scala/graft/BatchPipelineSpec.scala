@@ -39,6 +39,26 @@ class BatchPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("x_export_delta: one-pass boundary form equals the literal two-set difference") {
+    import graft.queries.{ExportQueries, TextQueries}
+    val delta = ExportQueries.queries("x_export_delta")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // independent derivation: certify each policy as its own SET, diff them
+    val q2 = TextQueries.qualitySignals(spark, sf)
+      .select(col("doc_id"), TextQueries.qualityMicroCol(0.3, 0.3, 0.4).as("q2"))
+    val elig = TextQueries.certEligible(spark, sf)
+    val v1 = TextQueries.queries("t12_clean_corpus")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val v2 = elig.join(q2.filter(col("q2") >= 550000L), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    TextQueries.releaseCaches()
+    assert(delta.filter(_._2 == "add").map(_._1).toSet == (v2 -- v1))
+    assert(delta.filter(_._2 == "tombstone").map(_._1).toSet == (v1 -- v2))
+    // the fixture exercises BOTH actions — a one-sided fixture would let a
+    // broken branch of the when-cascade pass silently
+    assert(delta.exists(_._2 == "add") && delta.exists(_._2 == "tombstone"))
+  }
+
   test("one round: top-k claimed jobs walk to Done, rest of snapshot untouched") {
     val before = graft.model.EncodeDomain.jobsDF(spark, sf)
     val r = BatchPipeline.runRound(spark, sf, capacity = 20, MockRunner)
