@@ -132,4 +132,53 @@ object BatchPipeline {
       graft.sinks.ShardWriter.manifest(spark, outDir, "lang", "doc_id"),
       expected)
   }
+
+  /** What [[applyExportDelta]] did: bounded counts + the shard values it
+    * rewrote (at most the shard count — driver-safe to hold). */
+  case class DeltaApplied(nAdds: Long, nTombstones: Long,
+      touchedShards: Seq[Long])
+
+  /** The shuffled training-order export —
+    * [[graft.queries.ExportQueries.xShuffleShards]]'s seeded layout
+    * MATERIALIZED: `frame` (any doc_id-keyed certification output, e.g.
+    * `v1CleanForExport`) lands hive-partitioned by seeded shard, each
+    * shard a contiguous skey range, so training order is the reproducible
+    * pseudo-random permutation the layout query describes. */
+  def exportShuffled(frame: DataFrame, outDir: String,
+      maxRecordsPerFile: Int = 10000): Unit =
+    graft.sinks.ShardWriter.writeShards(
+      graft.queries.ExportQueries.sharded(frame), outDir,
+      "shard", "skey", maxRecordsPerFile)
+
+  /** Apply the v1→v2 certification-policy move INCREMENTALLY to a
+    * [[exportShuffled]] export: compute the delta
+    * ([[graft.queries.ExportQueries.xExportDelta]]), rewrite ONLY the
+    * shards it names from the v2 content frame, leave every other shard's
+    * files untouched on disk. Correctness rests on the layout invariant
+    * the shared `sharded` rendering guarantees: a doc's shard never
+    * depends on the policy, so a shard with no delta rows has IDENTICAL
+    * v1 and v2 content — DeltaExportSpec pins apply-equals-from-scratch
+    * file-for-file and the untouched shards byte-for-byte.
+    *
+    * Scale shape: the only driver-side state is one (shard, counts) row
+    * per touched shard; the delta rows themselves are never collected.
+    * The v2 certification pass is corpus-linear (in production the scored
+    * frame would itself be a materialized table — the seam accepts any
+    * doc_id-keyed frame); the WRITE is delta-shard-proportional, which is
+    * the entire point at 100 TB. */
+  def applyExportDelta(spark: SparkSession, dir: String, exportDir: String,
+      maxRecordsPerFile: Int = 10000): DeltaApplied = {
+    import graft.queries.ExportQueries
+    val byShard = ExportQueries.xExportDelta(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(when(col("action") === "add", 1)).as("n_adds"),
+        count(when(col("action") === "tombstone", 1)).as("n_tombs"))
+      .collect() // bounded: one row per touched shard
+    val touched = byShard.map(_.getLong(0)).toSeq.sorted
+    graft.sinks.ShardWriter.applyDelta(exportDir,
+      ExportQueries.sharded(ExportQueries.v2CleanForExport(spark, dir)),
+      touched, "shard", "skey", maxRecordsPerFile)
+    DeltaApplied(byShard.map(_.getLong(1)).sum, byShard.map(_.getLong(2)).sum,
+      touched)
+  }
 }

@@ -271,6 +271,33 @@ object ExportQueries {
   private def shardOfKeyCol(skey: org.apache.spark.sql.Column) =
     conv(substring(skey, 1, 8), 16, 10).cast("bigint") % NShards
 
+  /** Attach the seeded layout columns (`skey`, `shard`) to any
+    * doc_id-keyed frame — the ONE rendering of the shuffle layout shared
+    * by [[xShuffleShards]] (the layout report), the materialized shuffled
+    * export, and the delta apply, so a delta row's shard tag can never
+    * disagree with where the writer put the doc. */
+  private[graft] def sharded(df: DataFrame): DataFrame =
+    df.withColumn("skey", shardKeyCol(col("doc_id")))
+      .withColumn("shard", shardOfKeyCol(col("skey")))
+
+  /** The v1 export content (doc_id + redacted training text) — t12's
+    * certification, straight off the clean-corpus snapshot. */
+  private[graft] def v1CleanForExport(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.t12CleanUnordered(spark, dir).select("doc_id", "redacted")
+
+  /** The v2 export content: the SAME eligibility set certified by the
+    * reweighted score, carrying the same redacted projection — what a
+    * from-scratch v2 export would ship, and what [[xExportDelta]]'s adds
+    * and tombstones move the v1 export TO. */
+  private[graft] def v2CleanForExport(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.certEligible(spark, dir)
+      .join(TextQueries.qualitySignals(spark, dir)
+        .select(col("doc_id"),
+          TextQueries.qualityMicroCol(V2WStop, V2WPunct, V2WLen).as("q2")), "doc_id")
+      .filter(col("q2") >= QualityV2Floor)
+      .join(TextQueries.t5RedactPii(spark, dir).select("doc_id", "redacted"), "doc_id")
+      .select("doc_id", "redacted")
+
   /** x_shuffle_shards — the deterministic SHUFFLE-to-shards pass between
     * the clean corpus and the trainer: training order must be a seeded
     * pseudo-random permutation (a source-ordered export bakes curriculum
@@ -286,10 +313,8 @@ object ExportQueries {
     * parallelism is the shard count you asked for. */
   def xShuffleShards(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = TextQueries.t12CleanUnordered(spark, dir)
-      .select(col("doc_id"))
-      .withColumn("skey", shardKeyCol(col("doc_id")))
-      .withColumn("shard", shardOfKeyCol(col("skey")))
+    val keyed = sharded(
+      TextQueries.t12CleanUnordered(spark, dir).select(col("doc_id")))
     keyed
       .withColumn("pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))

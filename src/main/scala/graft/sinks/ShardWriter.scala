@@ -43,6 +43,51 @@ object ShardWriter {
       .mode("overwrite")
       .parquet(outDir)
 
+  /** Incremental re-materialization: rewrite ONLY the partition values in
+    * `touched` from `newDf` (the new FULL content frame), leaving every
+    * other partition's files untouched on disk — the delta-export write
+    * path: at 100 TB a certification-policy move re-ships the shards
+    * whose membership changed, not the corpus.
+    *
+    * Mechanics: dynamic partition overwrite (`partitionOverwriteMode=
+    * dynamic` replaces only the partitions PRESENT in the written data —
+    * the Spark-native idiom for partial rewrites), over `newDf` filtered
+    * to the touched values, so the write's input AND output are both
+    * delta-proportional. One hole in dynamic overwrite needs explicit
+    * handling: a touched value with NO surviving rows writes zero rows,
+    * so dynamic mode never visits it — without the sweep below, a
+    * fully-tombstoned shard would silently keep its stale files. The
+    * filtered frame is pinned for the duration (it is delta-sized) so
+    * the presence probe does not recompute the upstream chain.
+    *
+    * Same determinism discipline as [[writeShards]]: each rewritten
+    * shard is a contiguous reproducible key range, so applying a delta
+    * and exporting from scratch yield identical shard contents
+    * (spec-pinned in DeltaExportSpec). */
+  def applyDelta(outDir: String, newDf: DataFrame,
+      touched: Seq[Long], partitionCol: String, orderCol: String,
+      maxRecordsPerFile: Int, salts: Int = 1): Unit = {
+    val touchedRows = newDf.filter(col(partitionCol).isin(touched: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      touchedRows
+        .repartition(col(partitionCol), pmod(hash(col(orderCol)), lit(salts)))
+        .sortWithinPartitions(col(partitionCol), col(orderCol))
+        .write
+        .partitionBy(partitionCol)
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(outDir)
+      val present = touchedRows.select(col(partitionCol).cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet // bounded by |touched|
+      (touched.toSet -- present).foreach { v =>
+        val d = new java.io.File(outDir, s"$partitionCol=$v")
+        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
+    } finally { touchedRows.unpersist(); () }
+  }
+
   /** Shard manifest: one row per written file — (partition value, file,
     * n_rows, min/max of the order column). The audit artifact a training
     * job logs next to the data; also what the spec asserts against. */
