@@ -181,4 +181,38 @@ object BatchPipeline {
     DeltaApplied(byShard.map(_.getLong(1)).sum, byShard.map(_.getLong(2)).sum,
       touched)
   }
+
+  /** What [[applyForget]] did. */
+  case class ForgetApplied(nRemoved: Long, touchedShards: Seq[Long])
+
+  /** The deletion-compliance purge applied INCREMENTALLY to a
+    * [[exportShuffled]] export: every certified doc content-matching a
+    * deletion request ([[graft.queries.ExportQueries.forgetRemovalSet]] —
+    * match by normalized fingerprint, so exact copies of the requested
+    * text go with it) is tombstoned, and only the shards holding removed
+    * docs are rewritten. The same [[graft.sinks.ShardWriter.applyDelta]]
+    * machinery as the policy-move delta — a forget pass IS a
+    * tombstone-only delta — so untouched shards stay byte-identical and
+    * a fully-purged shard is swept, both DeltaExportSpec-pinned.
+    *
+    * The audit twin is the oracled `x_forget_audit` row. Derived-base
+    * note: this engine's corpus is an immutable driver fixture, so the
+    * purge surface is the EXPORT (what ships to training); in a
+    * deployment where the corpus itself mutates, the fingerprint/band/
+    * index bases rebuild through their own snapshot-eviction seam
+    * ([[graft.plans.Snapshot]]) exactly as a compaction fold does. */
+  def applyForget(spark: SparkSession, dir: String, exportDir: String,
+      maxRecordsPerFile: Int = 10000): ForgetApplied = {
+    import graft.queries.ExportQueries
+    val byShard = ExportQueries.sharded(ExportQueries.forgetRemovalSet(spark, dir))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per touched shard
+    val touched = byShard.map(_.getLong(0)).toSeq.sorted
+    val purged = ExportQueries.v1CleanForExport(spark, dir)
+      .join(ExportQueries.forgetRemovalSet(spark, dir), Seq("doc_id"), "left_anti")
+    graft.sinks.ShardWriter.applyDelta(exportDir,
+      ExportQueries.sharded(purged), touched, "shard", "skey",
+      maxRecordsPerFile)
+    ForgetApplied(byShard.map(_.getLong(1)).sum, touched)
+  }
 }

@@ -425,6 +425,60 @@ object ExportQueries {
       .orderBy("doc_id")
   }
 
+  /** The deletion-request fixture: corpus docs with doc_id ≡ 3 (mod 17) —
+    * a pure function of the driver tables (the derived-arrivals
+    * discipline), so DuckDB rebuilds the identical request set. */
+  private val ForgetMod = 17L
+  private val ForgetRem = 3L
+
+  private[graft] def forgetRequests(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.corpus(spark, dir)
+      .filter(col("doc_id") % ForgetMod === ForgetRem).select("doc_id")
+
+  /** The removal set of the forget pass: every CLEAN doc whose normalized
+    * content fingerprint matches ANY requested doc's. Deletion is by
+    * CONTENT, not id — removing doc X while its exact copy Y ships in the
+    * next export does not honor the request; the fp probe rides the
+    * dedup pipeline's own checkpointed fingerprint base, so the match
+    * semantic is exactly d1's (normalize-whitespace, lowercase, md5). */
+  private[graft] def forgetRemovalSet(spark: SparkSession, dir: String): DataFrame = {
+    val fps = TextQueries.cachedFps(spark, dir)
+    val reqFps = fps.join(forgetRequests(spark, dir), "doc_id")
+      .select("fp").distinct()
+    TextQueries.t12CleanUnordered(spark, dir).select("doc_id")
+      .join(fps, "doc_id").join(reqFps, "fp").select("doc_id")
+  }
+
+  /** x_forget_audit — the deletion-compliance (right-to-be-forgotten)
+    * accounting: one row — requests received, certified docs removed
+    * (by content match, see [[forgetRemovalSet]]), certified docs
+    * remaining, and how many export shards the purge rewrites — with the
+    * conservation identity n_clean_after = n_clean_before −
+    * n_clean_removed checkable from the row alone. The APPLY half is
+    * [[graft.pipeline.BatchPipeline.applyForget]], which purges a
+    * materialized shuffled export incrementally through the same
+    * delta-apply machinery (tombstone-only delta; untouched shards stay
+    * byte-identical on disk — DeltaExportSpec).
+    *
+    * Scale shape: the request set is a scan predicate, the fp probe is
+    * one broadcast-or-hash join against the checkpointed fingerprint
+    * base, and the audit is three 1-row aggregates crossed as broadcasts
+    * (the x_corpus_report discipline) — request-proportional beyond the
+    * one clean-corpus pass. */
+  def xForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val removed = sharded(forgetRemovalSet(spark, dir))
+    val remAgg = removed.agg(count(lit(1)).as("n_clean_removed"),
+      countDistinct(col("shard")).as("n_shards_touched"))
+    val reqAgg = forgetRequests(spark, dir).agg(count(lit(1)).as("n_requested"))
+    val cleanAgg = TextQueries.t12CleanUnordered(spark, dir)
+      .agg(count(lit(1)).as("n_clean_before"))
+    reqAgg.crossJoin(cleanAgg).crossJoin(remAgg)
+      .select(col("n_requested"), col("n_clean_before"),
+        col("n_clean_removed"),
+        (col("n_clean_before") - col("n_clean_removed")).as("n_clean_after"),
+        col("n_shards_touched"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,
       "x_export_counts" -> xExportCounts,
@@ -433,7 +487,8 @@ object ExportQueries {
       "x_compact_audit" -> xCompactAudit,
       "x_shuffle_shards" -> xShuffleShards,
       "x_train_val_split" -> xTrainValSplit,
-      "x_export_delta" -> xExportDelta)
+      "x_export_delta" -> xExportDelta,
+      "x_forget_audit" -> xForgetAudit)
 
   /** DuckDB twin of the whole tier cascade. */
   /** The front door's gate CTE stack (arrivals → quality → exact → band
@@ -531,6 +586,32 @@ object ExportQueries {
            |   OR (q1.quality_micro >= ${TextQueries.CleanQualityFloor}
            |       AND q2.q2 < $QualityV2Floor)
            |ORDER BY e.doc_id""".stripMargin),
+      // the forget accounting: request set is a corpus predicate, the
+      // removal set is the clean set content-joined via the SAME fps CTE
+      // the dedup oracle defines, shards via the inlined seed arithmetic
+      "x_forget_audit" -> TextQueries.oracle(
+        s"""${TextQueries.t12OracleCtes},
+           |cleanset AS (
+           |  SELECT k.doc_id FROM keepset k
+           |  JOIN quality q ON k.doc_id = q.doc_id
+           |    AND q.quality_micro >= ${TextQueries.CleanQualityFloor}
+           |  LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |  WHERE x.doc_id IS NULL),
+           |req AS (SELECT doc_id FROM corpus WHERE doc_id % $ForgetMod = $ForgetRem),
+           |reqfp AS (SELECT DISTINCT f.fp FROM fps f
+           |          JOIN req r ON f.doc_id = r.doc_id),
+           |removed AS (SELECT c.doc_id FROM cleanset c
+           |            JOIN fps f ON c.doc_id = f.doc_id
+           |            JOIN reqfp x ON f.fp = x.fp)
+           |SELECT CAST((SELECT count(*) FROM req) AS BIGINT) AS n_requested,
+           |       CAST((SELECT count(*) FROM cleanset) AS BIGINT) AS n_clean_before,
+           |       CAST((SELECT count(*) FROM removed) AS BIGINT) AS n_clean_removed,
+           |       CAST((SELECT count(*) FROM cleanset) - (SELECT count(*) FROM removed)
+           |            AS BIGINT) AS n_clean_after,
+           |       CAST((SELECT count(DISTINCT
+           |                CAST(('0x' || substr(md5('$ShardSeed' || CAST(doc_id AS VARCHAR)), 1, 8))
+           |                     AS BIGINT) % $NShards) FROM removed)
+           |            AS BIGINT) AS n_shards_touched""".stripMargin),
       // the leakage-safe split: assignment is pure hash arithmetic; the
       // leak set reuses the t12 stack's fps + jpairs CTEs verbatim
       "x_train_val_split" -> TextQueries.oracle(

@@ -34,6 +34,22 @@ class DeltaExportSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Per-shard content signatures (file NAMES embed per-write UUIDs, but
+    * the writer's sorted-stream splitting makes file BYTES deterministic). */
+  private def shardSigs(dir: String): Map[String, Seq[String]] =
+    fileSigs(dir).toSeq.groupBy(_._1.split('/').head)
+      .view.mapValues(_.map(_._2).sorted).toMap
+
+  private def assertSameExport(appliedDir: String, scratchDir: String): Unit = {
+    val applied = shardSigs(appliedDir)
+    val scratch = shardSigs(scratchDir)
+    assert(applied.keySet == scratch.keySet,
+      s"shard set diverged: only-applied=${applied.keySet -- scratch.keySet} " +
+        s"only-scratch=${scratch.keySet -- applied.keySet}")
+    val diff = applied.keySet.filter(s => applied(s) != scratch(s))
+    assert(diff.isEmpty, s"content diverged in shards: $diff")
+  }
+
   test("applyDelta rewrites only the touched shards; the rest are byte-identical") {
     // 64 shards over 640 rows so untouched shards dominate
     def frame(drop: Set[Long], add: Seq[(Long, String)]) =
@@ -86,18 +102,37 @@ class DeltaExportSpec extends AnyFunSuite {
     graft.queries.TextQueries.releaseCaches()
     // the audit matches the delta query's own accounting (sf0.001: both sides non-empty)
     assert(r.nAdds > 0 && r.nTombstones > 0, r)
-    // per-shard content signatures (file NAMES embed per-write UUIDs, but
-    // the writer's sorted-stream splitting makes file BYTES deterministic):
     // the applied export is indistinguishable from the from-scratch one
-    def shardSigs(dir: String): Map[String, Seq[String]] =
-      fileSigs(dir).toSeq.groupBy(_._1.split('/').head)
-        .view.mapValues(_.map(_._2).sorted).toMap
-    val applied = shardSigs(v1Dir)
-    val scratch = shardSigs(v2Dir)
-    assert(applied.keySet == scratch.keySet,
-      s"shard set diverged: only-applied=${applied.keySet -- scratch.keySet} " +
-        s"only-scratch=${scratch.keySet -- applied.keySet}")
-    val diff = applied.keySet.filter(s => applied(s) != scratch(s))
-    assert(diff.isEmpty, s"content diverged in shards: $diff")
+    assertSameExport(v1Dir, v2Dir)
+  }
+
+  test("composed: forget pass purges requested content incrementally, equals from-scratch") {
+    import graft.queries.ExportQueries
+    val appliedDir = tmp("graft-forget-applied")
+    val scratchDir = tmp("graft-forget-scratch")
+    BatchPipeline.exportShuffled(
+      ExportQueries.v1CleanForExport(spark, sf), appliedDir, maxRecordsPerFile = 50)
+    val r = BatchPipeline.applyForget(spark, sf, appliedDir, maxRecordsPerFile = 50)
+    val removedIds = ExportQueries.forgetRemovalSet(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val reqIds = ExportQueries.forgetRequests(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    BatchPipeline.exportShuffled(
+      ExportQueries.v1CleanForExport(spark, sf)
+        .join(ExportQueries.forgetRemovalSet(spark, sf), Seq("doc_id"), "left_anti"),
+      scratchDir, maxRecordsPerFile = 50)
+    graft.queries.TextQueries.releaseCaches()
+    assert(r.nRemoved > 0 && r.nRemoved == removedIds.size.toLong, r)
+    // the CONTENT tier bites: some removed doc is not itself a request —
+    // it is the kept exact copy of a requested doc (deletion by id alone
+    // would have shipped it in the next export)
+    assert((removedIds -- reqIds).nonEmpty,
+      "fixture must exercise the content-matching tier")
+    // no requested content remains in the applied export
+    val left = spark.read.parquet(appliedDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left.intersect(removedIds).isEmpty,
+      "requested content survived the forget pass")
+    assertSameExport(appliedDir, scratchDir)
   }
 }
