@@ -441,12 +441,23 @@ object ExportQueries {
     * next export does not honor the request; the fp probe rides the
     * dedup pipeline's own checkpointed fingerprint base, so the match
     * semantic is exactly d1's (normalize-whitespace, lowercase, md5). */
+  /** The forget pass's durable suppression list: the DISTINCT
+    * fingerprints of requested content — the artifact
+    * [[graft.streaming.EventStream.suppressAtIngest]] probes so forgotten
+    * content cannot re-enter through the front door after the corpus
+    * purge rebuilds the dedup bases without it. Fingerprints only, never
+    * the text (retaining deleted text to block it would violate the
+    * deletion). */
+  private[graft] def forgetSuppressionFps(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.cachedFps(spark, dir)
+      .join(forgetRequests(spark, dir), "doc_id")
+      .select("fp").distinct()
+
   private[graft] def forgetRemovalSet(spark: SparkSession, dir: String): DataFrame = {
     val fps = TextQueries.cachedFps(spark, dir)
-    val reqFps = fps.join(forgetRequests(spark, dir), "doc_id")
-      .select("fp").distinct()
     TextQueries.t12CleanUnordered(spark, dir).select("doc_id")
-      .join(fps, "doc_id").join(reqFps, "fp").select("doc_id")
+      .join(fps, "doc_id")
+      .join(forgetSuppressionFps(spark, dir), "fp").select("doc_id")
   }
 
   /** x_forget_audit — the deletion-compliance (right-to-be-forgotten)

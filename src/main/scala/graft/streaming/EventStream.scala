@@ -84,6 +84,30 @@ object EventStream {
       // input schema and the hash choice never leaks downstream
       .drop("fp")
 
+  /** Streaming SUPPRESSION gate — the forget pass's streaming leg: once
+    * content is deleted for compliance
+    * ([[graft.pipeline.BatchPipeline.applyForget]]), re-arrivals of that
+    * content must not be re-admitted. [[dedupAgainstCorpus]] does NOT
+    * cover this case: after the corpus itself purges the requested docs
+    * and its fingerprint base rebuilds, the forgotten fp is GONE from the
+    * corpus probe table and a re-arrival would pass dedup as novel. The
+    * suppression list is the durable record of forgotten CONTENT —
+    * fingerprints, never the text itself (retaining deleted text to block
+    * it would violate the deletion), and fps rather than ids so every
+    * exact copy of the requested content dies too, the same by-content
+    * semantic as the batch removal set
+    * ([[graft.queries.ExportQueries.forgetRemovalSet]]).
+    *
+    * Same stateless stream-static anti-join shape as the corpus gate:
+    * re-planned per micro-batch, so a new forget pass appending to the
+    * list takes effect live ([[refreshStaticArtifacts]] for path-backed
+    * deployments); one slim broadcast-or-hash probe at any scale. */
+  def suppressAtIngest(docs: DataFrame, suppressedFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.Fingerprint.col(col("text")))
+      .join(suppressedFps.select(col("fp")), Seq("fp"), "left_anti")
+      .drop("fp")
+
   /** Streaming ingest sampling — the streaming face of TextQueries.t9:
     * the same deterministic md5-threshold mix + epoch explode, applied as
     * documents arrive. STATELESS by construction (a pure filter +
@@ -324,7 +348,16 @@ object EventStream {
       corpusBands: DataFrame,
       model: org.apache.spark.ml.classification.LogisticRegressionModel,
       merges: Seq[(Int, String, String, Long)],
-      bucketWeights: Array[Long])
+      bucketWeights: Array[Long],
+      // the forget pass's durable fingerprint blocklist ([[suppressAtIngest]]);
+      // None = no deletions recorded yet, the gate is absent from the plan
+      suppressedFps: Option[DataFrame] = None)
+
+  /** The suppression leg of the composed front doors: absent (not a
+    * no-op join — absent from the PLAN) until a forget pass records
+    * fingerprints. */
+  private def suppressIfListed(docs: DataFrame, art: IngestArtifacts): DataFrame =
+    art.suppressedFps.fold(docs)(suppressAtIngest(docs, _))
 
   /** Production refresh hook for the stream-static gate artifacts: a
     * PATH-backed static DataFrame caches its file listing at resolution
@@ -356,7 +389,8 @@ object EventStream {
     * composed in its production order — gates first (cheapest kill
     * earliest), annotators after (never price a doc that dies):
     *
-    *   quality rules → corpus exact dedup → corpus near-dup bands
+    *   quality rules → corpus exact dedup → [suppression list, when a
+    *     forget pass has recorded one] → corpus near-dup bands
     *     → classifier score → BPE token pricing → DSIR importance
     *
     * Survivors carry the input schema plus the six annotation columns
@@ -370,7 +404,8 @@ object EventStream {
     * upstream when arrivals carry an event-time column. */
   def ingestFrontDoor(docs: DataFrame, art: IngestArtifacts): DataFrame = {
     val gated = nearDupGateAtIngest(
-      dedupAgainstCorpus(filterQualityAtIngest(docs), art.corpusFps),
+      suppressIfListed(
+        dedupAgainstCorpus(filterQualityAtIngest(docs), art.corpusFps), art),
       art.corpusBands)
     scoreImportanceAtIngest(
       encodeAtIngest(
@@ -400,7 +435,8 @@ object EventStream {
       ttl: java.time.Duration = java.time.Duration.ofDays(7)): DataFrame = {
     import docs.sparkSession.implicits._
     val gated = nearDupGateAtIngest(
-      dedupAgainstCorpus(filterQualityAtIngest(docs), art.corpusFps),
+      suppressIfListed(
+        dedupAgainstCorpus(filterQualityAtIngest(docs), art.corpusFps), art),
       art.corpusBands)
     val capped = gated
       .select(col("doc_id"), col("source"), col("text")).as[CapTextDoc]

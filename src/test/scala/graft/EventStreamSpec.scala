@@ -620,6 +620,57 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("suppression gate: forgotten content cannot re-enter after the corpus purge; novel still passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.{ExportQueries, MlQueries, TextQueries}
+    implicit val sq = spark.sqlContext
+    // the post-purge world: dedup probe tables rebuilt WITHOUT the
+    // forgotten docs — the exact state in which plain corpus dedup would
+    // re-admit the content, which is why the suppression list exists
+    val removedIds = ExportQueries.forgetRemovalSet(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val suppression = ExportQueries.forgetSuppressionFps(spark, sf)
+    val purgedFps = TextQueries.corpus(spark, sf)
+      .filter(!col("doc_id").isInCollection(removedIds))
+      .select(graft.ops.Fingerprint.col(col("text")).as("fp"))
+    val purgedBands = TextQueries.corpusBandTable(spark, sf)
+      .filter(!col("doc_id").isInCollection(removedIds))
+    def art(sup: Option[org.apache.spark.sql.DataFrame]) =
+      EventStream.IngestArtifacts(
+        corpusFps = purgedFps, corpusBands = purgedBands,
+        model = MlQueries.fitted(spark, sf),
+        merges = MlQueries.learnedMerges(spark, sf),
+        bucketWeights = TextQueries.dsirBucketWeights(spark, sf),
+        suppressedFps = sup)
+    // pick a forgotten doc that, with NO list, sails through the purged
+    // front door (passes quality; its fp and bands are gone) — the
+    // precondition that makes the suppression kill attributable
+    val candidates = TextQueries.corpus(spark, sf)
+      .filter(col("doc_id").isInCollection(removedIds))
+      .filter(TextQueries.gopherKeepCol(col("text")) === 1L)
+      .orderBy("doc_id").limit(8).collect().map(_.getString(1))
+    val text = candidates.find { t =>
+      EventStream.ingestFrontDoor(
+        Seq((9700001L, t)).toDF("doc_id", "text"), art(None)).count() == 1L
+    }.getOrElse(fail("fixture precondition: no removed doc re-admits through the purged door"))
+    val novel = text.split("\\s+").mkString("the ", " the ", " the")
+    // streaming deployment WITH the list: the re-arrival dies at the
+    // suppression gate, genuine novelty still passes, zero state
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStream.ingestFrontDoor(ms.toDF().toDF("doc_id", "text"),
+        art(Some(suppression))).writeStream
+      .format("memory").queryName("suppress").outputMode("append").start()
+    ms.addData((9700001L, text), (9700002L, novel))
+    q.processAllAvailable()
+    val got = spark.table("suppress").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(9700002L), s"suppression gate mis-filtered: $got")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "suppression must stay stateless")
+    q.stop()
+    TextQueries.releaseCaches()
+  }
+
   test("front-door soak: compaction folds between micro-batches are picked up live, state stays zero") {
     // r12 verdict stretch 7: the individually-pinned pieces in one loop —
     // a RUNNING ingestFrontDoor query over N micro-batches with a
