@@ -267,10 +267,55 @@ object MlQueries {
       .orderBy("doc_id")
   }
 
+  /** [[xTokenizerReport]]'s alarm floor: per-doc fertility in micro-units
+    * above which a doc counts as tokenizer-pathological. Set ABOVE the
+    * fixture corpus mean (~3.39 pieces/word) so the count flags the worst
+    * tail, not the whole corpus; inlined into BOTH engines. */
+  private val FertilityAlarm = 3600000L
+
+  /** x_tokenizer_report — the tokenizer-health dashboard next to
+    * x_corpus_report (text) and x_drift_report (vectors): one row of the
+    * numbers an operator watches when a tokenizer meets a growing corpus —
+    * docs priced, corpus word/piece mass, corpus-level fertility
+    * (pieces per word in exact micro-units — THE tokenizer-fit metric:
+    * fertility creeping up means the corpus drifted from what the
+    * vocabulary was trained on), the count of alarm-fertility docs (the
+    * actionable tail), and the vocabulary's own shape (size, share of
+    * multi-piece words). Everything downstream of the learned vocab is
+    * plain arithmetic, so the whole row rides t21's fixed-vocab oracle
+    * discipline: DuckDB recomputes per-doc and corpus aggregates from the
+    * exported (word, word_pieces) table independently.
+    *
+    * Scale shape: re-aggregates [[t21BpeEncode]]'s per-doc frame (one
+    * distinct-word join + two groupBys, map-side combinable) into 1-row
+    * broadcasts crossed with a vocab-side aggregate — nothing beyond what
+    * pricing the corpus already costs. */
+  def xTokenizerReport(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeState(spark, dir)._2
+      .select(col("word"), size(col("syms")).cast("bigint").as("word_pieces"))
+    graft.plans.VerifyExports.maybeExport(dir, "t21_bpe_vocab")(vocab)
+    val enc = t21BpeEncode(spark, dir)
+    val docAgg = enc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_words"),
+      sum(col("n_pieces")).as("n_pieces"),
+      count(when(col("fertility_micro") >= FertilityAlarm, 1))
+        .as("n_alarm_docs"))
+    val vocabAgg = vocab.agg(
+      count(lit(1)).as("n_vocab"),
+      count(when(col("word_pieces") > 1L, 1)).as("n_multi_piece_vocab"))
+    docAgg.crossJoin(vocabAgg)
+      .select(col("n_docs"), col("n_words"), col("n_pieces"),
+        expr("CAST((n_pieces * 1000000) DIV n_words AS BIGINT)")
+          .as("fertility_micro"),
+        col("n_alarm_docs"), col("n_vocab"), col("n_multi_piece_vocab"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t19_quality_classifier" -> t19QualityClassifier,
     "t20_bpe_merges" -> t20BpeMerges,
-    "t21_bpe_encode" -> t21BpeEncode)
+    "t21_bpe_encode" -> t21BpeEncode,
+    "x_tokenizer_report" -> xTokenizerReport)
 
   /** t19 stays rows-only (L-BFGS coefficients are not cross-engine
     * reproducible, so no SQL oracle can exist; MlSpec covers semantics).
@@ -301,6 +346,32 @@ object MlQueries {
            |  JOIN (SELECT word, word_pieces FROM ${sqlPath("t21_bpe_vocab")})
            |  USING (word)
            |  GROUP BY doc_id)
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin),
+      // the health row: same fixed-vocab discipline — per-doc and corpus
+      // aggregates recomputed independently from the exported vocab
+      "x_tokenizer_report" -> TextQueries.oracle(
+        s""", pd AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(cnt) AS BIGINT) AS n_words,
+           |         CAST(SUM(cnt * word_pieces) AS BIGINT) AS n_pieces
+           |  FROM (
+           |    SELECT doc_id, word, COUNT(*) AS cnt
+           |    FROM (SELECT doc_id, unnest(toks) AS word FROM toks)
+           |    GROUP BY doc_id, word)
+           |  JOIN (SELECT word, word_pieces FROM ${sqlPath("t21_bpe_vocab")})
+           |  USING (word)
+           |  GROUP BY doc_id),
+           |vc AS (SELECT word_pieces FROM ${sqlPath("t21_bpe_vocab")})
+           |SELECT CAST((SELECT count(*) FROM pd) AS BIGINT) AS n_docs,
+           |       CAST((SELECT sum(n_words) FROM pd) AS BIGINT) AS n_words,
+           |       CAST((SELECT sum(n_pieces) FROM pd) AS BIGINT) AS n_pieces,
+           |       CAST(((SELECT sum(n_pieces) FROM pd) * 1000000)
+           |            // (SELECT sum(n_words) FROM pd) AS BIGINT) AS fertility_micro,
+           |       CAST((SELECT count(*) FROM pd
+           |             WHERE (n_pieces * 1000000) // n_words >= $FertilityAlarm)
+           |            AS BIGINT) AS n_alarm_docs,
+           |       CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_vocab,
+           |       CAST((SELECT count(*) FROM vc WHERE word_pieces > 1)
+           |            AS BIGINT) AS n_multi_piece_vocab""".stripMargin))
   }
 }

@@ -126,6 +126,34 @@ class PlanSpec extends AnyFunSuite {
       row.toString)
   }
 
+  test("x_export_delta: both policy scores ride ONE signal scan, no cartesian") {
+    // the one-pass claim: v1 and v2 quality come off the same toks-base
+    // scan — a second scan means a score recompute crept back in
+    val df = ExportQueries.queries("x_export_delta")(spark, sf)
+    val p = planOf(df)
+    val toksScans = "graft-ckpt-shared/toks-".r.findAllIn(p).size
+    assert(toksScans == 1, s"expected 1 toks-base scan, got $toksScans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x_forget_audit / x_tokenizer_report: equi-probes only, 1-row aggregates broadcast") {
+    // the health rows cross 1-row aggregates (broadcast by construction);
+    // the guard is the PROBE side — the fp match and the vocab join must
+    // stay equi-joins, never a per-row nested loop over the corpus
+    val pf = planOf(ExportQueries.queries("x_forget_audit")(spark, sf))
+    assert(!pf.contains("CartesianProduct"), pf)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(pf).size
+    // exactly the two 1-row crossJoins of the audit row; formatted explain
+    // prints the AQE initial plan too, so each appears twice — a count
+    // beyond 4 means a corpus-sized join lost its key
+    assert(nlj <= 4, s"unexpected nested-loop joins ($nlj):\n$pf")
+    val pt = planOf(MlQueries.queries("x_tokenizer_report")(spark, sf))
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pt).size <= 2, pt)
+    assert(pt.contains("partial_count") || pt.contains("HashAggregate"),
+      s"corpus aggregates must combine map-side:\n$pt")
+  }
+
   test("t29/t30: domain cap and sequence packing shuffle once by source, no global window") {
     // the scale contract of both ops: work parallelizes BY DOMAIN — a
     // window with no partition key would serialize the corpus through one
