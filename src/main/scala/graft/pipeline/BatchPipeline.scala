@@ -165,21 +165,49 @@ object BatchPipeline {
     * The v2 certification pass is corpus-linear (in production the scored
     * frame would itself be a materialized table — the seam accepts any
     * doc_id-keyed frame); the WRITE is delta-shard-proportional, which is
-    * the entire point at 100 TB. */
+    * the entire point at 100 TB.
+    *
+    * Composition contract: pass `forgetApplied = true` when a
+    * [[applyForget]] pass has already purged this export, so the rewrite
+    * excludes suppressed content instead of resurrecting requested docs
+    * that happen to be v2-certified; with the flag the two applies
+    * commute (DeltaExportSpec). */
   def applyExportDelta(spark: SparkSession, dir: String, exportDir: String,
-      maxRecordsPerFile: Int = 10000): DeltaApplied = {
+      maxRecordsPerFile: Int = 10000,
+      forgetApplied: Boolean = false): DeltaApplied = {
     import graft.queries.ExportQueries
-    val byShard = ExportQueries.xExportDelta(spark, dir)
-      .groupBy(col("shard"))
-      .agg(count(when(col("action") === "add", 1)).as("n_adds"),
-        count(when(col("action") === "tombstone", 1)).as("n_tombs"))
-      .collect() // bounded: one row per touched shard
-    val touched = byShard.map(_.getLong(0)).toSeq.sorted
-    graft.sinks.ShardWriter.applyDelta(exportDir,
-      ExportQueries.sharded(ExportQueries.v2CleanForExport(spark, dir)),
-      touched, "shard", "skey", maxRecordsPerFile)
-    DeltaApplied(byShard.map(_.getLong(1)).sum, byShard.map(_.getLong(2)).sum,
-      touched)
+    // ONE materialization of eligibility ⨝ both scores serves the delta
+    // accounting AND the touched-shard rewrite (review finding: the first
+    // cut ran the upstream chain once per consumer)
+    val scored = ExportQueries.scoredEligible(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byShard = ExportQueries.sharded(
+          scored.select(col("doc_id"),
+            ExportQueries.deltaActionCol.as("action")))
+        .filter(col("action").isNotNull)
+        .groupBy(col("shard"))
+        .agg(count(when(col("action") === "add", 1)).as("n_adds"),
+          count(when(col("action") === "tombstone", 1)).as("n_tombs"))
+        .collect() // bounded: one row per touched shard
+      val touched = byShard.map(_.getLong(0)).toSeq.sorted
+      val v2 = scored
+        .filter(col("q2") >= graft.queries.ExportQueries.QualityV2Floor)
+        .join(graft.queries.TextQueries.t5RedactPii(spark, dir)
+          .select("doc_id", "redacted"), "doc_id")
+        .select("doc_id", "redacted")
+      // deletions are by content and TIMELESS: when a forget pass has
+      // already purged this export, the rewrite must not resurrect
+      // requested content that happens to be v2-certified
+      val content =
+        if (forgetApplied) ExportQueries.excludeForgotten(spark, dir, v2)
+        else v2
+      graft.sinks.ShardWriter.applyDelta(exportDir,
+        ExportQueries.sharded(content), touched, "shard", "skey",
+        maxRecordsPerFile)
+      DeltaApplied(byShard.map(_.getLong(1)).sum,
+        byShard.map(_.getLong(2)).sum, touched)
+    } finally { scored.unpersist(); () }
   }
 
   /** What [[applyForget]] did. */
@@ -202,17 +230,32 @@ object BatchPipeline {
     * index bases rebuild through their own snapshot-eviction seam
     * ([[graft.plans.Snapshot]]) exactly as a compaction fold does. */
   def applyForget(spark: SparkSession, dir: String, exportDir: String,
-      maxRecordsPerFile: Int = 10000): ForgetApplied = {
+      maxRecordsPerFile: Int = 10000,
+      policyV2: Boolean = false): ForgetApplied = {
     import graft.queries.ExportQueries
-    val byShard = ExportQueries.sharded(ExportQueries.forgetRemovalSet(spark, dir))
-      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
-      .collect() // bounded: one row per touched shard
-    val touched = byShard.map(_.getLong(0)).toSeq.sorted
-    val purged = ExportQueries.v1CleanForExport(spark, dir)
-      .join(ExportQueries.forgetRemovalSet(spark, dir), Seq("doc_id"), "left_anti")
-    graft.sinks.ShardWriter.applyDelta(exportDir,
-      ExportQueries.sharded(purged), touched, "shard", "skey",
-      maxRecordsPerFile)
-    ForgetApplied(byShard.map(_.getLong(1)).sum, touched)
+    // ONE materialization of the removal set serves the shard accounting
+    // AND the rewrite's anti-join (review finding: the first cut built
+    // the t12 ⨝ fps ⨝ suppression chain twice); `policyV2` names the
+    // export's CURRENT certification so the removal set and the rewrite
+    // content describe the same corpus state
+    val removal = ExportQueries.forgetRemovalSetFor(spark, dir, policyV2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byShard = ExportQueries.sharded(removal)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .collect() // bounded: one row per touched shard
+      val touched = byShard.map(_.getLong(0)).toSeq.sorted
+      val certified =
+        if (policyV2) ExportQueries.v2CleanForExport(spark, dir)
+        else ExportQueries.v1CleanForExport(spark, dir)
+      // content exclusion rides the suppression LIST (timeless, by
+      // content), not the policy-scoped removal set — so forget and
+      // policy-move applies commute (DeltaExportSpec)
+      val purged = ExportQueries.excludeForgotten(spark, dir, certified)
+      graft.sinks.ShardWriter.applyDelta(exportDir,
+        ExportQueries.sharded(purged), touched, "shard", "skey",
+        maxRecordsPerFile)
+      ForgetApplied(byShard.map(_.getLong(1)).sum, touched)
+    } finally { removal.unpersist(); () }
   }
 }

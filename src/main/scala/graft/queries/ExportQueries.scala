@@ -285,15 +285,32 @@ object ExportQueries {
   private[graft] def v1CleanForExport(spark: SparkSession, dir: String): DataFrame =
     TextQueries.t12CleanUnordered(spark, dir).select("doc_id", "redacted")
 
+  /** Eligibility ⨝ BOTH policy scores off one signal scan — the single
+    * frame the delta query and the apply path both fan out from, so the
+    * two can never disagree on a doc's scores. */
+  private[graft] def scoredEligible(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.certEligible(spark, dir)
+      .join(TextQueries.qualitySignals(spark, dir)
+        .select(col("doc_id"),
+          TextQueries.qualityMicroCol(0.5, 0.3, 0.2).as("q1"),
+          TextQueries.qualityMicroCol(V2WStop, V2WPunct, V2WLen).as("q2")),
+        "doc_id")
+
+  /** The boundary action over [[scoredEligible]]'s (q1, q2) — ONE
+    * definition shared by the oracled [[xExportDelta]] and the apply
+    * path in [[graft.pipeline.BatchPipeline.applyExportDelta]]. */
+  private[graft] def deltaActionCol: org.apache.spark.sql.Column =
+    when(col("q2") >= QualityV2Floor &&
+        col("q1") < TextQueries.CleanQualityFloor, "add")
+      .when(col("q1") >= TextQueries.CleanQualityFloor &&
+        col("q2") < QualityV2Floor, "tombstone")
+
   /** The v2 export content: the SAME eligibility set certified by the
     * reweighted score, carrying the same redacted projection — what a
     * from-scratch v2 export would ship, and what [[xExportDelta]]'s adds
     * and tombstones move the v1 export TO. */
   private[graft] def v2CleanForExport(spark: SparkSession, dir: String): DataFrame =
-    TextQueries.certEligible(spark, dir)
-      .join(TextQueries.qualitySignals(spark, dir)
-        .select(col("doc_id"),
-          TextQueries.qualityMicroCol(V2WStop, V2WPunct, V2WLen).as("q2")), "doc_id")
+    scoredEligible(spark, dir)
       .filter(col("q2") >= QualityV2Floor)
       .join(TextQueries.t5RedactPii(spark, dir).select("doc_id", "redacted"), "doc_id")
       .select("doc_id", "redacted")
@@ -379,7 +396,7 @@ object ExportQueries {
   private val V2WStop = 0.3
   private val V2WPunct = 0.3
   private val V2WLen = 0.4
-  private val QualityV2Floor = 550000L
+  private[graft] val QualityV2Floor = 550000L
 
   /** x_export_delta — the INCREMENTAL export: when the certification
     * policy moves (here a quality reweighting, v1 = 0.5/0.3/0.2 floor
@@ -407,23 +424,12 @@ object ExportQueries {
     * whole delta is corpus-linear with NO new shuffle classes, and the
     * downstream write is delta-proportional instead of corpus-
     * proportional. */
-  def xExportDelta(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextQueries.qualitySignals(spark, dir)
-      .select(col("doc_id"),
-        TextQueries.qualityMicroCol(0.5, 0.3, 0.2).as("q1"),
-        TextQueries.qualityMicroCol(V2WStop, V2WPunct, V2WLen).as("q2"))
-    val action = when(
-        col("q2") >= QualityV2Floor &&
-          col("q1") < TextQueries.CleanQualityFloor, "add")
-      .when(col("q1") >= TextQueries.CleanQualityFloor &&
-          col("q2") < QualityV2Floor, "tombstone")
-    TextQueries.certEligible(spark, dir)
-      .join(scored, "doc_id")
-      .select(col("doc_id"), action.as("action"),
+  def xExportDelta(spark: SparkSession, dir: String): DataFrame =
+    scoredEligible(spark, dir)
+      .select(col("doc_id"), deltaActionCol.as("action"),
         shardOfKeyCol(shardKeyCol(col("doc_id"))).as("shard"))
       .filter(col("action").isNotNull)
       .orderBy("doc_id")
-  }
 
   /** The deletion-request fixture: corpus docs with doc_id ≡ 3 (mod 17) —
     * a pure function of the driver tables (the derived-arrivals
@@ -435,12 +441,6 @@ object ExportQueries {
     TextQueries.corpus(spark, dir)
       .filter(col("doc_id") % ForgetMod === ForgetRem).select("doc_id")
 
-  /** The removal set of the forget pass: every CLEAN doc whose normalized
-    * content fingerprint matches ANY requested doc's. Deletion is by
-    * CONTENT, not id — removing doc X while its exact copy Y ships in the
-    * next export does not honor the request; the fp probe rides the
-    * dedup pipeline's own checkpointed fingerprint base, so the match
-    * semantic is exactly d1's (normalize-whitespace, lowercase, md5). */
   /** The forget pass's durable suppression list: the DISTINCT
     * fingerprints of requested content — the artifact
     * [[graft.streaming.EventStream.suppressAtIngest]] probes so forgotten
@@ -453,12 +453,39 @@ object ExportQueries {
       .join(forgetRequests(spark, dir), "doc_id")
       .select("fp").distinct()
 
-  private[graft] def forgetRemovalSet(spark: SparkSession, dir: String): DataFrame = {
-    val fps = TextQueries.cachedFps(spark, dir)
-    TextQueries.t12CleanUnordered(spark, dir).select("doc_id")
-      .join(fps, "doc_id")
+  /** Drop from `df` (doc_id-keyed) every doc whose normalized fingerprint
+    * is on the suppression list — the TIMELESS form of deletion: by
+    * content, independent of which certification policy is current, so
+    * policy-move and forget applies converge on the same final export in
+    * either order (DeltaExportSpec pins the commutation). */
+  private[graft] def excludeForgotten(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    df.join(TextQueries.cachedFps(spark, dir), "doc_id")
+      .join(forgetSuppressionFps(spark, dir), Seq("fp"), "left_anti")
+      .drop("fp")
+
+  /** The removal set of the forget pass under the named policy: every
+    * CERTIFIED doc whose normalized content fingerprint matches ANY
+    * requested doc's. Deletion is by CONTENT, not id — removing doc X
+    * while its exact copy Y ships in the next export does not honor the
+    * request; the fp probe rides the dedup pipeline's own checkpointed
+    * fingerprint base, so the match semantic is exactly d1's
+    * (normalize-whitespace, lowercase, md5). */
+  private[graft] def forgetRemovalSetFor(spark: SparkSession, dir: String,
+      policyV2: Boolean): DataFrame = {
+    val certified =
+      if (policyV2) scoredEligible(spark, dir)
+        .filter(col("q2") >= QualityV2Floor).select("doc_id")
+      else TextQueries.t12CleanUnordered(spark, dir).select("doc_id")
+    certified
+      .join(TextQueries.cachedFps(spark, dir), "doc_id")
       .join(forgetSuppressionFps(spark, dir), "fp").select("doc_id")
   }
+
+  /** [[forgetRemovalSetFor]] under the v1 policy — what [[xForgetAudit]]
+    * oracles. */
+  private[graft] def forgetRemovalSet(spark: SparkSession, dir: String): DataFrame =
+    forgetRemovalSetFor(spark, dir, policyV2 = false)
 
   /** x_forget_audit — the deletion-compliance (right-to-be-forgotten)
     * accounting: one row — requests received, certified docs removed

@@ -251,10 +251,19 @@ object MlQueries {
     * the (word, word_pieces) table is exported at the verify scale and
     * DuckDB recomputes everything downstream of it independently.
     * BpeSpec still pins the vocab itself against the pure-Scala encoder. */
-  def t21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The (word, word_pieces) projection of the trained vocabulary, with
+    * its verify-scale export as a side effect — ONE definition for t21's
+    * pricing join, the tokenizer report, and the oracle's exported table
+    * (maybeExport is write-once per JVM, so repeated callers are free). */
+  private def vocabPieces(spark: SparkSession, dir: String): DataFrame = {
     val vocab = bpeState(spark, dir)._2
       .select(col("word"), size(col("syms")).cast("bigint").as("word_pieces"))
     graft.plans.VerifyExports.maybeExport(dir, "t21_bpe_vocab")(vocab)
+    vocab
+  }
+
+  def t21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabPieces(spark, dir)
     val docWords = TextQueries.tokenizedCorpus(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
@@ -291,9 +300,7 @@ object MlQueries {
     * broadcasts crossed with a vocab-side aggregate — nothing beyond what
     * pricing the corpus already costs. */
   def xTokenizerReport(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeState(spark, dir)._2
-      .select(col("word"), size(col("syms")).cast("bigint").as("word_pieces"))
-    graft.plans.VerifyExports.maybeExport(dir, "t21_bpe_vocab")(vocab)
+    val vocab = vocabPieces(spark, dir)
     val enc = t21BpeEncode(spark, dir)
     val docAgg = enc.agg(
       count(lit(1)).as("n_docs"),

@@ -67,6 +67,7 @@ object ShardWriter {
   def applyDelta(outDir: String, newDf: DataFrame,
       touched: Seq[Long], partitionCol: String, orderCol: String,
       maxRecordsPerFile: Int, salts: Int = 1): Unit = {
+    if (touched.isEmpty) return // an empty delta touches nothing on disk
     val touchedRows = newDf.filter(col(partitionCol).isin(touched: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -81,9 +82,15 @@ object ShardWriter {
         .parquet(outDir)
       val present = touchedRows.select(col(partitionCol).cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet // bounded by |touched|
+      // resolve through the Hadoop FS layer, not java.io: the write above
+      // is FS-generic, so the sweep must be too (an hdfs:// or s3a://
+      // export would otherwise silently keep a fully-tombstoned shard)
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(
+        newDf.sparkSession.sessionState.newHadoopConf())
       (touched.toSet -- present).foreach { v =>
-        val d = new java.io.File(outDir, s"$partitionCol=$v")
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+        val d = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v")
+        if (fs.exists(d)) { fs.delete(d, true); () }
       }
     } finally { touchedRows.unpersist(); () }
   }

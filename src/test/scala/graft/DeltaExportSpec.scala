@@ -135,4 +135,31 @@ class DeltaExportSpec extends AnyFunSuite {
       "requested content survived the forget pass")
     assertSameExport(appliedDir, scratchDir)
   }
+
+  test("composed: forget and policy-move applies commute to the same export") {
+    import graft.queries.ExportQueries
+    // deletions are by content and timeless, so applying {forget, policy
+    // move} in either order must land on the SAME export: v2 certification
+    // minus all requested content (the review finding this pins: a naive
+    // v2 rewrite after a forget pass would resurrect forgotten docs)
+    val a = tmp("graft-commute-a") // forget → delta
+    val b = tmp("graft-commute-b") // delta → forget
+    val c = tmp("graft-commute-c") // from scratch
+    BatchPipeline.exportShuffled(
+      ExportQueries.v1CleanForExport(spark, sf), a, maxRecordsPerFile = 50)
+    BatchPipeline.exportShuffled(
+      ExportQueries.v1CleanForExport(spark, sf), b, maxRecordsPerFile = 50)
+    BatchPipeline.applyForget(spark, sf, a, maxRecordsPerFile = 50)
+    BatchPipeline.applyExportDelta(spark, sf, a, maxRecordsPerFile = 50,
+      forgetApplied = true)
+    BatchPipeline.applyExportDelta(spark, sf, b, maxRecordsPerFile = 50)
+    BatchPipeline.applyForget(spark, sf, b, maxRecordsPerFile = 50,
+      policyV2 = true)
+    BatchPipeline.exportShuffled(
+      ExportQueries.excludeForgotten(spark, sf,
+        ExportQueries.v2CleanForExport(spark, sf)), c, maxRecordsPerFile = 50)
+    graft.queries.TextQueries.releaseCaches()
+    assertSameExport(a, c)
+    assertSameExport(b, c)
+  }
 }
