@@ -567,6 +567,21 @@ object VectorQueries {
       cents: Seq[(Long, Seq[Double])]): DataFrame =
     withCellAssigned(index.drop("cell"), "embedding", "cell", cents)
 
+  /** Deletion-compliance purge of a materialized cell index — the VECTOR
+    * leg of the forget pass ([[graft.pipeline.BatchPipeline.applyForget]]
+    * purges the text export; this removes the deleted docs' embeddings
+    * from the index the semantic gate probes and ANN serves). Without it
+    * a deleted vector keeps leaking influence: the gate kills arrivals
+    * for being near CONTENT THAT NO LONGER EXISTS, and similarity search
+    * can still return the deleted id (VectorSpec pins both effects
+    * flipping after the purge). One anti-join filter scan; the quantizer
+    * and every other row are untouched — removal moves no centroids, so
+    * unlike a retrain there is nothing to reassign, and at 100 TB the
+    * rewrite lands as the new bucketed table exactly like
+    * [[reassignIndex]]'s redeploy. */
+  def purgeIndex(index: DataFrame, removedVecIds: DataFrame): DataFrame =
+    index.join(removedVecIds.select("vec_id"), Seq("vec_id"), "left_anti")
+
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)

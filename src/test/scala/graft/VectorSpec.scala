@@ -605,4 +605,43 @@ class VectorSpec extends AnyFunSuite {
     assert(VectorQueries.quantizerRows(spark, dir).asInstanceOf[AnyRef]
       eq fresh.asInstanceOf[AnyRef])
   }
+
+  test("index purge: a deleted vector stops influencing the semantic gate and leaves ANN results") {
+    import spark.implicits._
+    val cents = VectorQueries.quantizerRows(spark, sf)
+    val idx = VectorQueries.corpusCellIndex(spark, sf)
+    // find a corpus vector whose exact re-arrival dies ONLY against
+    // itself: the gate kills it on the full index and passes it once the
+    // vector is purged — most vectors qualify (corpus near-dups are few)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def gateKeeps(index: org.apache.spark.sql.DataFrame, v: Seq[Float]): Boolean =
+      graft.streaming.EventStream.semanticGateAtIngest(
+        Seq((9900001L, v)).toDF("vec_id", "embedding"), index, cents)
+        .count() == 1L
+    val chosen = Seq(7L, 11L, 23L, 42L, 57L).find { id =>
+      !gateKeeps(idx, base(id)) &&
+        gateKeeps(VectorQueries.purgeIndex(idx, Seq(id).toDF("vec_id")),
+          base(id))
+    }.getOrElse(fail(
+      "fixture precondition: need a vector whose only near-dup is itself"))
+    val purged = VectorQueries.purgeIndex(idx, Seq(chosen).toDF("vec_id"))
+    // the deleted id is gone from everything the index serves: the gate
+    // (above) and any search over it — here the exact-cosine probe that
+    // would have returned the deleted vector as its own nearest neighbor
+    assert(purged.filter(col("vec_id") === chosen).isEmpty)
+    val q = base(chosen)
+    val top = purged
+      .select(col("vec_id"),
+        round(VectorQueries.dot(col("embedding"), lit(q.toArray)) /
+          (col("nrm") * lit(math.sqrt(q.foldLeft(0.0)((a, x) =>
+            a + x.toDouble * x.toDouble)))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0))
+    assert(!top.contains(chosen),
+      "deleted vector still served from the purged index")
+    // everything else is untouched: same rows minus exactly the purged id
+    assert(purged.count() == idx.count() - 1)
+  }
 }
