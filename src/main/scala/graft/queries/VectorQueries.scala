@@ -578,7 +578,17 @@ object VectorQueries {
     * and every other row are untouched — removal moves no centroids, so
     * unlike a retrain there is nothing to reassign, and at 100 TB the
     * rewrite lands as the new bucketed table exactly like
-    * [[reassignIndex]]'s redeploy. */
+    * [[reassignIndex]]'s redeploy.
+    *
+    * Re-admission note: text re-arrivals of deleted content die at the
+    * front door's suppression gate
+    * ([[graft.streaming.EventStream.suppressAtIngest]] — embeddings enter
+    * WITH their documents in the composed topology, so the text leg
+    * shields the index). A standalone vector stream could only block
+    * exact re-arrivals (an embedding-bytes blocklist); SIMILARITY-level
+    * suppression would require retaining the deleted embedding to compare
+    * against — a fundamental deletion-compliance tension, documented
+    * rather than papered over. */
   def purgeIndex(index: DataFrame, removedVecIds: DataFrame): DataFrame =
     index.join(removedVecIds.select("vec_id"), Seq("vec_id"), "left_anti")
 
