@@ -209,6 +209,41 @@ object MlQueries {
         bpeMemo.synchronized(bpeMemo.getOrElseUpdate(dir, built))
     }
 
+  /** What [[retrainTokenizerIfDrifted]] measured and did. */
+  case class TokenizerDriftReport(fertilityMicro: Long, nAlarmDocs: Long,
+      retrained: Boolean)
+
+  /** The tokenizer maintenance pass [[xTokenizerReport]] exists to feed —
+    * the text twin of
+    * [[graft.queries.VectorQueries.retrainIfDrifted]]: re-list the
+    * corpus, measure corpus fertility and the alarm-doc tail, and when a
+    * threshold trips, evict the trained-BPE memo for `dir` and retrain
+    * eagerly on the corpus as it now stands, so every later consumer
+    * (t20's table, t21's pricing join, the report itself, and the front
+    * door's `merges` artifact at its next
+    * [[graft.streaming.EventStream.IngestArtifacts]] redeploy) prices
+    * with a vocabulary trained on the corpus being priced. Defaults
+    * never trip. Retraining is the same deterministic argmax loop as
+    * cold training (BpeSpec's reference pin), so on an UNCHANGED corpus
+    * a forced retrain reproduces the identical merge table — the
+    * idempotence MlSpec pins; the loop converges the quantizer way:
+    * measure the retrained state next cycle and hold thresholds, trip
+    * only on regression. */
+  def retrainTokenizerIfDrifted(spark: SparkSession, dir: String,
+      fertilityCeilingMicro: Long = Long.MaxValue,
+      maxAlarmDocs: Long = Long.MaxValue): TokenizerDriftReport = {
+    graft.plans.Tables.invalidate(s"$dir/documents.parquet")
+    val r = xTokenizerReport(spark, dir).collect()(0)
+    val fert = r.getAs[Long]("fertility_micro")
+    val alarms = r.getAs[Long]("n_alarm_docs")
+    val drifted = fert > fertilityCeilingMicro || alarms > maxAlarmDocs
+    if (drifted) {
+      bpeMemo.synchronized { bpeMemo.remove(dir); () }
+      bpeState(spark, dir) // retrain now, not at the next pricing pass
+    }
+    TokenizerDriftReport(fert, alarms, retrained = drifted)
+  }
+
   /** t20 — the learned BPE merge table (rank, left, right, merged symbol,
     * weighted pair count) for the corpus: tokenizer training as a query.
     * Train-once memo like t19/v4 — production learns the vocabulary once

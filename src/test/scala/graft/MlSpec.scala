@@ -57,6 +57,32 @@ class MlSpec extends AnyFunSuite {
     assert(m.coefficients.size == 1024, s"unexpected dim ${m.coefficients.size}")
   }
 
+  test("tokenizer drift loop: no-trip keeps the trained instance; a forced retrain reproduces it exactly") {
+    // baseline identity handle: the memoized merge table
+    val before = MlQueries.learnedMerges(spark, sf)
+    // report-consistency + no-trip: default thresholds never retrain and
+    // the trained state is the SAME instance afterwards
+    val row = MlQueries.queries("x_tokenizer_report")(spark, sf).collect()(0)
+    val r1 = MlQueries.retrainTokenizerIfDrifted(spark, sf)
+    assert(!r1.retrained)
+    assert(r1.fertilityMicro == row.getAs[Long]("fertility_micro") &&
+      r1.nAlarmDocs == row.getAs[Long]("n_alarm_docs"),
+      s"drift report diverged from x_tokenizer_report: $r1 vs $row")
+    assert(MlQueries.learnedMerges(spark, sf).asInstanceOf[AnyRef]
+      eq before.asInstanceOf[AnyRef], "no-trip must not touch the memo")
+    // forced trip (ceiling below the measured fertility): the memo is
+    // rebuilt — and because training is the deterministic argmax loop,
+    // the retrained table on an unchanged corpus is VALUE-identical,
+    // so a spurious trip can never corrupt downstream pricing
+    val r2 = MlQueries.retrainTokenizerIfDrifted(spark, sf,
+      fertilityCeilingMicro = r1.fertilityMicro - 1)
+    assert(r2.retrained)
+    val after = MlQueries.learnedMerges(spark, sf)
+    assert(!(after.asInstanceOf[AnyRef] eq before.asInstanceOf[AnyRef]),
+      "a tripped pass must rebuild the trained state")
+    assert(after == before, "retrain on an unchanged corpus must reproduce the merges")
+  }
+
   test("streaming twin: ingest scoring matches batch t19 per doc, schema = input + score_micro") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
