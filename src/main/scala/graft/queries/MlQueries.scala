@@ -95,6 +95,72 @@ object MlQueries {
       .orderBy("doc_id")
   }
 
+  /** The score threshold at which a consumer keeps a doc — inlined into
+    * BOTH engines' agreement arithmetic. */
+  private val ScoreKeepThreshold = 500000L
+
+  /** x_classifier_report — the classifier-health dashboard completing
+    * the monitor set (x_corpus_report: text, x_drift_report: vectors,
+    * x_tokenizer_report: tokenizer): one row — docs scored, hold-out
+    * size, hold-out docs where the thresholded score AGREES with the
+    * weak rule label (measured on the split the model never saw — the
+    * number that degrades when the corpus drifts from the rules the
+    * model generalized), the agreement share in exact micro-units, and
+    * the corpus-wide keep count at the threshold.
+    *
+    * Oracle discipline (the t20/x_front_door round-trip): L-BFGS scores
+    * are not cross-engine reproducible, so the score VALUES round-trip
+    * through the verify-scale export while everything else — WHICH docs
+    * carry them (row count), the rule verdicts (shared gopher SQL
+    * fragments), the split arithmetic, and every aggregate — is
+    * recomputed by DuckDB independently; this upgrades classifier
+    * monitoring from t19's rows-only to a hash-matched row. */
+  def xClassifierReport(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t19QualityClassifier(spark, dir)
+    graft.plans.VerifyExports.maybeExport(dir, "t19_scores") {
+      scored.select(col("doc_id"), col("score_micro"))
+    }
+    val agree =
+      (col("score_micro") >= ScoreKeepThreshold) === (col("rule_keep") === 1L)
+    scored.agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_train") === 0L, 1)).as("n_holdout"),
+        count(when(col("is_train") === 0L && agree, 1)).as("n_holdout_agree"),
+        count(when(col("score_micro") >= ScoreKeepThreshold, 1))
+          .as("n_model_keep"))
+      .select(col("n_docs"), col("n_holdout"), col("n_holdout_agree"),
+        expr("CAST((n_holdout_agree * 1000000) DIV n_holdout AS BIGINT)")
+          .as("holdout_agreement_micro"),
+        col("n_model_keep"))
+  }
+
+  /** What [[retrainClassifierIfDrifted]] measured and did. */
+  case class ClassifierDriftReport(holdoutAgreementMicro: Long,
+      retrained: Boolean)
+
+  /** The classifier maintenance pass — third leg of the drift-loop
+    * pattern (quantizer: [[graft.queries.VectorQueries.retrainIfDrifted]],
+    * tokenizer: [[retrainTokenizerIfDrifted]]): re-list the corpus,
+    * measure hold-out rule agreement, and below the floor evict the
+    * fitted-model memo and refit eagerly on the corpus as it now stands
+    * (t19's scores, the front door's scoring artifact at its next
+    * redeploy). No exact-reproduction pin here — L-BFGS is deterministic
+    * only to machine precision — so MlSpec pins the loop mechanics
+    * (no-trip instance stability, tripped rebuild) plus the semantic bar
+    * the retrained model must clear (held-out AUC), not bit identity. */
+  def retrainClassifierIfDrifted(spark: SparkSession, dir: String,
+      agreementFloorMicro: Long = 0L): ClassifierDriftReport = {
+    graft.plans.Tables.invalidate(s"$dir/documents.parquet")
+    val agreement = xClassifierReport(spark, dir)
+      .collect()(0).getAs[Long]("holdout_agreement_micro")
+    val drifted = agreement < agreementFloorMicro
+    if (drifted) {
+      models.synchronized { models.remove(dir); () }
+      fitted(spark, dir) // refit now, not at the next scoring pass
+    }
+    ClassifierDriftReport(agreement, retrained = drifted)
+  }
+
   // ---- t20: BPE merge learning (tokenizer training) ----
 
   /** Corpus word-frequency table — the ONE corpus-wide pass BPE learning
@@ -357,7 +423,8 @@ object MlQueries {
     "t19_quality_classifier" -> t19QualityClassifier,
     "t20_bpe_merges" -> t20BpeMerges,
     "t21_bpe_encode" -> t21BpeEncode,
-    "x_tokenizer_report" -> xTokenizerReport)
+    "x_tokenizer_report" -> xTokenizerReport,
+    "x_classifier_report" -> xClassifierReport)
 
   /** t19 stays rows-only (L-BFGS coefficients are not cross-engine
     * reproducible, so no SQL oracle can exist; MlSpec covers semantics).
@@ -414,6 +481,34 @@ object MlQueries {
            |            AS BIGINT) AS n_alarm_docs,
            |       CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_vocab,
            |       CAST((SELECT count(*) FROM vc WHERE word_pieces > 1)
-           |            AS BIGINT) AS n_multi_piece_vocab""".stripMargin))
+           |            AS BIGINT) AS n_multi_piece_vocab""".stripMargin),
+      // classifier health: score VALUES round-trip through the export;
+      // rule verdicts (shared gopher fragments), split arithmetic, and
+      // every aggregate are recomputed independently
+      "x_classifier_report" -> TextQueries.oracle(
+        s""", rules AS (
+           |  SELECT doc_id
+           |  FROM (${TextQueries.gopherSignalsSqlFor("toks", "corpus")})
+           |  WHERE ${TextQueries.gopherKeepSql}),
+           |j AS (
+           |  SELECT s.doc_id, s.score_micro,
+           |         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rule_keep,
+           |         CASE WHEN s.doc_id % 10 < 3 THEN 1 ELSE 0 END AS is_train
+           |  FROM ${sqlPath("t19_scores")} s
+           |  LEFT JOIN rules r ON s.doc_id = r.doc_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(CASE WHEN is_train = 0 THEN 1 END) AS BIGINT)
+           |         AS n_holdout,
+           |       CAST(count(CASE WHEN is_train = 0
+           |                        AND ((score_micro >= $ScoreKeepThreshold) = (rule_keep = 1))
+           |                  THEN 1 END) AS BIGINT) AS n_holdout_agree,
+           |       CAST((count(CASE WHEN is_train = 0
+           |                         AND ((score_micro >= $ScoreKeepThreshold) = (rule_keep = 1))
+           |                   THEN 1 END) * 1000000)
+           |            // count(CASE WHEN is_train = 0 THEN 1 END)
+           |            AS BIGINT) AS holdout_agreement_micro,
+           |       CAST(count(CASE WHEN score_micro >= $ScoreKeepThreshold THEN 1 END)
+           |            AS BIGINT) AS n_model_keep
+           |FROM j""".stripMargin))
   }
 }

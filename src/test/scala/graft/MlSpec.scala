@@ -83,6 +83,33 @@ class MlSpec extends AnyFunSuite {
     assert(after == before, "retrain on an unchanged corpus must reproduce the merges")
   }
 
+  test("classifier drift loop: no-trip keeps the fitted instance; a tripped refit clears the semantic bar") {
+    val before = MlQueries.fitted(spark, sf)
+    // report consistency + no-trip (default floor 0 never trips)
+    val row = MlQueries.queries("x_classifier_report")(spark, sf).collect()(0)
+    val r1 = MlQueries.retrainClassifierIfDrifted(spark, sf)
+    assert(!r1.retrained)
+    assert(r1.holdoutAgreementMicro ==
+      row.getAs[Long]("holdout_agreement_micro"),
+      s"drift report diverged from x_classifier_report: $r1 vs $row")
+    // the monitor itself must be meaningful: the model generalizes the
+    // rules well above coin-flip on the split it never saw
+    assert(r1.holdoutAgreementMicro > 700000L, r1.toString)
+    assert(MlQueries.fitted(spark, sf) eq before,
+      "no-trip must not touch the model memo")
+    // forced trip: floor above the measured agreement ⇒ refit — a NEW
+    // model instance that still clears the same semantic bar (L-BFGS is
+    // not bit-deterministic, so the pin is the bar, not bit identity)
+    val r2 = MlQueries.retrainClassifierIfDrifted(spark, sf,
+      agreementFloorMicro = r1.holdoutAgreementMicro + 1)
+    assert(r2.retrained)
+    assert(!(MlQueries.fitted(spark, sf) eq before),
+      "a tripped pass must refit the model")
+    val again = MlQueries.retrainClassifierIfDrifted(spark, sf)
+    assert(again.holdoutAgreementMicro > 700000L,
+      s"retrained model lost the rules: $again")
+  }
+
   test("streaming twin: ingest scoring matches batch t19 per doc, schema = input + score_micro") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
