@@ -167,15 +167,20 @@ object BatchPipeline {
     * doc_id-keyed frame); the WRITE is delta-shard-proportional, which is
     * the entire point at 100 TB.
     *
-    * Composition contract: pass `forgetApplied = true` when a
-    * [[applyForget]] pass has already purged this export, so the rewrite
-    * excludes suppressed content instead of resurrecting requested docs
-    * that happen to be v2-certified; with the flag the two applies
+    * Composition contract: a prior [[applyForget]] pass is AUTO-DETECTED
+    * from the durable `_forget_applied` marker it writes into the export
+    * directory, so a later policy-move apply excludes suppressed content
+    * instead of resurrecting requested docs that happen to be
+    * v2-certified, with no caller bookkeeping; `forgetApplied = true`
+    * remains as an explicit override (e.g. an export restored from a
+    * backup that lost its marker). With either signal the two applies
     * commute (DeltaExportSpec). */
   def applyExportDelta(spark: SparkSession, dir: String, exportDir: String,
       maxRecordsPerFile: Int = 10000,
       forgetApplied: Boolean = false): DeltaApplied = {
     import graft.queries.ExportQueries
+    val forgetWasApplied = forgetApplied ||
+      forgetMarkerExists(spark, exportDir)
     // ONE materialization of eligibility ⨝ both scores serves the delta
     // accounting AND the touched-shard rewrite (review finding: the first
     // cut ran the upstream chain once per consumer)
@@ -200,7 +205,7 @@ object BatchPipeline {
       // already purged this export, the rewrite must not resurrect
       // requested content that happens to be v2-certified
       val content =
-        if (forgetApplied) ExportQueries.excludeForgotten(spark, dir, v2)
+        if (forgetWasApplied) ExportQueries.excludeForgotten(spark, dir, v2)
         else v2
       graft.sinks.ShardWriter.applyDelta(exportDir,
         ExportQueries.sharded(content), touched, "shard", "skey",
@@ -255,7 +260,47 @@ object BatchPipeline {
       graft.sinks.ShardWriter.applyDelta(exportDir,
         ExportQueries.sharded(purged), touched, "shard", "skey",
         maxRecordsPerFile)
+      writeForgetMarker(spark, dir, exportDir)
       ForgetApplied(byShard.map(_.getLong(1)).sum, touched)
     } finally { removal.unpersist(); () }
+  }
+
+  /** Durable record that a forget pass purged this export: deletion
+    * compliance must not depend on every later caller remembering a
+    * boolean — [[applyExportDelta]] auto-detects the marker and excludes
+    * suppressed content from its rewrite. The marker carries the
+    * suppression-list STAMP (count + md5 over the sorted fps), so an
+    * operator can see WHICH list state the purge enforced; it holds no
+    * content (fp digests of already-public fingerprints, the same
+    * privacy posture as the list itself). Written through the Hadoop FS
+    * layer like the shard writes — the export may live on hdfs:// or
+    * s3a://. */
+  private val ForgetMarkerName = "_forget_applied"
+
+  private def exportFs(spark: SparkSession, exportDir: String) = {
+    val root = new org.apache.hadoop.fs.Path(exportDir)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  private[graft] def forgetMarkerExists(spark: SparkSession,
+      exportDir: String): Boolean = {
+    val (fs, root) = exportFs(spark, exportDir)
+    fs.exists(new org.apache.hadoop.fs.Path(root, ForgetMarkerName))
+  }
+
+  private def writeForgetMarker(spark: SparkSession, dir: String,
+      exportDir: String): Unit = {
+    // suppression-list stamp: request-proportional aggregate, one tiny row
+    val stamp = graft.queries.ExportQueries.forgetSuppressionFps(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("digest"))
+      .collect()(0)
+    val (fs, root) = exportFs(spark, exportDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, ForgetMarkerName), true)
+    try out.write(
+      s"""{"suppression_fps": ${stamp.getLong(0)}, "digest": "${stamp.getString(1)}"}
+         |""".stripMargin.getBytes("UTF-8"))
+    finally out.close()
   }
 }

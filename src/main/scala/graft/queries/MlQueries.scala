@@ -129,7 +129,12 @@ object MlQueries {
         count(when(col("score_micro") >= ScoreKeepThreshold, 1))
           .as("n_model_keep"))
       .select(col("n_docs"), col("n_holdout"), col("n_holdout_agree"),
-        expr("CAST((n_holdout_agree * 1000000) DIV n_holdout AS BIGINT)")
+        // zero-guard: an empty holdout must read as a well-defined 0, not
+        // NULL (Spark) / a division error (DuckDB) — greatest(n,1) in BOTH
+        // engines; [[retrainClassifierIfDrifted]] separately treats an
+        // empty holdout as no-evidence-of-drift
+        expr("CAST((n_holdout_agree * 1000000) DIV greatest(n_holdout, 1)" +
+            " AS BIGINT)")
           .as("holdout_agreement_micro"),
         col("n_model_keep"))
   }
@@ -151,9 +156,13 @@ object MlQueries {
   def retrainClassifierIfDrifted(spark: SparkSession, dir: String,
       agreementFloorMicro: Long = 0L): ClassifierDriftReport = {
     graft.plans.Tables.invalidate(s"$dir/documents.parquet")
-    val agreement = xClassifierReport(spark, dir)
-      .collect()(0).getAs[Long]("holdout_agreement_micro")
-    val drifted = agreement < agreementFloorMicro
+    val report = xClassifierReport(spark, dir).collect()(0)
+    val agreement = report.getAs[Long]("holdout_agreement_micro")
+    // an EMPTY holdout is no evidence of drift: agreement reads 0 there
+    // (the zero-guarded division), and force-refitting on every pass of a
+    // tiny corpus would thrash the model for no signal
+    val drifted = report.getAs[Long]("n_holdout") > 0L &&
+      agreement < agreementFloorMicro
     if (drifted) {
       models.synchronized { models.remove(dir); () }
       fitted(spark, dir) // refit now, not at the next scoring pass
@@ -505,7 +514,7 @@ object MlQueries {
            |       CAST((count(CASE WHEN is_train = 0
            |                         AND ((score_micro >= $ScoreKeepThreshold) = (rule_keep = 1))
            |                   THEN 1 END) * 1000000)
-           |            // count(CASE WHEN is_train = 0 THEN 1 END)
+           |            // greatest(count(CASE WHEN is_train = 0 THEN 1 END), 1)
            |            AS BIGINT) AS holdout_agreement_micro,
            |       CAST(count(CASE WHEN score_micro >= $ScoreKeepThreshold THEN 1 END)
            |            AS BIGINT) AS n_model_keep

@@ -63,7 +63,18 @@ object ShardWriter {
     * Same determinism discipline as [[writeShards]]: each rewritten
     * shard is a contiguous reproducible key range, so applying a delta
     * and exporting from scratch yield identical shard contents
-    * (spec-pinned in DeltaExportSpec). */
+    * (spec-pinned in DeltaExportSpec).
+    *
+    * Crash contract: the emptied-shard set is computed BEFORE the write
+    * and those directories are deleted FIRST, so the stale-visible window
+    * closes with the write itself — a crash after the sweep leaves the
+    * emptied shards already gone (their new content is zero rows; the
+    * end state is reached early, not corrupted), a crash mid-write leaves
+    * some touched shards rewritten and others stale. Either way the apply
+    * is CONVERGENT: rerunning it with the same `touched` set (the caller
+    * recomputes it from the same inputs) rewrites every touched shard to
+    * the identical deterministic content, so the recovery story is
+    * rerun-to-converge, not rollback. */
   def applyDelta(outDir: String, newDf: DataFrame,
       touched: Seq[Long], partitionCol: String, orderCol: String,
       maxRecordsPerFile: Int, salts: Int = 1): Unit = {
@@ -71,18 +82,14 @@ object ShardWriter {
     val touchedRows = newDf.filter(col(partitionCol).isin(touched: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      touchedRows
-        .repartition(col(partitionCol), pmod(hash(col(orderCol)), lit(salts)))
-        .sortWithinPartitions(col(partitionCol), col(orderCol))
-        .write
-        .partitionBy(partitionCol)
-        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(outDir)
+      // presence probe FIRST (dynamic overwrite's hole: a touched value
+      // with zero surviving rows is never visited by the write, so its
+      // stale files must be swept explicitly) — running it before the
+      // write both warms the pinned delta frame and removes fully-
+      // tombstoned shards before any new bytes land
       val present = touchedRows.select(col(partitionCol).cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet // bounded by |touched|
-      // resolve through the Hadoop FS layer, not java.io: the write above
+      // resolve through the Hadoop FS layer, not java.io: the write below
       // is FS-generic, so the sweep must be too (an hdfs:// or s3a://
       // export would otherwise silently keep a fully-tombstoned shard)
       val root = new org.apache.hadoop.fs.Path(outDir)
@@ -92,6 +99,15 @@ object ShardWriter {
         val d = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v")
         if (fs.exists(d)) { fs.delete(d, true); () }
       }
+      touchedRows
+        .repartition(col(partitionCol), pmod(hash(col(orderCol)), lit(salts)))
+        .sortWithinPartitions(col(partitionCol), col(orderCol))
+        .write
+        .partitionBy(partitionCol)
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(outDir)
     } finally { touchedRows.unpersist(); () }
   }
 

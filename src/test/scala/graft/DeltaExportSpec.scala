@@ -150,8 +150,13 @@ class DeltaExportSpec extends AnyFunSuite {
     BatchPipeline.exportShuffled(
       ExportQueries.v1CleanForExport(spark, sf), b, maxRecordsPerFile = 50)
     BatchPipeline.applyForget(spark, sf, a, maxRecordsPerFile = 50)
-    BatchPipeline.applyExportDelta(spark, sf, a, maxRecordsPerFile = 50,
-      forgetApplied = true)
+    // NO forgetApplied flag: the forget pass wrote a durable
+    // _forget_applied marker into the export dir, and the policy-move
+    // apply must auto-detect it (deletion compliance can't depend on
+    // every later caller remembering a boolean)
+    assert(BatchPipeline.forgetMarkerExists(spark, a),
+      "applyForget must leave a durable marker in the export dir")
+    BatchPipeline.applyExportDelta(spark, sf, a, maxRecordsPerFile = 50)
     BatchPipeline.applyExportDelta(spark, sf, b, maxRecordsPerFile = 50)
     BatchPipeline.applyForget(spark, sf, b, maxRecordsPerFile = 50,
       policyV2 = true)

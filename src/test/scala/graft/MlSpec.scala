@@ -110,6 +110,25 @@ class MlSpec extends AnyFunSuite {
       s"retrained model lost the rules: $again")
   }
 
+  test("classifier report: an empty holdout reads agreement 0 and never trips a retrain") {
+    // corpus where EVERY doc is on the train side (doc_id % 10 < 3):
+    // the agreement division must zero-guard (not NULL) and the drift
+    // loop must read no-evidence-of-drift, not force-refit every pass
+    val dir = java.nio.file.Files.createTempDirectory("graft-ml-empty-holdout").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = MlQueries.queries("x_classifier_report")(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_holdout") == 0L)
+    assert(row.getAs[Long]("holdout_agreement_micro") == 0L,
+      "empty holdout must read a well-defined 0, not NULL")
+    val before = MlQueries.fitted(spark, dir)
+    val r = MlQueries.retrainClassifierIfDrifted(spark, dir,
+      agreementFloorMicro = 900000L)
+    assert(!r.retrained, "an empty holdout is not evidence of drift")
+    assert(MlQueries.fitted(spark, dir) eq before)
+  }
+
   test("streaming twin: ingest scoring matches batch t19 per doc, schema = input + score_micro") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
