@@ -36,12 +36,15 @@ object LandingSink {
 
   /** Land one micro-batch exactly once; safe to call from a replayed
     * foreachBatch. Returns true when this call committed the batch,
-    * false when it was already landed. */
+    * false when it was already landed (or landed, folded, and since
+    * RETIRED — see [[retire]]: the durable high-water marker keeps a
+    * deleted dir from re-opening a zombie replay window). */
   def landBatch(batch: DataFrame, root: String, batchId: Long): Boolean = {
     val rootP = java.nio.file.Paths.get(root)
     java.nio.file.Files.createDirectories(rootP)
     val dest = rootP.resolve(s"batch=$batchId")
-    if (java.nio.file.Files.exists(dest)) false // replay of a committed batch
+    if (batchId <= retiredThrough(root)) false // committed, folded, retired
+    else if (java.nio.file.Files.exists(dest)) false // replay of a committed batch
     else {
       val tmp = rootP.resolve(
         s".tmp-batch-$batchId-${java.util.UUID.randomUUID()}")
@@ -49,7 +52,15 @@ object LandingSink {
       try {
         java.nio.file.Files.move(tmp, dest,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        true
+        // zombie self-heal: a concurrent retire may have advanced the
+        // marker between this attempt's entry check and its rename (the
+        // restarted driver folded and retired this very batch while the
+        // zombie was writing). The re-check closes the TOCTOU window:
+        // identical rows by the replay contract, already folded, so the
+        // resurrection is dropped here rather than leaking a dir until
+        // the next retire sweep.
+        if (batchId <= retiredThrough(root)) { deleteTree(dest); false }
+        else true
       } catch {
         // lost a commit race (a concurrent attempt of the SAME batch —
         // a zombie driver beside its restart — renamed first; identical
@@ -78,8 +89,70 @@ object LandingSink {
     val now = System.currentTimeMillis()
     val rootF = new java.io.File(root)
     val dead = Option(rootF.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(".tmp-batch-") &&
+      .filter(f => (f.getName.startsWith(".tmp-batch-") ||
+          f.getName.startsWith(".tmp-retired-")) &&
         f.lastModified() < now - olderThanMs)
+    dead.foreach(f => deleteTree(f.toPath))
+    dead.length
+  }
+
+  // ---- landed-batch retirement ----
+  //
+  // Without it the landing dir grows one batch=<id> dir per micro-batch
+  // forever (~1.4k dirs/day at a 60 s trigger) even though the compaction
+  // fold consumed each exactly once. A bare delete of a folded dir would
+  // RE-OPEN the replay window — landBatch's no-op test is directory
+  // existence, so a zombie driver replaying that batchId would land the
+  // rows a second time and the next fold would append them twice. The
+  // durable high-water marker below is what makes deletion safe: landBatch
+  // consults it BEFORE the existence probe, so a retired batch replays as
+  // a no-op with or without its directory.
+
+  private val RetiredMarker = "_retired_through"
+
+  /** Highest batch id retired from `root` (-1 when none). Readers skip
+    * the marker for free: hive partition discovery ignores `_`-prefixed
+    * root files exactly as it does `_SUCCESS`. */
+  def retiredThrough(root: String): Long = {
+    val p = java.nio.file.Paths.get(root, RetiredMarker)
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+  }
+
+  /** Retire every landed batch with id ≤ `throughBatch`: advance the
+    * durable high-water marker FIRST (tmp file + atomic same-dir rename,
+    * the landBatch commit discipline), then age-delete the now-shadowed
+    * `batch=<id>` dirs. Returns the number of dirs deleted.
+    *
+    * Caller contract: `throughBatch` must be ≤ the compaction loop's
+    * fold high-water mark — retiring an UNFOLDED batch discards data
+    * (the fold's `batch > lastFolded` filter would never see it again).
+    * The marker is monotonic: a lagging call can never lower it.
+    *
+    * Crash shape: marker-then-delete makes retirement convergent. A crash
+    * after the marker rename leaves folded dirs on disk but already
+    * shadowed (landBatch no-ops on them, the fold filter ignores them);
+    * any later retire call — even with a smaller `throughBatch` — resumes
+    * the sweep, because the sweep runs against the MARKER, not the
+    * argument. No ordering exists where a batch is both deleted and
+    * replayable: deletion strictly follows the marker advance, and the
+    * marker is consulted before every landing. */
+  def retire(root: String, throughBatch: Long): Int = {
+    val rootP = java.nio.file.Paths.get(root)
+    val current = retiredThrough(root)
+    if (throughBatch > current) {
+      val tmp = rootP.resolve(s".tmp-retired-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, throughBatch.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, rootP.resolve(RetiredMarker),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val horizon = math.max(current, throughBatch)
+    val dead = Option(rootP.toFile.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith("batch=") &&
+          f.getName.stripPrefix("batch=").toLong <= horizon
+      }
     dead.foreach(f => deleteTree(f.toPath))
     dead.length
   }

@@ -87,6 +87,43 @@ class LandingSinkSpec extends AnyFunSuite {
       s"the batch filter must prune partitions, plan reads:\n$scan")
   }
 
+  test("retirement: a retired batch's replay is a no-op, the sweep is convergent and monotonic") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-land5").toString
+    def doc(i: Long) = Seq((i, s"doc-$i")).toDF("doc_id", "text")
+    (0L to 2L).foreach(i => assert(LandingSink.landBatch(doc(i), root, i)))
+    def dirs() = Option(new java.io.File(root).listFiles()).get
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    // retire the folded prefix: dirs go, the marker records the horizon
+    assert(LandingSink.retire(root, 1L) == 2)
+    assert(dirs() == Set("batch=2") && LandingSink.retiredThrough(root) == 1L)
+    // THE exactly-once point: a zombie replay of a retired batch must be
+    // a no-op even though its directory is gone — a bare delete would
+    // have re-opened this window and the next fold would double-append
+    assert(!LandingSink.landBatch(doc(0L), root, 0L))
+    assert(!LandingSink.landBatch(doc(1L), root, 1L))
+    assert(dirs() == Set("batch=2"), "a retired batch must not re-land")
+    assert(spark.read.parquet(root).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // an unretired batch still lands normally after a retirement
+    assert(LandingSink.landBatch(doc(3L), root, 3L))
+    // crash shape: marker advanced but the delete never ran (the rename
+    // and the sweep are two steps) — any later retire call converges,
+    // even a LAGGING one, because the sweep runs against the marker
+    val tmp = java.nio.file.Paths.get(root, ".tmp-retired-test")
+    java.nio.file.Files.write(tmp, "3".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_retired_through"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(!LandingSink.landBatch(doc(3L), root, 3L),
+      "marker alone must shadow the batch, dir present or not")
+    assert(LandingSink.retire(root, 0L) == 2,
+      "a lagging retire must finish the crashed sweep from the marker")
+    assert(LandingSink.retiredThrough(root) == 3L,
+      "the marker is monotonic — a lagging call can never lower it")
+    assert(dirs().isEmpty)
+  }
+
   test("restart over the same checkpoint continues batch numbering, never re-lands") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

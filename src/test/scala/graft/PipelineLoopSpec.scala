@@ -114,7 +114,11 @@ class PipelineLoopSpec extends AnyFunSuite {
         q.stop()
       }
       var lastFolded = -1L
-      var landedSoFar = Set.empty[Long]
+      // retirement keeps the landing dir bounded: each round ends by
+      // retiring everything the fold consumed, so the dir entering round
+      // r holds ONLY batches landed since — not the full history
+      def batchDirs() = Option(new java.io.File(landDir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("batch="))
       for (r <- 0 until 3) {
         val rb = 9200000L + r * 100L
         val src = s"src$r"
@@ -128,11 +132,13 @@ class PipelineLoopSpec extends AnyFunSuite {
             rb + 5 -> (src, novelA(r - 1).split("\\s+", 2).last))) // near-dup
         ms.addData(feed.map { case (id, (s, t)) => (id, s, t) }: _*)
         drain()
-        landedSoFar ++= Seq(rb + 1L) ++ (if (r == 0) Nil else Seq(rb + 2L))
+        val acceptedThisRound =
+          Set(rb + 1L) ++ (if (r == 0) Set.empty[Long] else Set(rb + 2L))
         val landed = spark.read.parquet(landDir)
         assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet
-          == landedSoFar,
-          s"round $r: landing must hold exactly the accepted docs")
+          == acceptedThisRound,
+          s"round $r: landing must hold exactly this round's accepted docs" +
+            " (earlier rounds were folded and retired)")
         // the fold: everything landed since the last fold, via the batch
         // partition column — no listing tricks, no rewrite
         val arrivals = landed.filter(col("batch") > lastFolded)
@@ -154,6 +160,20 @@ class PipelineLoopSpec extends AnyFunSuite {
         res.newBands.write.mode("append").parquet(bandsDir)
         res.release()
         EventStream.refreshStaticArtifacts(art.corpusFps, art.corpusBands)
+        // retirement closes the round: everything the fold consumed is
+        // deleted behind the durable high-water marker, so the landing
+        // dir count stays bounded across the loop's lifetime (without
+        // this, a 60 s trigger accumulates ~1.4k dirs/day forever).
+        // Horizon = max landed DIR id, not max row batch: a trailing
+        // EMPTY micro-batch is folded-by-vacuity and retires with it
+        val maxDirId = Option(new java.io.File(landDir).listFiles()).get
+          .filter(_.getName.startsWith("batch="))
+          .map(_.getName.stripPrefix("batch=").toLong).max
+        lastFolded = math.max(lastFolded, maxDirId)
+        assert(LandingSink.retire(landDir, lastFolded) > 0,
+          s"round $r: retirement must delete the folded batch dirs")
+        assert(batchDirs() == 0,
+          s"round $r: landing must be empty after fold + retire")
       }
       // round 3: FORGET novelA(0) — the production rollout of a deletion
       // against the RUNNING loop. The artifact tables rebuild WITHOUT the
