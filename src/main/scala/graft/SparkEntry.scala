@@ -17,7 +17,8 @@ object SparkEntry {
     EncodeQueries.queries ++ AnalyticsQueries.queries ++ StatusQueries.queries ++
       ScalarQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ ApproxQueries.queries ++ JoinQueries.queries ++
-      MultimodalQueries.queries ++ ExportQueries.queries ++ MlQueries.queries
+      MultimodalQueries.queries ++ ExportQueries.queries ++ MlQueries.queries ++
+      MaintenanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,7 +26,8 @@ object SparkEntry {
     EncodeQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ StatusQueries.oracleSql ++
       ScalarQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
       VectorQueries.oracleSql ++ JoinQueries.oracleSql ++ MlQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ ExportQueries.oracleSql
+      MultimodalQueries.oracleSql ++ ExportQueries.oracleSql ++
+      MaintenanceQueries.oracleSql
 
   /** Queries deliberately shipped WITHOUT an oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{MlQueries, VectorQueries}
+
+/** [EXT] The composed maintenance pass: all three learned artifacts —
+  * quantizer, tokenizer, quality classifier — measured and conditionally
+  * retrained in ONE entry point, in dependency order. The per-artifact
+  * loops ([[graft.queries.VectorQueries.retrainIfDrifted]],
+  * [[graft.queries.MlQueries.retrainTokenizerIfDrifted]],
+  * [[graft.queries.MlQueries.retrainClassifierIfDrifted]]) each close
+  * their own measure→trip→refit cycle; this composes them so a
+  * production scheduler runs one call per cycle and cannot get the
+  * ordering wrong.
+  *
+  * Ordering constraint (the one real dependency): the QUANTIZER pass runs
+  * first and its index redeploy is fused via
+  * [[graft.queries.VectorQueries.maintainIndex]] — a retrained quantizer
+  * probing stale-assigned index rows silently breaks the semantic gate
+  * (the epoch invariant VectorSpec pins), so retrain-then-reassign must
+  * be atomic from the caller's view. Tokenizer and classifier are
+  * mutually independent and independent of the quantizer (text-side vs
+  * vector-side artifacts); they run after in a fixed order purely for
+  * reproducible reports.
+  *
+  * The monitor row feeding these thresholds is the oracled
+  * `x_maintenance_report`
+  * ([[graft.queries.MaintenanceQueries.xMaintenanceReport]]). Thresholds
+  * default to never-trip (measure-only), the hold-and-compare discipline
+  * of the per-artifact loops: pass the previous cycle's measurements to
+  * trip only on regression. */
+object Maintenance {
+
+  /** What one composed pass measured and did. `index` is the caller's
+    * cell index, reassigned under the fresh quantizer iff the quantizer
+    * retrained (same instance otherwise). */
+  case class MaintenanceOutcome(
+      quantizer: VectorQueries.DriftReport,
+      index: DataFrame,
+      tokenizer: MlQueries.TokenizerDriftReport,
+      classifier: MlQueries.ClassifierDriftReport) {
+    def anyRetrained: Boolean =
+      quantizer.retrained || tokenizer.retrained || classifier.retrained
+  }
+
+  def maintainAll(spark: SparkSession, dir: String, index: DataFrame,
+      maxHotCells: Long = Long.MaxValue,
+      maxDeadCells: Long = Long.MaxValue,
+      recallFloorMicro: Long = 0L,
+      fertilityCeilingMicro: Long = Long.MaxValue,
+      maxAlarmDocs: Long = Long.MaxValue,
+      agreementFloorMicro: Long = 0L): MaintenanceOutcome = {
+    // quantizer first, redeploy fused (epoch invariant)
+    val (qr, newIndex) = VectorQueries.maintainIndex(spark, dir, index,
+      maxHotCells, maxDeadCells, recallFloorMicro)
+    val tr = MlQueries.retrainTokenizerIfDrifted(spark, dir,
+      fertilityCeilingMicro, maxAlarmDocs)
+    val cr = MlQueries.retrainClassifierIfDrifted(spark, dir,
+      agreementFloorMicro)
+    MaintenanceOutcome(qr, newIndex, tr, cr)
+  }
+}

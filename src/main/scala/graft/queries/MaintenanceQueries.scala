@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] x_maintenance_report — the three learned-artifact health
+  * monitors (quantizer: `x_drift_report`, tokenizer:
+  * `x_tokenizer_report`, classifier: `x_classifier_report`) as ONE
+  * oracled row: exactly the numbers
+  * [[graft.pipeline.Maintenance.maintainAll]] thresholds against, so the
+  * composed maintenance pass's entire trigger input is hash-gated by a
+  * single dashboard row.
+  *
+  * Plan shape: each side is already a 1-row aggregate over its own
+  * scale-shaped monitor (quantizer-/sample-/distinct-word-sized — see the
+  * per-report scaladocs); the composition is two 1-row broadcast crosses,
+  * nothing corpus-sized moves beyond what the three reports each cost.
+  * The oracle composes the three reports' own oracle SQL as subqueries —
+  * column semantics cannot drift between the monitors and this summary
+  * because both engines literally reuse the per-report definitions. */
+object MaintenanceQueries {
+
+  def xMaintenanceReport(spark: SparkSession, dir: String): DataFrame =
+    VectorQueries.xDriftReport(spark, dir)
+      .crossJoin(broadcast(MlQueries.xTokenizerReport(spark, dir)
+        .select(col("fertility_micro"), col("n_alarm_docs"))))
+      .crossJoin(broadcast(MlQueries.xClassifierReport(spark, dir)
+        .select(col("holdout_agreement_micro"), col("n_model_keep"))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_maintenance_report" -> (xMaintenanceReport _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x_maintenance_report" ->
+      s"""SELECT d.n_hot, d.n_dead, d.min_recall_micro,
+         |       t.fertility_micro, t.n_alarm_docs,
+         |       c.holdout_agreement_micro, c.n_model_keep
+         |FROM (${VectorQueries.oracleSql("x_drift_report")}) d
+         |CROSS JOIN (${MlQueries.oracleSql("x_tokenizer_report")}) t
+         |CROSS JOIN (${MlQueries.oracleSql("x_classifier_report")}) c""".stripMargin)
+}

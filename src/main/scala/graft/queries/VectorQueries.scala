@@ -592,6 +592,40 @@ object VectorQueries {
   def purgeIndex(index: DataFrame, removedVecIds: DataFrame): DataFrame =
     index.join(removedVecIds.select("vec_id"), Seq("vec_id"), "left_anti")
 
+  /** Bytes-identity digest pair of an embedding — the ONE definition the
+    * purge recorder and the standalone-stream suppression gate
+    * ([[graft.streaming.EventStream.suppressVectorsAtIngest]]) share, the
+    * suppressAtIngest fp discipline applied to vectors. `xxhash64`/`hash`
+    * on an array<float> hash the element COUNT plus each float's bit
+    * pattern (codegen'd, no UDF), i.e. exact bytes identity up to Spark's
+    * float canonicalization (-0.0 ≡ 0.0, one NaN) — exactly the identity
+    * an exact re-arrival of a forgotten vector carries. The pair is a
+    * joint 96-bit digest: a forgotten entry colliding with an INNOCENT
+    * arrival needs both hashes to match (~|list|·|arrivals|/2^96 — and a
+    * false positive only over-suppresses, never re-admits). Digests ONLY
+    * ever persist: retaining the deleted embedding itself to block it
+    * would violate the deletion (see [[purgeIndex]]'s re-admission note —
+    * similarity-level suppression is fundamentally out of reach for the
+    * same reason; this blocklist is the implementable exact-identity
+    * half). */
+  private[graft] def vectorFpCols(e: Column): (Column, Column) =
+    (xxhash64(e), hash(e))
+
+  /** [[purgeIndex]] plus the durable record a standalone embedding stream
+    * needs: the bytes-identity digests of the REMOVED vectors, computed
+    * before the rows go (afterwards the content is unrecoverable — by
+    * design). Returns (purged index, blocklist delta); callers append the
+    * delta to the suppression table
+    * [[graft.streaming.EventStream.suppressVectorsAtIngest]] probes. */
+  def purgeIndexRecording(index: DataFrame,
+      removedVecIds: DataFrame): (DataFrame, DataFrame) = {
+    val (f64, f32) = vectorFpCols(col("embedding"))
+    val blocklist = index
+      .join(removedVecIds.select("vec_id"), "vec_id")
+      .select(f64.as("vfp64"), f32.as("vfp32")).distinct()
+    (purgeIndex(index, removedVecIds), blocklist)
+  }
+
   private def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)

@@ -108,6 +108,34 @@ object EventStream {
       .join(suppressedFps.select(col("fp")), Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** Standalone-vector-stream suppression — the vector leg of
+    * [[suppressAtIngest]]: in the COMPOSED topology embeddings arrive
+    * with their documents and the text gate shields the index, but a
+    * deployment ingesting a bare embedding stream (no text column to
+    * fingerprint) could re-admit a forgotten vector after the index
+    * purge rebuilds without it. The gate probes the bytes-identity
+    * blocklist [[graft.queries.VectorQueries.purgeIndexRecording]] emits
+    * (digests only — the deleted embedding itself is never retained):
+    * an EXACT re-arrival of forgotten content is refused; a NEAR variant
+    * is admitted BY DESIGN — blocking it would require keeping the
+    * deleted embedding to compare against, the documented
+    * deletion-compliance tension ([[graft.queries.VectorQueries
+    * .purgeIndex]]).
+    *
+    * Same zero-state stream-static anti-join shape as the text leg:
+    * re-planned per micro-batch so a new purge's blocklist append takes
+    * effect live; one slim broadcast-or-hash probe at any scale. */
+  def suppressVectorsAtIngest(vecs: DataFrame,
+      suppressedVfps: DataFrame): DataFrame = {
+    val (f64, f32) =
+      graft.queries.VectorQueries.vectorFpCols(col("embedding"))
+    vecs
+      .withColumn("vfp64", f64).withColumn("vfp32", f32)
+      .join(suppressedVfps.select(col("vfp64"), col("vfp32")),
+        Seq("vfp64", "vfp32"), "left_anti")
+      .drop("vfp64", "vfp32")
+  }
+
   /** Streaming ingest sampling — the streaming face of TextQueries.t9:
     * the same deterministic md5-threshold mix + epoch explode, applied as
     * documents arrive. STATELESS by construction (a pure filter +

@@ -671,6 +671,45 @@ class EventStreamSpec extends AnyFunSuite {
     TextQueries.releaseCaches()
   }
 
+  test("vector suppression gate: a purged vector's exact re-arrival is refused, near variants and novelty pass, zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    // the purge records the blocklist BEFORE the rows go — afterwards the
+    // content is unrecoverable by design (digests only, never the vector)
+    val index = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (purged, blocklist) = graft.queries.VectorQueries
+      .purgeIndexRecording(index, Seq(0L).toDF("vec_id"))
+    assert(purged.filter(col("vec_id") === 0L).count() == 0L)
+    assert(blocklist.columns.toSeq == Seq("vfp64", "vfp32"),
+      "the blocklist must hold digests only — retaining the embedding " +
+        "would violate the deletion")
+    val forgotten = index.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1).toArray
+    val near = forgotten.clone(); near(0) = near(0) + 1e-3f
+    val novel = Array.fill(forgotten.length)(0.5f)
+    // standalone embedding stream (no text column to fingerprint): the
+    // bytes-identity gate is the only thing standing between a forgotten
+    // vector and re-admission once the index purge rebuilt without it
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = EventStream.suppressVectorsAtIngest(
+        ms.toDF().toDF("vec_id", "embedding"), blocklist)
+      .writeStream.format("memory").queryName("vsuppress")
+      .outputMode("append").start()
+    ms.addData((9800001L, forgotten), (9800002L, near), (9800003L, novel))
+    q.processAllAvailable()
+    val got = spark.table("vsuppress").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // the NEAR variant is admitted BY DESIGN: similarity-level
+    // suppression would require retaining the deleted embedding to
+    // compare against — the documented deletion-compliance tension
+    assert(got == Set(9800002L, 9800003L),
+      s"vector suppression mis-filtered: $got")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "vector suppression must stay stateless")
+    q.stop()
+  }
+
   test("front-door soak: compaction folds between micro-batches are picked up live, state stays zero") {
     // r12 verdict stretch 7: the individually-pinned pieces in one loop —
     // a RUNNING ingestFrontDoor query over N micro-batches with a

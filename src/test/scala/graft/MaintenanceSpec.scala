@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Maintenance
+import graft.queries.{MaintenanceQueries, MlQueries, VectorQueries}
+
+/** The composed maintenance pass: one call measures all three learned
+  * artifacts and retrains the tripped ones in dependency order (quantizer
+  * before index redeploy). The monitor row is the oracled
+  * x_maintenance_report; these specs pin the composition mechanics the
+  * oracle can't see — instance stability on no-trip, all-three refit +
+  * index redeploy on a forced trip. */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("x_maintenance_report equals the three underlying monitor rows, column for column") {
+    val m = MaintenanceQueries.xMaintenanceReport(spark, sf).collect()(0)
+    val d = VectorQueries.xDriftReport(spark, sf).collect()(0)
+    val t = MlQueries.xTokenizerReport(spark, sf).collect()(0)
+    val c = MlQueries.xClassifierReport(spark, sf).collect()(0)
+    assert(m.getAs[Long]("n_hot") == d.getAs[Long]("n_hot"))
+    assert(m.getAs[Long]("n_dead") == d.getAs[Long]("n_dead"))
+    assert(m.getAs[Long]("min_recall_micro") == d.getAs[Long]("min_recall_micro"))
+    assert(m.getAs[Long]("fertility_micro") == t.getAs[Long]("fertility_micro"))
+    assert(m.getAs[Long]("n_alarm_docs") == t.getAs[Long]("n_alarm_docs"))
+    assert(m.getAs[Long]("holdout_agreement_micro") ==
+      c.getAs[Long]("holdout_agreement_micro"))
+    assert(m.getAs[Long]("n_model_keep") == c.getAs[Long]("n_model_keep"))
+  }
+
+  test("maintainAll no-trip: nothing retrains, every artifact and the index keep their instances") {
+    val idx = VectorQueries.corpusCellIndex(spark, sf)
+    val (q0, t0, c0) = (VectorQueries.quantizerRows(spark, sf),
+      MlQueries.learnedMerges(spark, sf), MlQueries.fitted(spark, sf))
+    val out = Maintenance.maintainAll(spark, sf, idx)
+    assert(!out.anyRetrained, out.toString)
+    assert(out.index eq idx, "no-trip must hand the index back untouched")
+    assert(VectorQueries.quantizerRows(spark, sf)
+        .asInstanceOf[AnyRef] eq q0.asInstanceOf[AnyRef],
+      "no-trip must not touch the quantizer memo")
+    assert(MlQueries.learnedMerges(spark, sf)
+        .asInstanceOf[AnyRef] eq t0.asInstanceOf[AnyRef],
+      "no-trip must not touch the tokenizer memo")
+    assert(MlQueries.fitted(spark, sf) eq c0,
+      "no-trip must not touch the classifier memo")
+  }
+
+  test("maintainAll forced trip: all three refit, the index redeploys under the fresh quantizer") {
+    val idx = VectorQueries.corpusCellIndex(spark, sf)
+    val (q0, t0, c0) = (VectorQueries.quantizerRows(spark, sf),
+      MlQueries.learnedMerges(spark, sf), MlQueries.fitted(spark, sf))
+    val agreement = MlQueries.xClassifierReport(spark, sf)
+      .collect()(0).getAs[Long]("holdout_agreement_micro")
+    val out = Maintenance.maintainAll(spark, sf, idx,
+      maxHotCells = -1L,           // hot >= 0 > -1: always trips
+      fertilityCeilingMicro = 1L,  // fertility >= 1e6 by construction
+      agreementFloorMicro = agreement + 1)
+    assert(out.quantizer.retrained && out.tokenizer.retrained &&
+      out.classifier.retrained, out.toString)
+    // every memo is a NEW instance; deterministic trainers reproduce the
+    // same VALUES on an unchanged corpus (the per-loop specs' contract)
+    val (q1, t1) = (VectorQueries.quantizerRows(spark, sf),
+      MlQueries.learnedMerges(spark, sf))
+    assert(!(q1.asInstanceOf[AnyRef] eq q0.asInstanceOf[AnyRef]) && q1 == q0)
+    assert(!(t1.asInstanceOf[AnyRef] eq t0.asInstanceOf[AnyRef]) && t1 == t0)
+    assert(!(MlQueries.fitted(spark, sf) eq c0))
+    // the index came back REASSIGNED under the fresh quantizer — the
+    // epoch invariant: cells must equal a from-scratch assignment
+    assert(!(out.index eq idx), "a quantizer trip must redeploy the index")
+    val want = VectorQueries.corpusCellIndex(spark, sf)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.index.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "redeployed index cells diverged from the fresh quantizer")
+  }
+}
