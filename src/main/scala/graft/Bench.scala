@@ -39,6 +39,16 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb
     // session-startup cost (touches no benchmark data).
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    // hash-agg + exchange + sort warmup: the first GROUPED query in a
+    // fresh JVM otherwise pays HashAggregateExec/SortExec codegen-path
+    // initialization in its rep 1 (r13 verdict task 4: d1 — the first
+    // query of the text block — read 1.036/0.330/0.382 purely on this;
+    // the d9 localCheckpoint precedent, applied to the agg/sort path).
+    spark.range(0, 100000)
+      .selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.min("v"),
+        org.apache.spark.sql.functions.count("*"))
+      .orderBy("k").collect()
     // localCheckpoint warmup: the first localCheckpoint in a JVM pays
     // block-manager storage-path initialization, which otherwise lands in
     // rep 1 of whichever iterative query (d9's label loop) checkpoints

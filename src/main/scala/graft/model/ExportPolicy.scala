@@ -1,0 +1,43 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** [EXT] Deployment-facing export/certification policy — the knobs a
+  * training-data pipeline retargets per deployment WITHOUT recompiling:
+  * shard fan-out and seed for the shuffled export layout, the v2
+  * certification floor and its quality reweighting. Defaults are exactly
+  * the fixture constants the oracled queries pin, so the default policy
+  * changes nothing anywhere (the oracle SQL is generated from the same
+  * defaults); a deployment constructs or [[ExportPolicy.load]]s its own
+  * and threads it through [[graft.pipeline.BatchPipeline.exportShuffled]]
+  * / `applyExportDelta` / `applyForget`.
+  *
+  * Scale note: `nShards` bounds the export write's parallelism (one
+  * writer task per shard per salt — see
+  * [[graft.sinks.ShardWriter.writeShards]]); at 100 TB it is the knob
+  * that sizes shard files for the dataloader fan-out, and the seeded
+  * layout keeps ANY value rerun-reproducible. */
+case class ExportPolicy(
+    nShards: Long = 8L,
+    shardSeed: String = "shard:42|",
+    qualityV2FloorMicro: Long = 550000L,
+    v2WStop: Double = 0.3,
+    v2WPunct: Double = 0.3,
+    v2WLen: Double = 0.4)
+
+object ExportPolicy {
+  /** The fixture policy every oracled query renders under. */
+  val Default: ExportPolicy = ExportPolicy()
+
+  /** Load a policy document — the S5 explicit-schema JSON discipline
+    * ([[GraftConfig.load]]): never schema inference on config files. */
+  def load(spark: SparkSession, path: String): ExportPolicy = {
+    import spark.implicits._
+    val ds: Dataset[ExportPolicy] = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[ExportPolicy]].schema)
+      .option("multiLine", true)
+      .json(path)
+      .as[ExportPolicy]
+    ds.head()
+  }
+}

@@ -145,9 +145,11 @@ object BatchPipeline {
     * shard a contiguous skey range, so training order is the reproducible
     * pseudo-random permutation the layout query describes. */
   def exportShuffled(frame: DataFrame, outDir: String,
-      maxRecordsPerFile: Int = 10000): Unit =
+      maxRecordsPerFile: Int = 10000,
+      policy: graft.model.ExportPolicy =
+        graft.model.ExportPolicy.Default): Unit =
     graft.sinks.ShardWriter.writeShards(
-      graft.queries.ExportQueries.sharded(frame), outDir,
+      graft.queries.ExportQueries.sharded(frame, policy), outDir,
       "shard", "skey", maxRecordsPerFile)
 
   /** Apply the v1→v2 certification-policy move INCREMENTALLY to a
@@ -177,19 +179,21 @@ object BatchPipeline {
     * commute (DeltaExportSpec). */
   def applyExportDelta(spark: SparkSession, dir: String, exportDir: String,
       maxRecordsPerFile: Int = 10000,
-      forgetApplied: Boolean = false): DeltaApplied = {
+      forgetApplied: Boolean = false,
+      policy: graft.model.ExportPolicy =
+        graft.model.ExportPolicy.Default): DeltaApplied = {
     import graft.queries.ExportQueries
     val forgetWasApplied = forgetApplied ||
       forgetMarkerExists(spark, exportDir)
     // ONE materialization of eligibility ⨝ both scores serves the delta
     // accounting AND the touched-shard rewrite (review finding: the first
     // cut ran the upstream chain once per consumer)
-    val scored = ExportQueries.scoredEligible(spark, dir)
+    val scored = ExportQueries.scoredEligible(spark, dir, policy)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val byShard = ExportQueries.sharded(
           scored.select(col("doc_id"),
-            ExportQueries.deltaActionCol.as("action")))
+            ExportQueries.deltaActionCol(policy).as("action")), policy)
         .filter(col("action").isNotNull)
         .groupBy(col("shard"))
         .agg(count(when(col("action") === "add", 1)).as("n_adds"),
@@ -197,7 +201,7 @@ object BatchPipeline {
         .collect() // bounded: one row per touched shard
       val touched = byShard.map(_.getLong(0)).toSeq.sorted
       val v2 = scored
-        .filter(col("q2") >= graft.queries.ExportQueries.QualityV2Floor)
+        .filter(col("q2") >= policy.qualityV2FloorMicro)
         .join(graft.queries.TextQueries.t5RedactPii(spark, dir)
           .select("doc_id", "redacted"), "doc_id")
         .select("doc_id", "redacted")
@@ -208,7 +212,7 @@ object BatchPipeline {
         if (forgetWasApplied) ExportQueries.excludeForgotten(spark, dir, v2)
         else v2
       graft.sinks.ShardWriter.applyDelta(exportDir,
-        ExportQueries.sharded(content), touched, "shard", "skey",
+        ExportQueries.sharded(content, policy), touched, "shard", "skey",
         maxRecordsPerFile)
       DeltaApplied(byShard.map(_.getLong(1)).sum,
         byShard.map(_.getLong(2)).sum, touched)
@@ -236,29 +240,31 @@ object BatchPipeline {
     * ([[graft.plans.Snapshot]]) exactly as a compaction fold does. */
   def applyForget(spark: SparkSession, dir: String, exportDir: String,
       maxRecordsPerFile: Int = 10000,
-      policyV2: Boolean = false): ForgetApplied = {
+      policyV2: Boolean = false,
+      policy: graft.model.ExportPolicy =
+        graft.model.ExportPolicy.Default): ForgetApplied = {
     import graft.queries.ExportQueries
     // ONE materialization of the removal set serves the shard accounting
     // AND the rewrite's anti-join (review finding: the first cut built
     // the t12 ⨝ fps ⨝ suppression chain twice); `policyV2` names the
     // export's CURRENT certification so the removal set and the rewrite
     // content describe the same corpus state
-    val removal = ExportQueries.forgetRemovalSetFor(spark, dir, policyV2)
+    val removal = ExportQueries.forgetRemovalSetFor(spark, dir, policyV2, policy)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val byShard = ExportQueries.sharded(removal)
+      val byShard = ExportQueries.sharded(removal, policy)
         .groupBy(col("shard")).agg(count(lit(1)).as("n"))
         .collect() // bounded: one row per touched shard
       val touched = byShard.map(_.getLong(0)).toSeq.sorted
       val certified =
-        if (policyV2) ExportQueries.v2CleanForExport(spark, dir)
+        if (policyV2) ExportQueries.v2CleanForExport(spark, dir, policy)
         else ExportQueries.v1CleanForExport(spark, dir)
       // content exclusion rides the suppression LIST (timeless, by
       // content), not the policy-scoped removal set — so forget and
       // policy-move applies commute (DeltaExportSpec)
       val purged = ExportQueries.excludeForgotten(spark, dir, certified)
       graft.sinks.ShardWriter.applyDelta(exportDir,
-        ExportQueries.sharded(purged), touched, "shard", "skey",
+        ExportQueries.sharded(purged, policy), touched, "shard", "skey",
         maxRecordsPerFile)
       writeForgetMarker(spark, dir, exportDir)
       ForgetApplied(byShard.map(_.getLong(1)).sum, touched)

@@ -257,28 +257,36 @@ object ExportQueries {
     r.audit
   }
 
-  /** Seed + shard count for the export shuffle — inlined into BOTH the
-    * Spark plan and the oracle SQL (the mixHash discipline), so the
-    * permutation is reproducible run-to-run and engine-to-engine. */
-  private val ShardSeed = "shard:42|"
-  private val NShards = 8L
+  /** Seed + shard count for the export shuffle under the FIXTURE policy
+    * ([[graft.model.ExportPolicy.Default]]) — inlined into BOTH the Spark
+    * plan and the oracle SQL (the mixHash discipline), so the permutation
+    * is reproducible run-to-run and engine-to-engine. Deployments
+    * retarget layout through an [[graft.model.ExportPolicy]] argument;
+    * every oracled query renders under the default, so the oracle SQL
+    * below is generated from these same values. */
+  private val ShardSeed = graft.model.ExportPolicy.Default.shardSeed
+  private val NShards = graft.model.ExportPolicy.Default.nShards
 
   /** The seeded shard-assignment arithmetic — factored so a delta row
     * ([[xExportDelta]]) names the SAME shard the full shuffle layout
-    * ([[xShuffleShards]]) places the doc in. */
-  private def shardKeyCol(docId: org.apache.spark.sql.Column) =
-    md5(concat(lit(ShardSeed), docId.cast("string")))
-  private def shardOfKeyCol(skey: org.apache.spark.sql.Column) =
-    conv(substring(skey, 1, 8), 16, 10).cast("bigint") % NShards
+    * ([[xShuffleShards]]) places the doc in, under WHATEVER policy the
+    * caller threads. */
+  private def shardKeyCol(docId: org.apache.spark.sql.Column,
+      p: graft.model.ExportPolicy) =
+    md5(concat(lit(p.shardSeed), docId.cast("string")))
+  private def shardOfKeyCol(skey: org.apache.spark.sql.Column,
+      p: graft.model.ExportPolicy) =
+    conv(substring(skey, 1, 8), 16, 10).cast("bigint") % p.nShards
 
   /** Attach the seeded layout columns (`skey`, `shard`) to any
     * doc_id-keyed frame — the ONE rendering of the shuffle layout shared
     * by [[xShuffleShards]] (the layout report), the materialized shuffled
     * export, and the delta apply, so a delta row's shard tag can never
     * disagree with where the writer put the doc. */
-  private[graft] def sharded(df: DataFrame): DataFrame =
-    df.withColumn("skey", shardKeyCol(col("doc_id")))
-      .withColumn("shard", shardOfKeyCol(col("skey")))
+  private[graft] def sharded(df: DataFrame,
+      p: graft.model.ExportPolicy = graft.model.ExportPolicy.Default): DataFrame =
+    df.withColumn("skey", shardKeyCol(col("doc_id"), p))
+      .withColumn("shard", shardOfKeyCol(col("skey"), p))
 
   /** The v1 export content (doc_id + redacted training text) — t12's
     * certification, straight off the clean-corpus snapshot. */
@@ -288,30 +296,34 @@ object ExportQueries {
   /** Eligibility ⨝ BOTH policy scores off one signal scan — the single
     * frame the delta query and the apply path both fan out from, so the
     * two can never disagree on a doc's scores. */
-  private[graft] def scoredEligible(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def scoredEligible(spark: SparkSession, dir: String,
+      p: graft.model.ExportPolicy = graft.model.ExportPolicy.Default): DataFrame =
     TextQueries.certEligible(spark, dir)
       .join(TextQueries.qualitySignals(spark, dir)
         .select(col("doc_id"),
           TextQueries.qualityMicroCol(0.5, 0.3, 0.2).as("q1"),
-          TextQueries.qualityMicroCol(V2WStop, V2WPunct, V2WLen).as("q2")),
+          TextQueries.qualityMicroCol(p.v2WStop, p.v2WPunct, p.v2WLen).as("q2")),
         "doc_id")
 
   /** The boundary action over [[scoredEligible]]'s (q1, q2) — ONE
     * definition shared by the oracled [[xExportDelta]] and the apply
     * path in [[graft.pipeline.BatchPipeline.applyExportDelta]]. */
-  private[graft] def deltaActionCol: org.apache.spark.sql.Column =
-    when(col("q2") >= QualityV2Floor &&
+  private[graft] def deltaActionCol(
+      p: graft.model.ExportPolicy = graft.model.ExportPolicy.Default)
+      : org.apache.spark.sql.Column =
+    when(col("q2") >= p.qualityV2FloorMicro &&
         col("q1") < TextQueries.CleanQualityFloor, "add")
       .when(col("q1") >= TextQueries.CleanQualityFloor &&
-        col("q2") < QualityV2Floor, "tombstone")
+        col("q2") < p.qualityV2FloorMicro, "tombstone")
 
   /** The v2 export content: the SAME eligibility set certified by the
     * reweighted score, carrying the same redacted projection — what a
     * from-scratch v2 export would ship, and what [[xExportDelta]]'s adds
     * and tombstones move the v1 export TO. */
-  private[graft] def v2CleanForExport(spark: SparkSession, dir: String): DataFrame =
-    scoredEligible(spark, dir)
-      .filter(col("q2") >= QualityV2Floor)
+  private[graft] def v2CleanForExport(spark: SparkSession, dir: String,
+      p: graft.model.ExportPolicy = graft.model.ExportPolicy.Default): DataFrame =
+    scoredEligible(spark, dir, p)
+      .filter(col("q2") >= p.qualityV2FloorMicro)
       .join(TextQueries.t5RedactPii(spark, dir).select("doc_id", "redacted"), "doc_id")
       .select("doc_id", "redacted")
 
@@ -393,10 +405,13 @@ object ExportQueries {
     * (length saturation up, stopword ratio down — a filter-v2 rollout
     * recalibration) with a floor raised to match the shifted score
     * distribution. Inlined into BOTH the Spark plan and the oracle. */
-  private val V2WStop = 0.3
-  private val V2WPunct = 0.3
-  private val V2WLen = 0.4
-  private[graft] val QualityV2Floor = 550000L
+  // fixture-policy aliases, kept so the oracle SQL interpolates the SAME
+  // values the default-policy Spark plans render under
+  private val V2WStop = graft.model.ExportPolicy.Default.v2WStop
+  private val V2WPunct = graft.model.ExportPolicy.Default.v2WPunct
+  private val V2WLen = graft.model.ExportPolicy.Default.v2WLen
+  private[graft] val QualityV2Floor =
+    graft.model.ExportPolicy.Default.qualityV2FloorMicro
 
   /** x_export_delta — the INCREMENTAL export: when the certification
     * policy moves (here a quality reweighting, v1 = 0.5/0.3/0.2 floor
@@ -426,8 +441,10 @@ object ExportQueries {
     * proportional. */
   def xExportDelta(spark: SparkSession, dir: String): DataFrame =
     scoredEligible(spark, dir)
-      .select(col("doc_id"), deltaActionCol.as("action"),
-        shardOfKeyCol(shardKeyCol(col("doc_id"))).as("shard"))
+      .select(col("doc_id"), deltaActionCol().as("action"),
+        shardOfKeyCol(shardKeyCol(col("doc_id"),
+            graft.model.ExportPolicy.Default),
+          graft.model.ExportPolicy.Default).as("shard"))
       .filter(col("action").isNotNull)
       .orderBy("doc_id")
 
@@ -447,7 +464,23 @@ object ExportQueries {
     * content cannot re-enter through the front door after the corpus
     * purge rebuilds the dedup bases without it. Fingerprints only, never
     * the text (retaining deleted text to block it would violate the
-    * deletion). */
+    * deletion).
+    *
+    * GROWTH DISCIPLINE (r13 verdict stretch 8): the list grows
+    * monotonically BY DESIGN — a deletion request has no expiry, so no
+    * entry is ever eligible for compaction-by-staleness, and
+    * "re-certification" cannot retire an fp either (the request was
+    * about the CONTENT; a doc re-entering under a new id is exactly what
+    * the list exists to stop). Its scale shape is what makes that
+    * acceptable: one 16-byte md5 per distinct requested content —
+    * requests-proportional, not corpus-proportional (a year of 1M
+    * deletion requests/day is ~6 GB) — probed as one slim
+    * broadcast-or-hash anti-join per micro-batch / export apply, and at
+    * deployment scale stored as a parquet table BUCKETED by fp so the
+    * stream-static probe co-partitions without a shuffle. The only sound
+    * compaction is DEDUPLICATION of the list itself (the `.distinct()`
+    * below — re-requests of the same content collapse), which this
+    * rendering already applies. */
   private[graft] def forgetSuppressionFps(spark: SparkSession, dir: String): DataFrame =
     TextQueries.cachedFps(spark, dir)
       .join(forgetRequests(spark, dir), "doc_id")
@@ -472,10 +505,11 @@ object ExportQueries {
     * fingerprint base, so the match semantic is exactly d1's
     * (normalize-whitespace, lowercase, md5). */
   private[graft] def forgetRemovalSetFor(spark: SparkSession, dir: String,
-      policyV2: Boolean): DataFrame = {
+      policyV2: Boolean,
+      p: graft.model.ExportPolicy = graft.model.ExportPolicy.Default): DataFrame = {
     val certified =
-      if (policyV2) scoredEligible(spark, dir)
-        .filter(col("q2") >= QualityV2Floor).select("doc_id")
+      if (policyV2) scoredEligible(spark, dir, p)
+        .filter(col("q2") >= p.qualityV2FloorMicro).select("doc_id")
       else TextQueries.t12CleanUnordered(spark, dir).select("doc_id")
     certified
       .join(TextQueries.cachedFps(spark, dir), "doc_id")

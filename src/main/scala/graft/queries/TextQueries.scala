@@ -143,7 +143,14 @@ object TextQueries {
     val shinglesF = Future(t("shingles")(distinctShingles(spark, dir).count()))
     val rest = Seq(
       Future(t("simhash")(cachedSimhashSig(spark, dir).count())),
-      Future(t("fps")(cachedFps(spark, dir).count())),
+      // fps: column-touching count, not count(*) — a bare count over a
+      // REUSED parquet snapshot satisfies itself from row-group metadata
+      // and never reads a page, so the first real fp read (decompress +
+      // string materialization) used to land in d1's rep 1 (r13 verdict
+      // task 4: 1.036/0.330/0.382). Counting the fp column forces the
+      // page read HERE, where warm's cost is attributable by design.
+      Future(t("fps")(cachedFps(spark, dir)
+        .agg(count(col("fp"))).collect()(0).getLong(0))),
       Future(t("bigrams")(cachedBigrams(spark, dir).count())))
     val sharedF = candsF.flatMap(_ => shinglesF)
       .map(_ => t("shared")(cachedSharedCounts(spark, dir).count()))

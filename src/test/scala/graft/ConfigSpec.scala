@@ -26,4 +26,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.threads == 4)
     assert(cfg.servername == "encsrv01")
   }
+
+  test("ExportPolicy loads from JSON with explicit schema; default equals the fixture constants") {
+    val dir = Files.createTempDirectory("graft-pol")
+    val path = dir.resolve("policy.json")
+    Files.writeString(path,
+      """{
+        |  "nShards": 64,
+        |  "shardSeed": "shard:prod|",
+        |  "qualityV2FloorMicro": 600000,
+        |  "v2WStop": 0.25, "v2WPunct": 0.25, "v2WLen": 0.5
+        |}""".stripMargin)
+    val pol = graft.model.ExportPolicy.load(spark, path.toString)
+    assert(pol == graft.model.ExportPolicy(64L, "shard:prod|", 600000L,
+      0.25, 0.25, 0.5))
+    // the default policy IS the fixture: oracled queries render under it
+    assert(graft.model.ExportPolicy.Default ==
+      graft.model.ExportPolicy(8L, "shard:42|", 550000L, 0.3, 0.3, 0.4))
+  }
 }

@@ -136,6 +136,33 @@ class DeltaExportSpec extends AnyFunSuite {
     assertSameExport(appliedDir, scratchDir)
   }
 
+  test("non-default ExportPolicy: a 5-shard reseeded export lays out, deltas apply, and equals from-scratch") {
+    import graft.queries.ExportQueries
+    // a deployment retargets layout + certification WITHOUT recompiling:
+    // different fan-out, different seed, stricter v2 floor — the whole
+    // export surface must honor it end to end
+    val pol = graft.model.ExportPolicy(nShards = 5L, shardSeed = "shard:7|",
+      qualityV2FloorMicro = 560000L)
+    val v1Dir = tmp("graft-pol-v1")
+    val v2Dir = tmp("graft-pol-v2")
+    BatchPipeline.exportShuffled(
+      ExportQueries.v1CleanForExport(spark, sf), v1Dir,
+      maxRecordsPerFile = 50, policy = pol)
+    val shards = new java.io.File(v1Dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shards.subsetOf((0L until 5L).map(s => s"shard=$s").toSet) &&
+      shards.size == 5,
+      s"5-shard policy must fan out to shards 0..4, got $shards")
+    val r = BatchPipeline.applyExportDelta(spark, sf, v1Dir,
+      maxRecordsPerFile = 50, policy = pol)
+    assert(r.nAdds > 0 && r.nTombstones > 0, r)
+    BatchPipeline.exportShuffled(
+      ExportQueries.v2CleanForExport(spark, sf, pol), v2Dir,
+      maxRecordsPerFile = 50, policy = pol)
+    graft.queries.TextQueries.releaseCaches()
+    assertSameExport(v1Dir, v2Dir)
+  }
+
   test("composed: forget and policy-move applies commute to the same export") {
     import graft.queries.ExportQueries
     // deletions are by content and timeless, so applying {forget, policy

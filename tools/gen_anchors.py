@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Generate BASELINE_anchors.json — the machine-readable companion to
+BASELINE.md's per-query anchor table (r13 verdict task 3): the prose stays
+the narrative, this JSON is the 2x sweep's input.
+
+Sources, in precedence order:
+  1. --override rows (JSON: {"name": {"anchor": s, "note": "..."}}) — new
+     queries and deliberate re-anchors recorded from a fresh 3-process
+     protocol (per-query median via baseline_medians.py).
+  2. BASELINE.md's per-query table (the authoritative r9..r13 anchors):
+     the anchor is the first number in the r9 column; the parenthetical
+     note is carried verbatim as the regime note.
+
+Band classes (the read discipline BASELINE.md documents):
+  - noise_floor : anchor < 0.15 s — read by absolute delta (> +0.3 s
+                  sustained = real), ratios are jitter below that.
+  - jit_band    : note documents a declining-reps JIT band; read driver
+                  medians against the [band_lo, band_hi] range.
+  - build_pass  : warm_* snapshot materialization entries — build-mode vs
+                  reuse-mode costs differ by design (snapshot_outcomes
+                  says which mode a run was in).
+  - memoizing   : rep 1 pays a train-once memo by design; the anchor is
+                  the post-memo marginal (rep_times attributes the spike).
+  - standard    : everything else; 2x-with->0.3s-delta is the violation
+                  bar.
+
+Usage:
+  gen_anchors.py BASELINE.md bench_out.json [--override overrides.json] \
+      > BASELINE_anchors.json
+bench_out.json supplies the entry universe for the coverage check.
+"""
+import json
+import re
+import sys
+
+def parse_table(md_path):
+    rows = {}
+    for line in open(md_path):
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|[^|]*\|\s*([0-9.]+)(.*)\|\s*$",
+                     line)
+        if not m:
+            continue
+        name, anchor, rest = m.group(1), float(m.group(2)), m.group(3).strip()
+        note = rest.strip()
+        if note.startswith("(") and note.endswith(")"):
+            note = note[1:-1]
+        rows[name] = {"anchor": anchor, "note": note}
+    return rows
+
+def band_class(name, anchor, note):
+    if name.startswith("warm_"):
+        return "build_pass"
+    low = note.lower()
+    if re.search(r"band [0-9.]+\s*[-–]\s*[0-9.]+", low) or \
+       "declining reps" in low or "jit" in low and "band" in low:
+        return "jit_band"
+    if "rep 1" in low or "rep-1" in low or "first rep" in low or \
+       "train-once" in low:
+        return "memoizing"
+    if anchor < 0.15:
+        return "noise_floor"
+    return "standard"
+
+def band_range(note):
+    m = re.search(r"band(?: across r\d+ contexts)? ([0-9.]+)\s*[-–]\s*"
+                  r"([0-9.]+)", note)
+    if m:
+        return [float(m.group(1)), float(m.group(2))]
+    m = re.search(r"median lands ([0-9.]+)\s*[-–]\s*([0-9.]+)", note)
+    if m:
+        return [float(m.group(1)), float(m.group(2))]
+    return None
+
+def main():
+    md_path, bench_path = sys.argv[1], sys.argv[2]
+    overrides = {}
+    if "--override" in sys.argv:
+        overrides = json.load(
+            open(sys.argv[sys.argv.index("--override") + 1]))
+    table = parse_table(md_path)
+    table.pop("total", None)
+    for name, row in overrides.items():
+        table[name] = {"anchor": row["anchor"], "note": row.get("note", "")}
+    universe = set(json.load(open(bench_path))["queries"])
+    missing = sorted(universe - set(table))
+    if missing:
+        sys.stderr.write(f"MISSING anchors for: {missing}\n")
+        sys.exit(1)
+    out = {}
+    for name in sorted(table):
+        anchor, note = table[name]["anchor"], table[name]["note"]
+        entry = {"anchor_sec": anchor,
+                 "band_class": band_class(name, anchor, note)}
+        rng = band_range(note)
+        if rng:
+            entry["band"] = rng
+        if note:
+            entry["note"] = note
+        entry["in_current_bench"] = name in universe
+        out[name] = entry
+    json.dump({"conditions": "sf0.1, local[32] driver / local[4] anchors, "
+               "3-process per-query medians (see BASELINE.md)",
+               "violation_bar": "ratio > 2x AND absolute delta > 0.3 s, "
+               "after band_class discipline",
+               "anchors": out}, sys.stdout, indent=1)
+    sys.stdout.write("\n")
+
+if __name__ == "__main__":
+    main()
