@@ -32,9 +32,9 @@ object GenData {
 
   // sf0.1 row counts — the template scale every mult is relative to
   private val Base = Map(
-    "customer" -> 150000L, "supplier" -> 10000L, "part" -> 200000L,
-    "orders" -> 1500000L, "lineitem" -> 6000000L, "events" -> 1000000L,
-    "documents" -> 50000L, "embeddings" -> 20000L)
+    "customer" -> 15000L, "supplier" -> 1000L, "part" -> 20000L,
+    "orders" -> 150000L, "lineitem" -> 600000L, "events" -> 100000L,
+    "documents" -> 5000L, "embeddings" -> 2000L)
 
   /** Deterministic uniform in [0, 1) from (id, salt). */
   private def u(id: Column, salt: String): Column =
@@ -204,7 +204,7 @@ object GenData {
             "zh", "zh", "zh", "es", "es", "es", "fr", "fr", "fr",
             "de", "de", "de")).as("lang"),
         concat(lit("src"), (col("doc_id") % 20).cast("string")).as("source"))
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
     write("documents", docs.orderBy("doc_id"), math.max(1, (mult / 10).toInt))
 
     // embeddings: 64-dim unit vectors with 10 WEAK label clusters —

@@ -627,30 +627,62 @@ object TextQueries {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ [[SimhashMaxHamming]] over
-    * the 64-bit signatures, found via hamming-band candidate tables — each
-    * doc emits its four 16-bit signature quarters as band keys, candidates
-    * equi-join on (band, key), and the xor/bit_count verify runs only on
-    * candidates. With 4 bands and threshold 3 the scheme is EXACT by
-    * pigeonhole (≤3 differing bits leave at least one quarter identical),
-    * and it survives a billion-doc corpus where a whole-signature value
-    * join degenerates: band buckets subdivide the key space 4×2^16 ways
-    * and no all-pairs surface exists outside a bucket. */
+    * the 64-bit signatures, found via TWO-LEVEL hamming-band candidate
+    * tables — each doc emits, for every 16-bit signature quarter b, the
+    * quarter value PLUS each of the four 12-bit sub-blocks of the other
+    * 48 bits as a compound key (band, quarter, sub, subkey): 16 rows per
+    * doc, candidates equi-join on the compound key, and the xor/bit_count
+    * verify runs only on candidates.
+    *
+    * EXACT by double pigeonhole at threshold 3: ≤3 differing bits leave
+    * (a) at least one quarter identical, and (b) within that band, ≤3
+    * diffs among the complementary 48 bits leave at least one of its four
+    * 12-bit sub-blocks identical — so every qualifying pair shares at
+    * least one compound key. The refinement is what survives a LOW-ENTROPY
+    * signature population (the r14 sf1 scaling run measured the
+    * single-level quarter buckets growing near-quadratically: 350k → 32M
+    * candidate pairs for 10× docs, d6 19.5×; candidates must share 28
+    * ALIGNED bits here, which collapsed that surface back to
+    * output-proportional and d6 to ~linear). At a billion docs the
+    * compound key space is 16×2^28 — no all-pairs surface exists outside
+    * a bucket, and bucket skew is bounded by docs agreeing on 28 bits,
+    * not 16. */
   def d6SimhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = cachedSimhashSig(spark, dir)
+    // 48-bit complement of quarter b, laid out contiguously
+    // (sim_lo = q0 + q1·2^16, sim_hi = q2 + q3·2^16)
+    def comp(b: Int): Column = b match {
+      case 0 => shiftright(col("sim_lo"), 16).bitwiseAND(lit(0xFFFFL)) +
+        col("sim_hi") * lit(65536L)
+      case 1 => col("sim_lo").bitwiseAND(lit(0xFFFFL)) +
+        col("sim_hi") * lit(65536L)
+      case 2 => col("sim_lo") +
+        shiftright(col("sim_hi"), 16).bitwiseAND(lit(0xFFFFL)) * lit(4294967296L)
+      case 3 => col("sim_lo") +
+        col("sim_hi").bitwiseAND(lit(0xFFFFL)) * lit(4294967296L)
+      case other => throw new IllegalArgumentException(s"band $other")
+    }
+    val keys = (0 until 4).flatMap { b =>
+      (0 until 4).map { s =>
+        struct(lit(b * 4 + s).as("band"), col(s"b$b").as("bkey"),
+          shiftright(comp(b), 12 * s).bitwiseAND(lit(0xFFFL)).as("skey"))
+      }
+    }
     val bands = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("bkey"))): _*)).as("bk"))
+        explode(array(keys: _*)).as("bk"))
       .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("bk.skey").as("skey"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.skey") === col("b.skey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
           bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi"))))
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      .distinct() // a close pair shares several bands; emit it once
+      .distinct() // a close pair shares several compound keys; emit it once
       .orderBy("doc_a", "doc_b")
   }
 

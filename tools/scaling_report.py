@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""SCALING report (r13 verdict task 1): per-entry sf0.1 -> sf1 growth
+ratios from sf1 bench runs vs the BASELINE_anchors.json sf0.1 anchors.
+
+10x rows => the linear bar is 10x; entries past --bar (default 12x,
+slack for constant overheads shrinking relative share) are flagged as
+superlinear and must be read (plan) or re-planned.
+
+Usage: scaling_report.py sf1_run1.json [sf1_run2.json ...] [--bar 12]
+Prints a markdown table sorted by ratio.
+"""
+import json
+import statistics
+import sys
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+bar = 12.0
+if "--bar" in sys.argv:
+    bar = float(sys.argv[sys.argv.index("--bar") + 1])
+runs = [json.load(open(p)) for p in args]
+anchors = json.load(open("BASELINE_anchors.json"))["anchors"]
+keys = sorted({k for r in runs for k in r["queries"]})
+rows = []
+for k in keys:
+    med = statistics.median([r["queries"][k] for r in runs if k in r["queries"]])
+    a = anchors.get(k, {}).get("anchor_sec")
+    rows.append((med / a if a else None, k, a, med,
+                 anchors.get(k, {}).get("band_class", "?")))
+rows.sort(key=lambda r: -(r[0] or 0))
+print("| entry | sf0.1 anchor (s) | sf1 median (s) | growth (10x rows) | class |")
+print("|---|---|---|---|---|")
+flagged = []
+for ratio, k, a, med, cls in rows:
+    mark = " **SUPERLINEAR**" if ratio and ratio > bar else ""
+    if mark:
+        flagged.append(k)
+    print(f"| {k} | {a if a else '—'} | {med:.3f} | "
+          f"{f'{ratio:.1f}x' if ratio else '—'}{mark} | {cls} |")
+tot = statistics.median([r["value"] for r in runs])
+print(f"\ntotal sf1 median: {tot:.1f} s across {len(runs)} run(s); "
+      f"superlinear (> {bar}x): {flagged if flagged else 'none'}")
