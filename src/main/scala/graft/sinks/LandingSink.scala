@@ -136,7 +136,14 @@ object LandingSink {
     * the sweep, because the sweep runs against the MARKER, not the
     * argument. No ordering exists where a batch is both deleted and
     * replayable: deletion strictly follows the marker advance, and the
-    * marker is consulted before every landing. */
+    * marker is consulted before every landing.
+    *
+    * Reader discipline: run retirement from the SAME loop that folds
+    * (fold → retire, sequentially — PipelineLoopSpec's shape). A reader
+    * that lists the landing root concurrently with a retire could see a
+    * dir vanish mid-scan; the loop's own reads are safe because they
+    * only touch `batch > lastFolded ≥ marker`, which retirement never
+    * deletes. */
   def retire(root: String, throughBatch: Long): Int = {
     val rootP = java.nio.file.Paths.get(root)
     val current = retiredThrough(root)

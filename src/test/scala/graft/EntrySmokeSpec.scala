@@ -54,7 +54,7 @@ class EntrySmokeSpec extends AnyFunSuite {
       StatusQueries.queries, ScalarQueries.queries, EventQueries.queries,
       TextQueries.queries, VectorQueries.queries, ApproxQueries.queries,
       JoinQueries.queries, MultimodalQueries.queries, ExportQueries.queries,
-      MlQueries.queries)
+      MlQueries.queries, MaintenanceQueries.queries)
     assert(modules.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query key across modules — one implementation is shadowed")
   }
