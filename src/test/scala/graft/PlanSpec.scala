@@ -232,6 +232,12 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(TextQueries.d6SimhashDupPairs(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the r14 scale fix: the candidate join must carry the SECOND-level
+    // 12-bit sub-block key, not just the quarter — dropping skey from the
+    // join stays correct (superset candidates) but silently reverts d6's
+    // sf1 read from linear to the 19.5x single-level blowup
+    assert(p.contains("skey"),
+      s"sub-band key missing from the candidate join:\n$p")
   }
 
   test("v6 multi-probe: probe is a cell hash join; only the K-way centroid scoring broadcasts") {
