@@ -147,14 +147,25 @@ object LandingSink {
   def retire(root: String, throughBatch: Long): Int = {
     val rootP = java.nio.file.Paths.get(root)
     val current = retiredThrough(root)
-    if (throughBatch > current) {
+    // never advance the marker past the highest batch actually LANDED: a
+    // buggy caller passing a too-high id would otherwise shadow FUTURE
+    // batch ids — landBatch would refuse them as "retired" and the data
+    // would silently never land. Bounding by what exists keeps retire
+    // unable to affect anything that hasn't been committed yet, while a
+    // legitimate through ≤ maxLanded is untouched.
+    val maxLanded = Option(rootP.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(current)(math.max)
+    val bounded = math.min(throughBatch, maxLanded)
+    if (bounded > current) {
       val tmp = rootP.resolve(s".tmp-retired-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, throughBatch.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp, bounded.toString.getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, rootP.resolve(RetiredMarker),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val horizon = math.max(current, throughBatch)
+    val horizon = math.max(current, bounded)
     val dead = Option(rootP.toFile.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         f.getName.startsWith("batch=") &&

@@ -122,6 +122,14 @@ class LandingSinkSpec extends AnyFunSuite {
     assert(LandingSink.retiredThrough(root) == 3L,
       "the marker is monotonic — a lagging call can never lower it")
     assert(dirs().isEmpty)
+    // overshoot guard: a through id past anything landed must NOT shadow
+    // future batches — landBatch refusing an unlanded id is silent data
+    // loss, the one failure mode worse than an unbounded dir count
+    assert(LandingSink.retire(root, 999L) == 0)
+    assert(LandingSink.retiredThrough(root) == 3L,
+      "the marker must be bounded by the highest batch actually landed")
+    assert(LandingSink.landBatch(doc(4L), root, 4L),
+      "a future batch must still land after an overshooting retire call")
   }
 
   test("restart over the same checkpoint continues batch numbering, never re-lands") {
