@@ -128,7 +128,8 @@ object GenData {
       pick(col("id"), "ostat", Seq("O", "F", "P")).as("o_orderstatus"),
       round(lit(1000.0) + u(col("id"), "otot") * 499000, 2).as("o_totalprice"),
       to_timestamp(date_add(lit(java.sql.Date.valueOf("1995-01-01")),
-        h(col("id"), "odate", orderDays).cast("int"))).as("o_orderdate"),
+        h(col("id"), "odate", orderDays).cast("int")))
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick(col("id"), "oprio", Priorities).as("o_orderpriority")),
       math.max(1, (mult / 2).toInt))
 
@@ -146,7 +147,8 @@ object GenData {
       pick(col("id"), "lrf", Seq("N", "R", "A")).as("l_returnflag"),
       pick(col("id"), "lls", Seq("F", "O")).as("l_linestatus"),
       to_timestamp(date_add(lit(java.sql.Date.valueOf("1995-01-02")),
-        h(col("id"), "lship", shipDays).cast("int"))).as("l_shipdate")),
+        h(col("id"), "lship", shipDays).cast("int")))
+        .cast("timestamp_ntz").as("l_shipdate")),
       math.max(1, mult.toInt))
 
     // events: increasing timestamps with jitter over a fixed 30-day
@@ -161,7 +163,7 @@ object GenData {
       timestamp_micros(
         lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000)
           + ((col("id") + u(col("id"), "ejit")) / nEv.toDouble
-            * spanMicros).cast("long")).as("ts"),
+            * spanMicros).cast("long")).cast("timestamp_ntz").as("ts"),
       h(col("id"), "euser", nUsers).as("user_id"),
       pick(col("id"), "etyp", EventTypes).as("event_type"),
       round(-lit(50.0) * log(lit(1.0) - u(col("id"), "eval") * 0.999999), 2)

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf-scaling fixture generator's own gate: the SCALING measurements
+  * (BASELINE.md r14) are only as good as the generator's fidelity claims,
+  * so those claims are pinned — determinism (pure (row id, salt)
+  * functions: two generations are byte-equal row sets), schema identity
+  * with the driver template, and the cross-table key ranges the TPC-H
+  * joins rely on. */
+class GenDataSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val template = "/root/testdata/sf0.1"
+
+  test("generation is deterministic, schema-identical to the template, and key-closed") {
+    val a = java.nio.file.Files.createTempDirectory("graft-gen-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-gen-b").toString
+    GenData.generate(spark, template, a, 0.02)
+    GenData.generate(spark, template, b, 0.02)
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (t <- tables) {
+      val da = spark.read.parquet(s"$a/$t.parquet")
+      val db = spark.read.parquet(s"$b/$t.parquet")
+      // determinism: identical row SETS (file layout may differ)
+      assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+        s"$t: two generations diverged")
+      // schema fidelity: the driver template's exact names and types
+      val want = spark.read.parquet(s"$template/$t.parquet").schema
+        .map(f => (f.name, f.dataType))
+      val got = da.schema.map(f => (f.name, f.dataType))
+      assert(got == want, s"$t: schema diverged from template: $got vs $want")
+    }
+    import org.apache.spark.sql.functions._
+    // key closure at this mult: every FK lands inside its dimension
+    val nCust = spark.read.parquet(s"$a/customer.parquet").count()
+    val nPart = spark.read.parquet(s"$a/part.parquet").count()
+    val nSupp = spark.read.parquet(s"$a/supplier.parquet").count()
+    val nOrd = spark.read.parquet(s"$a/orders.parquet").count()
+    val li = spark.read.parquet(s"$a/lineitem.parquet")
+      .agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
+      .collect()(0)
+    assert(li.getLong(0) < nOrd && li.getLong(1) < nPart &&
+      li.getLong(2) < nSupp, s"lineitem FKs escape their dimensions: $li")
+    val oc = spark.read.parquet(s"$a/orders.parquet")
+      .agg(max("o_custkey")).collect()(0).getLong(0)
+    assert(oc < nCust)
+    // nationkeys ride the copied 25-row nation table
+    assert(spark.read.parquet(s"$a/customer.parquet")
+      .agg(max("c_nationkey")).collect()(0).getInt(0) < 25)
+  }
+}
