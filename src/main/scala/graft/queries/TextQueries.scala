@@ -1706,7 +1706,16 @@ object TextQueries {
     * retains K rows before the exchange where the filter form is used.
     * Skewed domains (one host = half the crawl) are exactly why the cap
     * exists; the salting/AQE-skew toolbox applies to the window shuffle. */
-  def t29DomainCap(spark: SparkSession, dir: String): DataFrame = {
+  def t29DomainCap(spark: SparkSession, dir: String): DataFrame =
+    t29DomainCapWith(spark, dir, DomainCap)
+
+  /** [[t29DomainCap]] under a caller-chosen budget — the batch cap was
+    * the one cap constant NOT already threaded as config (the streaming
+    * legs take `cap` as a parameter); the oracled query binds the
+    * fixture default, so deployments retarget without recompiling and
+    * the oracle is untouched. */
+  def t29DomainCapWith(spark: SparkSession, dir: String,
+      cap: Long): DataFrame = {
     val pr = conv(substring(
         md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
@@ -1716,7 +1725,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"), pr.as("priority"))
       .withColumn("cap_rank", row_number().over(w).cast("bigint"))
       .select(col("doc_id"), col("source"), col("cap_rank"),
-        (col("cap_rank") <= DomainCap).cast("bigint").as("kept"))
+        (col("cap_rank") <= cap).cast("bigint").as("kept"))
       .orderBy("doc_id")
   }
 

@@ -189,6 +189,25 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("t29 domain cap honors a non-default budget end-to-end") {
+    import graft.queries.TextQueries
+    val capped = TextQueries.t29DomainCapWith(spark, sf, cap = 2L).collect()
+    val bySource = capped.groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      val kept = rows.count(_.getLong(3) == 1L)
+      assert(kept == math.min(2, rows.length),
+        s"source $src kept $kept of ${rows.length} under cap 2")
+      rows.foreach(r => assert((r.getLong(3) == 1L) == (r.getLong(2) <= 2L),
+        s"kept flag diverged from cap_rank under a non-default cap: $r"))
+    }
+    // the oracled default is the same code path with the fixture constant
+    val viaDefault = TextQueries.queries("t29_domain_cap")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaWith = TextQueries.t29DomainCapWith(spark, sf,
+      TextQueries.DomainCap).collect().map(_.toSeq).toSet
+    assert(viaDefault == viaWith)
+  }
+
   test("t8 decontamination flags every mutant of a benchmark doc; never a benchmark doc") {
     import graft.queries.TextQueries
     import org.apache.spark.sql.functions.col
