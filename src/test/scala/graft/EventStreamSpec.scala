@@ -690,10 +690,17 @@ class EventStreamSpec extends AnyFunSuite {
     val novel = Array.fill(forgotten.length)(0.5f)
     // standalone embedding stream (no text column to fingerprint): the
     // bytes-identity gate is the only thing standing between a forgotten
-    // vector and re-admission once the index purge rebuilt without it
+    // vector and re-admission once the index purge rebuilt without it.
+    // The blocklist lives as a parquet DIR (the production artifact
+    // shape), so a LATER purge's append can take effect on the running
+    // query — the live-refresh claim in the gate's scaladoc.
+    val blockDir = java.nio.file.Files
+      .createTempDirectory("graft-vblock").toString
+    blocklist.write.mode("overwrite").parquet(blockDir)
+    val blockTable = spark.read.parquet(blockDir)
     val ms = MemoryStream[(Long, Array[Float])]
     val q = EventStream.suppressVectorsAtIngest(
-        ms.toDF().toDF("vec_id", "embedding"), blocklist)
+        ms.toDF().toDF("vec_id", "embedding"), blockTable)
       .writeStream.format("memory").queryName("vsuppress")
       .outputMode("append").start()
     ms.addData((9800001L, forgotten), (9800002L, near), (9800003L, novel))
@@ -707,6 +714,23 @@ class EventStreamSpec extends AnyFunSuite {
       s"vector suppression mis-filtered: $got")
     assert(q.lastProgress.stateOperators.isEmpty,
       "vector suppression must stay stateless")
+    // live rollout of a SECOND purge against the running query: vec 1's
+    // digests append to the blocklist dir, the stream-static anti-join
+    // re-plans per micro-batch, and vec 1's exact re-arrival now dies
+    // while fresh novelty still passes
+    val v1 = index.filter(col("vec_id") === 1L)
+      .collect()(0).getSeq[Float](1).toArray
+    val (_, delta2) = graft.queries.VectorQueries
+      .purgeIndexRecording(index, Seq(1L).toDF("vec_id"))
+    delta2.write.mode("append").parquet(blockDir)
+    EventStream.refreshStaticArtifacts(blockTable)
+    val novel2 = Array.fill(v1.length)(-0.25f)
+    ms.addData((9800004L, v1), (9800005L, novel2))
+    q.processAllAvailable()
+    val got2 = spark.table("vsuppress").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(got2 == Set(9800002L, 9800003L, 9800005L),
+      s"a purge appended mid-stream must take effect live: $got2")
     q.stop()
   }
 
