@@ -105,16 +105,44 @@ def frame_sig(df):
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
+    # --max-rows N (scaling runs only; the driver replica never passes it):
+    # skip the value compare for queries whose SPARK output exceeds N rows —
+    # at sf1 one query (a2_range_pairs) emits 110M pairs BY DATA
+    # CONSTRUCTION (fixed 30-day window, 10x denser events => ~100x pairs)
+    # and a row-by-row signature of that is hours of pure python
+    max_rows = None
+    if "--max-rows" in sys.argv:
+        max_rows = int(sys.argv[sys.argv.index("--max-rows") + 1])
+    # --only a,b,c (scaling runs only): compare just the named queries —
+    # lets a scale pass split the fast oracles from the ones whose SQL
+    # re-derivation (the Lloyd-chain CTEs) exceeds practical local
+    # runtime at 10x
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     con = duckdb.connect()
     for p in sorted(glob.glob(f"{sf}/*.parquet")):
         name = os.path.basename(p)[:-8]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # driver fixtures are single parquet FILES; GenData scaling
+        # fixtures (e.g. target/sf1) are Spark-written DIRECTORIES
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         spark_dir = f"{out}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output dir"); n_bad += 1; continue
+        if max_rows is not None:
+            import pyarrow.parquet as _pq
+            n_spark = sum(_pq.ParquetFile(f).metadata.num_rows
+                          for f in glob.glob(f"{spark_dir}/*.parquet"))
+            if n_spark > max_rows:
+                print(f"SKIP {name}: {n_spark} rows > --max-rows {max_rows}")
+                continue
         try:
             s_df = pd.read_parquet(spark_dir)
             d_df = duck_df(con, sql)
