@@ -80,9 +80,34 @@ object Bench {
     // own co-tenant evidence (other-process CPU share, major faults) in
     // the artifact instead of needing an after-the-fact local repro.
     val hostLog = scala.collection.mutable.LinkedHashMap[String, String]()
+    // r15 verdict task 1: when an entry's median blows past ~5x its recorded
+    // anchor, run ONE recovery rep before moving on. A transient host stall
+    // (the r14 cold-page-cache window) recovers — the extra rep reads at
+    // anchor and pulls the median back toward truth; a real regression
+    // does not. The anchors ship in-repo (BASELINE_anchors.json, written by
+    // tools/gen_anchors.py); absent or unparsable file just disables the
+    // heuristic. Which entries triggered it is itself recorded
+    // ("recovery_reps" in bench_out.json) so the artifact says both THAT a
+    // reading was suspect and HOW the re-measurement went.
+    val anchors: Map[String, Double] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_anchors.json")), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"anchor_sec"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val recovered = scala.collection.mutable.ArrayBuffer[String]()
     def timed(name: String)(body: => Unit): (String, Double) = {
       val h0 = HostTelemetry.sample()
-      val ts = (1 to reps).map(_ => once(name)(body))
+      var ts = (1 to reps).map(_ => once(name)(body))
+      if (reps > 1) anchors.get(name).foreach { a =>
+        if (median(ts) > 5 * a && median(ts) - a > 0.3) {
+          System.err.println(
+            f"[bench] $name median ${median(ts)}%.3f > 5x anchor $a%.3f — recovery rep")
+          ts = ts :+ once(name)(body)
+          recovered += name
+        }
+      }
       hostLog(name) = HostTelemetry.deltaJson(h0, HostTelemetry.sample())
       repLog(name) = ts
       System.err.println(f"[bench] $name%-28s median=${median(ts)}%8.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
@@ -203,8 +228,9 @@ object Bench {
     val snapOutcomes = graft.plans.Snapshot.lastOutcomes.map {
       case (n, o, s) => s"""${q(n)}:{"mode":${q(o)},"sec":${f3(s)}}"""
     }.mkString("{", ",", "}")
+    val recoveryJson = recovered.map(q).mkString("[", ",", "]")
     val fullLine =
-      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes,"host":$hostJson,"snapshot_outcomes":$snapOutcomes}"""
+      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes,"host":$hostJson,"snapshot_outcomes":$snapOutcomes,"recovery_reps":$recoveryJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -1,6 +1,7 @@
 package graft
 
-/** Host-regime sampling for the bench artifact (round-12 verdict task 1b).
+/** Host-regime sampling for the bench artifact (round-12 verdict task 1b;
+  * PSI + timestamps round 15, verdict task 1).
   *
   * The r10/r11 driver benches elevated specific entries 4–26x while their
   * plans were pinned and their local anchors flat — the evidence pointed
@@ -25,19 +26,55 @@ package graft
   *                regime (BASELINE.md's CONTENDED model) shows up here
   *                even when the co-tenant is IO-bound rather than
   *                CPU-bound.
+  *  - `t0`      — entry-start wall clock (epoch ms). The r14 driver run
+  *                lost ~5 s to ONE contiguous cold-page-cache window that
+  *                spanned five entries; without per-entry timestamps the
+  *                contiguity had to be reconstructed from execution-order
+  *                reasoning. With t0 the window is a literal time range.
+  *  - `psi_*_us` — /proc/pressure/{io,memory} stall-total deltas (µs),
+  *                `some` and `full` lines. THE gap the r14 adjudication
+  *                exposed: buffered-read page-cache misses are I/O wait,
+  *                which registers in NEITHER `other` (it is not CPU) NOR
+  *                `pgmf` (read() misses are not major faults) — but PSI
+  *                io-some counts exactly the µs any task stalled on I/O.
+  *                A 24 s rep with psi_io_some_us ≈ 20e6 and other ≈ 0 is
+  *                a cold-cache stall, attributable from the artifact
+  *                alone; psi_io_some_us ≈ 0 on the same reading would
+  *                have been a real regression.
   *
-  * Every read is wrapped: on a host without /proc (or a field drift) the
-  * sampler degrades to zeros rather than failing the bench.
+  * Every read is wrapped: on a host without /proc (or without PSI —
+  * CONFIG_PSI=n, pre-4.20 kernels) the sampler degrades to zeros rather
+  * than failing the bench.
   */
 object HostTelemetry {
 
-  final case class Sample(atNanos: Long, jifTotal: Long, jifBusy: Long,
-      selfJif: Long, pgMajFault: Long, load1: Double)
+  final case class Sample(atNanos: Long, epochMs: Long,
+      jifTotal: Long, jifBusy: Long,
+      selfJif: Long, pgMajFault: Long, load1: Double,
+      ioSomeUs: Long, ioFullUs: Long, memSomeUs: Long, memFullUs: Long)
 
   private def readFile(p: String): Option[String] =
     try Some(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(p)), "UTF-8"))
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parse a /proc/pressure/<res> document into (someTotalUs, fullTotalUs).
+    * Format per psi(7): one line per class,
+    * `some avg10=0.00 avg60=0.00 avg300=0.00 total=179850792` — totals are
+    * stall-µs since boot, monotone. A missing line (the `full` line is
+    * absent for the `cpu` resource on some kernels) reads as 0. */
+  def parsePsiTotals(content: String): (Long, Long) = {
+    def total(cls: String): Long =
+      content.linesIterator.find(_.startsWith(cls + " ")).flatMap { l =>
+        l.split("\\s+").collectFirst {
+          case f if f.startsWith("total=") => f.stripPrefix("total=")
+        }.flatMap(_.toLongOption)
+      }.getOrElse(0L)
+    (total("some"), total("full"))
+  }
+
+  private def psi(res: String): (Long, Long) =
+    readFile(s"/proc/pressure/$res").map(parsePsiTotals).getOrElse((0L, 0L))
 
   def sample(): Sample = {
     // /proc/stat "cpu  user nice system idle iowait irq softirq steal ..."
@@ -65,18 +102,25 @@ object HostTelemetry {
     val l1 = readFile("/proc/loadavg")
       .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption)
       .getOrElse(0.0)
-    Sample(System.nanoTime(), tot, busy, selfJ, pgmf, l1)
+    val (ioS, ioF) = psi("io")
+    val (meS, meF) = psi("memory")
+    Sample(System.nanoTime(), System.currentTimeMillis(),
+      tot, busy, selfJ, pgmf, l1, ioS, ioF, meS, meF)
   }
 
   /** Compact JSON object for one entry window. Fractions are of the
-    * system-wide jiffy total (all CPUs), 3 decimals. */
+    * system-wide jiffy total (all CPUs), 3 decimals; PSI deltas are raw
+    * stall-µs (the /proc unit); t0 is the window's start, epoch ms. */
   def deltaJson(a: Sample, b: Sample): String = {
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val tot = (b.jifTotal - a.jifTotal).max(1L).toDouble
     val sys = (b.jifBusy - a.jifBusy).max(0L) / tot
     val self = (b.selfJif - a.selfJif).max(0L) / tot
-    s"""{"load1":${f3(a.load1)},"sys":${f3(sys)},"self":${f3(self)},""" +
-      s""""other":${f3((sys - self).max(0.0))},"pgmf":${(b.pgMajFault - a.pgMajFault).max(0L)}}"""
+    def d(x: Long, y: Long) = (y - x).max(0L)
+    s"""{"t0":${a.epochMs},"load1":${f3(a.load1)},"sys":${f3(sys)},"self":${f3(self)},""" +
+      s""""other":${f3((sys - self).max(0.0))},"pgmf":${d(a.pgMajFault, b.pgMajFault)},""" +
+      s""""psi_io_some_us":${d(a.ioSomeUs, b.ioSomeUs)},"psi_io_full_us":${d(a.ioFullUs, b.ioFullUs)},""" +
+      s""""psi_mem_some_us":${d(a.memSomeUs, b.memSomeUs)},"psi_mem_full_us":${d(a.memFullUs, b.memFullUs)}}"""
   }
 }

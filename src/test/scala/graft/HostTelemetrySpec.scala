@@ -3,9 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The per-entry host-regime record Bench ships in bench_out.json
-  * (round 12): the deltas must be well-formed JSON with sane ranges on a
-  * live Linux host, and degrade to zeros rather than throw elsewhere. */
+  * (round 12; PSI + timestamps round 15): the deltas must be well-formed
+  * JSON with sane ranges on a live Linux host, and degrade to zeros
+  * rather than throw elsewhere. */
 class HostTelemetrySpec extends AnyFunSuite {
+
+  private val keySet = Set("t0", "load1", "sys", "self", "other", "pgmf",
+    "psi_io_some_us", "psi_io_full_us", "psi_mem_some_us", "psi_mem_full_us")
 
   test("sample/deltaJson: valid JSON, fractions in [0,1], self <= sys + epsilon") {
     val a = HostTelemetry.sample()
@@ -16,7 +20,7 @@ class HostTelemetrySpec extends AnyFunSuite {
     val j = HostTelemetry.deltaJson(a, b)
     val m = "\"(\\w+)\":([0-9.]+)".r.findAllMatchIn(j)
       .map(g => g.group(1) -> g.group(2).toDouble).toMap
-    assert(m.keySet == Set("load1", "sys", "self", "other", "pgmf"), j)
+    assert(m.keySet == keySet, j)
     assert(m("sys") >= 0.0 && m("sys") <= 1.0, j)
     assert(m("self") >= 0.0 && m("self") <= 1.0, j)
     assert(m("other") >= 0.0, j)
@@ -24,11 +28,44 @@ class HostTelemetrySpec extends AnyFunSuite {
     // a many-core host rounds to 0.000 of the all-CPU jiffy total
     // other = max(sys - self, 0) by construction
     assert(m("other") <= m("sys") + 1e-9, j)
+    // t0 is the WINDOW START's wall clock — a real recent epoch ms
+    assert(m("t0") >= 1.7e12 && m("t0") <= System.currentTimeMillis().toDouble, j)
+    // PSI deltas are non-negative µs (zeros on hosts without CONFIG_PSI)
+    Seq("psi_io_some_us", "psi_io_full_us", "psi_mem_some_us",
+      "psi_mem_full_us").foreach(k => assert(m(k) >= 0.0, j))
   }
 
   test("a zero-width window does not divide by zero") {
     val a = HostTelemetry.sample()
     val j = HostTelemetry.deltaJson(a, a)
     assert(j.contains("\"sys\":0.000") && j.contains("\"pgmf\":0"), j)
+    assert(j.contains("\"psi_io_some_us\":0"), j)
+  }
+
+  test("parsePsiTotals: psi(7) document format") {
+    val doc =
+      """some avg10=1.23 avg60=0.45 avg300=0.06 total=179850792
+        |full avg10=0.00 avg60=0.00 avg300=0.00 total=165596717""".stripMargin
+    assert(HostTelemetry.parsePsiTotals(doc) == (179850792L, 165596717L))
+  }
+
+  test("parsePsiTotals: missing full line (cpu resource shape) reads 0") {
+    val doc = "some avg10=0.00 avg60=0.00 avg300=0.00 total=42\n"
+    assert(HostTelemetry.parsePsiTotals(doc) == (42L, 0L))
+  }
+
+  test("parsePsiTotals: garbage degrades to zeros, never throws") {
+    assert(HostTelemetry.parsePsiTotals("") == (0L, 0L))
+    assert(HostTelemetry.parsePsiTotals("some total=notanumber") == (0L, 0L))
+    assert(HostTelemetry.parsePsiTotals("something-else entirely") == (0L, 0L))
+  }
+
+  test("live host: PSI totals are monotone across samples") {
+    val a = HostTelemetry.sample()
+    Thread.sleep(20)
+    val b = HostTelemetry.sample()
+    assert(b.ioSomeUs >= a.ioSomeUs)
+    assert(b.memSomeUs >= a.memSomeUs)
+    assert(b.epochMs >= a.epochMs)
   }
 }
