@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * region/nation are fixed-cardinality dimensions copied from the
   * template verbatim.
   *
+  * Known chain caveat: a dup copies its SOURCE doc's base_text, not its
+  * final text, so dup CHAINS (A dups B which itself dups C) are not
+  * transitively propagated the way the template's sequential-lookback
+  * generator propagates them. Per-doc chain probability is the dup rate
+  * squared (≈0.0432² ≈ 1.9e-3 of docs), so marginal dup rates — what
+  * drives d1/d3/d6 candidate counts — are faithful, but the cluster-SIZE
+  * tail (clusters of 3+) is slightly thinner than the template's at
+  * large mult. Scale-shape conclusions are unaffected; exact cluster
+  * demography at mult ≫ 10 is not claimed.
+  *
   * Determinism: every value is a pure function of (row id, column salt)
   * via xxhash64 — fully parallel, no RNG state, identical output for a
   * given (mult) at any parallelism. Generation is expression-only
@@ -30,11 +40,11 @@ import org.apache.spark.sql.functions._
   */
 object GenData {
 
-  // sf0.1 row counts — the template scale every mult is relative to
-  private val Base = Map(
-    "customer" -> 15000L, "supplier" -> 1000L, "part" -> 20000L,
-    "orders" -> 150000L, "lineitem" -> 600000L, "events" -> 100000L,
-    "documents" -> 5000L, "embeddings" -> 2000L)
+  // the scaled fact/doc tables; base counts come from the TEMPLATE at
+  // generation time (one metadata-only count() per table), so a driver
+  // fixture change can never silently shift what "mult" means
+  private val Scaled = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
 
   /** Deterministic uniform in [0, 1) from (id, salt). */
   private def u(id: Column, salt: String): Column =
@@ -81,7 +91,11 @@ object GenData {
 
   def generate(spark: SparkSession, templateDir: String, outDir: String,
       mult: Double): Unit = {
-    def n(t: String): Long = (Base(t) * mult).toLong
+    // base counts READ from the template (parquet footer metadata only —
+    // a count() over parquet with no filter never touches row data)
+    val baseCounts: Map[String, Long] = Scaled.map(t =>
+      t -> spark.read.parquet(s"$templateDir/$t.parquet").count()).toMap
+    def n(t: String): Long = (baseCounts(t) * mult).toLong
     def write(name: String, df: DataFrame, files: Int): Unit = {
       df.coalesce(files).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

@@ -30,13 +30,28 @@ object ExportPolicy {
   val Default: ExportPolicy = ExportPolicy()
 
   /** Load a policy document — the S5 explicit-schema JSON discipline
-    * ([[GraftConfig.load]]): never schema inference on config files. */
+    * ([[GraftConfig.load]]): never schema inference on config files.
+    *
+    * Partial documents are honored: any field the JSON omits falls back
+    * to the [[Default]] value via an explicit per-column coalesce. The
+    * case-class defaults alone would NOT do this — the encoder schema
+    * yields null for a missing primitive column and `.as[ExportPolicy]`
+    * throws an opaque NPE, so the fallback has to happen in the plan. */
   def load(spark: SparkSession, path: String): ExportPolicy = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val ds: Dataset[ExportPolicy] = spark.read
       .schema(implicitly[org.apache.spark.sql.Encoder[ExportPolicy]].schema)
       .option("multiLine", true)
       .json(path)
+      .select(
+        coalesce(col("nShards"), lit(Default.nShards)).as("nShards"),
+        coalesce(col("shardSeed"), lit(Default.shardSeed)).as("shardSeed"),
+        coalesce(col("qualityV2FloorMicro"), lit(Default.qualityV2FloorMicro))
+          .as("qualityV2FloorMicro"),
+        coalesce(col("v2WStop"), lit(Default.v2WStop)).as("v2WStop"),
+        coalesce(col("v2WPunct"), lit(Default.v2WPunct)).as("v2WPunct"),
+        coalesce(col("v2WLen"), lit(Default.v2WLen)).as("v2WLen"))
       .as[ExportPolicy]
     ds.head()
   }

@@ -275,7 +275,8 @@ object BatchPipeline {
     * compliance must not depend on every later caller remembering a
     * boolean — [[applyExportDelta]] auto-detects the marker and excludes
     * suppressed content from its rewrite. The marker carries the
-    * suppression-list STAMP (count + md5 over the sorted fps), so an
+    * suppression-list STAMP (count + an order-insensitive xor-fold of
+    * two seeded fp hash streams — bounded at any list size), so an
     * operator can see WHICH list state the purge enforced; it holds no
     * content (fp digests of already-public fingerprints, the same
     * privacy posture as the list itself). Written through the Hadoop FS
@@ -296,16 +297,25 @@ object BatchPipeline {
 
   private def writeForgetMarker(spark: SparkSession, dir: String,
       exportDir: String): Unit = {
-    // suppression-list stamp: request-proportional aggregate, one tiny row
+    // suppression-list stamp: ORDER-INSENSITIVE, BOUNDED aggregate. The
+    // list grows without bound (years of requests), so the digest must
+    // never materialize it — two seeded xxhash64 streams folded by
+    // bit_xor reduce map-side to 16 bytes per partition, independent of
+    // list size. Two independent seeds because a single xor is weak to
+    // paired insert/remove collisions; fps are distinct by construction
+    // (self-cancellation can't occur), and the stamp is advisory
+    // (operator provenance), never parsed back.
     val stamp = graft.queries.ExportQueries.forgetSuppressionFps(spark, dir)
       .agg(count(lit(1)).as("n"),
-        md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("digest"))
+        coalesce(expr("bit_xor(xxhash64(fp))"), lit(0L)).as("d1"),
+        coalesce(expr("bit_xor(xxhash64(fp, 1805L))"), lit(0L)).as("d2"))
       .collect()(0)
+    val digest = f"${stamp.getLong(1)}%016x${stamp.getLong(2)}%016x"
     val (fs, root) = exportFs(spark, exportDir)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(root, ForgetMarkerName), true)
     try out.write(
-      s"""{"suppression_fps": ${stamp.getLong(0)}, "digest": "${stamp.getString(1)}"}
+      s"""{"suppression_fps": ${stamp.getLong(0)}, "digest": "$digest"}
          |""".stripMargin.getBytes("UTF-8"))
     finally out.close()
   }

@@ -154,8 +154,7 @@ object LandingSink {
     // unable to affect anything that hasn't been committed yet, while a
     // legitimate through ≤ maxLanded is untouched.
     val maxLanded = Option(rootP.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("batch="))
-      .map(_.getName.stripPrefix("batch=").toLong)
+      .flatMap(f => batchIdOf(f.getName))
       .foldLeft(current)(math.max)
     val bounded = math.min(throughBatch, maxLanded)
     if (bounded > current) {
@@ -167,12 +166,20 @@ object LandingSink {
     }
     val horizon = math.max(current, bounded)
     val dead = Option(rootP.toFile.listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        f.getName.startsWith("batch=") &&
-          f.getName.stripPrefix("batch=").toLong <= horizon
-      }
+      .filter(f => batchIdOf(f.getName).exists(_ <= horizon))
     dead.foreach(f => deleteTree(f.toPath))
     dead.length
+  }
+
+  /** Strict batch-dir name parse. A stray non-numeric sibling (an
+    * operator's `batch=5.bak`, a copy tool's suffix) must be SKIPPED,
+    * not crash retirement — only `batch=<digits>` is ours. */
+  private def batchIdOf(name: String): Option[Long] = {
+    val suffix = name.stripPrefix("batch=")
+    if (name.startsWith("batch=") && suffix.nonEmpty &&
+        suffix.length <= 18 && suffix.forall(_.isDigit))
+      Some(suffix.toLong)
+    else None
   }
 
   /** Start the landing consumer over any streaming DataFrame (typically

@@ -44,4 +44,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(graft.model.ExportPolicy.Default ==
       graft.model.ExportPolicy(8L, "shard:42|", 550000L, 0.3, 0.3, 0.4))
   }
+
+  test("a PARTIAL ExportPolicy document falls back to Default per missing field") {
+    // a document omitting fields used to surface as an opaque NPE from
+    // the encoder (null primitive) — now each absent column coalesces to
+    // its Default, which is what the case-class defaults always promised
+    val dir = Files.createTempDirectory("graft-pol2")
+    val path = dir.resolve("partial.json")
+    Files.writeString(path, """{ "nShards": 16, "v2WLen": 0.5 }""")
+    val pol = graft.model.ExportPolicy.load(spark, path.toString)
+    assert(pol == graft.model.ExportPolicy.Default.copy(
+      nShards = 16L, v2WLen = 0.5))
+  }
 }

@@ -31,6 +31,13 @@ class GenDataSpec extends AnyFunSuite {
         .map(f => (f.name, f.dataType))
       val got = da.schema.map(f => (f.name, f.dataType))
       assert(got == want, s"$t: schema diverged from template: $got vs $want")
+      // count fidelity: base counts are DERIVED from the template (no
+      // hardcoded map), so generated = floor(template × mult) exactly —
+      // dims are copied verbatim (mult-independent)
+      val tmplN = spark.read.parquet(s"$template/$t.parquet").count()
+      val wantN =
+        if (t == "region" || t == "nation") tmplN else (tmplN * 0.02).toLong
+      assert(da.count() == wantN, s"$t: count ${da.count()} != $wantN")
     }
     import org.apache.spark.sql.functions._
     // key closure at this mult: every FK lands inside its dimension

@@ -130,6 +130,15 @@ class LandingSinkSpec extends AnyFunSuite {
       "the marker must be bounded by the highest batch actually landed")
     assert(LandingSink.landBatch(doc(4L), root, 4L),
       "a future batch must still land after an overshooting retire call")
+    // operator-noise tolerance: a stray non-numeric sibling (a manual
+    // backup, a copy tool's suffix) must be SKIPPED by both the
+    // maxLanded bound and the sweep — not crash retirement, not be
+    // deleted, not count as a landed batch
+    val stray = new java.io.File(root, "batch=4.bak")
+    assert(stray.mkdir())
+    assert(LandingSink.retire(root, 4L) == 1) // deletes batch=4 only
+    assert(stray.isDirectory, "a stray non-numeric dir must survive the sweep")
+    assert(LandingSink.retiredThrough(root) == 4L)
   }
 
   test("restart over the same checkpoint continues batch numbering, never re-lands") {
