@@ -159,6 +159,45 @@ object Bench {
         Seq("warm_text_caches" -> warmT)
       }
 
+    // r14 verdict task 7: the train-once memos (BPE merge table, quality
+    // classifier, IVF quantizer) pay their training in whichever query's
+    // rep 1 touches them first (t20 read 3.26/0.084/0.085 in the r14
+    // driver artifact) — the same declining-reps signature the d1 codegen
+    // warm-up retired. Touch each memo ONCE here, as its own attributable
+    // entry, so every later rep measures the query and not the training.
+    // Default ON (the driver sets no env); SPARK_GRAFT_WARM_MODELS=0
+    // restores rep-1-pays-training for A/B runs. Runs AFTER the text warm
+    // because BPE/classifier train over the warmed tokenized corpus —
+    // their stage times here are marginal training cost only.
+    val modelStages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val warmModels =
+      if (sys.env.get("SPARK_GRAFT_WARM_MODELS").contains("0"))
+        Seq.empty[(String, Double)]
+      else {
+        val h0 = HostTelemetry.sample()
+        def stage(n: String, needed: Boolean)(body: => Unit): Unit =
+          if (needed) modelStages += n -> once("warm_model_memos")(body)
+        stage("bpe",
+          all.contains("t20_bpe_merges") || all.contains("t21_bpe_encode")) {
+          graft.queries.MlQueries.learnedMerges(spark, sfDir); ()
+        }
+        stage("classifier", all.contains("t19_quality_classifier")) {
+          graft.queries.MlQueries.fitted(spark, sfDir); ()
+        }
+        stage("quantizer", vecNames.nonEmpty) {
+          graft.queries.VectorQueries.quantizerRows(spark, sfDir); ()
+        }
+        if (modelStages.isEmpty) Seq.empty[(String, Double)]
+        else {
+          hostLog("warm_model_memos") =
+            HostTelemetry.deltaJson(h0, HostTelemetry.sample())
+          val t = modelStages.map(_._2).sum
+          System.err.println(f"[bench] warm_model_memos             once  =$t%8.3f  (" +
+            modelStages.map { case (n, s) => f"$n=$s%.3f" }.mkString(",") + ")")
+          Seq("warm_model_memos" -> t)
+        }
+      }
+
     val textRes = run(textNames)
     // residency evidence (round-4 verdict ask): the d/t block reads parquet
     // checkpoints — bytes on disk, not evictable RAM. A future d-spike with
@@ -188,7 +227,8 @@ object Bench {
     val mediaRes = run(mediaNames)
     val restRes = run(restNames)
 
-    val results = warm ++ textRes ++ vecRes ++ warmMedia ++ mediaRes ++ restRes
+    val results =
+      warm ++ warmModels ++ textRes ++ vecRes ++ warmMedia ++ mediaRes ++ restRes
     import JsonText.q
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE renders "87,487" — invalid JSON (round-3 advice)
@@ -210,10 +250,12 @@ object Bench {
     // — extra keys there would push real query entries out of the window.
     // With the stages in the artifact, a driver-side warm spike is
     // attributable (cold-FS re-read vs build regression) without a rerun.
-    val warmStages = graft.queries.TextQueries.lastWarmStages.map {
+    val warmStages = (graft.queries.TextQueries.lastWarmStages.map {
       case (n, s, r, b) =>
         s"""${q(n)}:{"sec":${f3(s)},"rows":$r,"ckptBytes":$b}"""
-    }.mkString("{", ",", "}")
+    } ++ modelStages.map { case (n, s) =>
+      s"""${q("model_" + n)}:{"sec":${f3(s)}}"""
+    }).mkString("{", ",", "}")
     val repTimes = repLog.map { case (n, ts) =>
       s"${q(n)}:[${ts.map(f3).mkString(",")}]"
     }.mkString("{", ",", "}")

@@ -9,6 +9,10 @@ object Verify {
     // optional extra args: restrict the dump to the named queries (local
     // iteration aid; the driver always passes exactly two args).
     val only = args.drop(2).toSet
+    // a verify pass exports model state at ANY scale (scale-keyed dirs —
+    // see VerifyExports.dirFor) so the sf1 oracle sweep covers the
+    // export-backed queries; bench/dev runs never set this
+    System.setProperty(graft.plans.VerifyExports.ExportAllProp, "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -477,10 +477,16 @@ object ExportQueries {
     * deletion requests/day is ~6 GB) — probed as one slim
     * broadcast-or-hash anti-join per micro-batch / export apply, and at
     * deployment scale stored as a parquet table BUCKETED by fp so the
-    * stream-static probe co-partitions without a shuffle. The only sound
-    * compaction is DEDUPLICATION of the list itself (the `.distinct()`
-    * below — re-requests of the same content collapse), which this
-    * rendering already applies. */
+    * stream-static probe co-partitions without a shuffle. Exactly TWO
+    * compactions are sound, both implemented by the durable store
+    * [[graft.sinks.SuppressionStore]]: (1) DEDUPLICATION of the list
+    * itself (the `.distinct()` below / dedup-on-append — re-requests of
+    * the same content collapse), and (2) removal of entries whose
+    * deletion request was EXPLICITLY withdrawn or superseded by a
+    * recorded re-certification — a caller-provided set, never a
+    * heuristic (content merely re-certifying under the current policy
+    * does NOT withdraw the request). SuppressionStoreSpec pins that
+    * neither can re-admit still-suppressed content. */
   private[graft] def forgetSuppressionFps(spark: SparkSession, dir: String): DataFrame =
     TextQueries.cachedFps(spark, dir)
       .join(forgetRequests(spark, dir), "doc_id")

@@ -1583,13 +1583,16 @@ object VectorQueries {
        |  FROM aug),
        |anorms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM avals GROUP BY vec_id),
        |${ivfAssignCte(fin, "aassign", 1, "avals", "anorms")},
+       |alists AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM aug),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(va.v * vb.v) AS dp
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         list_dot_product(la.ve, lb.ve) AS dp
        |  FROM aassign a
        |  JOIN aassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  JOIN avals va ON va.vec_id = a.vec_id
-       |  JOIN avals vb ON vb.vec_id = b.vec_id AND va.pos = vb.pos
-       |  GROUP BY 1, 2),
+       |  JOIN alists la ON la.vec_id = a.vec_id
+       |  JOIN alists lb ON lb.vec_id = b.vec_id),
        |dropped AS (
        |  SELECT DISTINCT p.vec_b AS vec_id
        |  FROM pairs p
@@ -1909,28 +1912,31 @@ object VectorQueries {
          |FROM vals GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "v4_ivf_ann" -> ivfOracle(nprobe = 1),
     "v6_ivf_multiprobe" -> ivfOracle(nprobe = IvfProbes),
+    // the PAIRWISE dot rides list_dot_product over whole double lists,
+    // not the exploded pos-join: at sf1 the within-bucket candidate set
+    // is tens of millions of pairs, and a 64-way unnest join + 29M-group
+    // hash agg is an hour of DuckDB where the list kernel is seconds —
+    // same cast-to-double math, same shared round(6) absorbing
+    // accumulation-order noise (r14 verdict task 3)
     "v5_near_dup_pairs" ->
       s"""WITH $augCte,
-         |avals AS (
-         |  SELECT vec_id,
-         |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
-         |         unnest(range(len(embedding))) AS pos
+         |alists AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
          |  FROM aug),
-         |anorms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM avals GROUP BY vec_id),
+         |anorms AS (SELECT vec_id, sqrt(list_dot_product(ve, ve)) AS nrm, ve
+         |           FROM alists),
          |abkts AS (SELECT vec_id, ${bucketSql} AS bkt FROM aug),
          |dots AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(va.v * vb.v) AS dp
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_dot_product(na.ve, nb.ve) AS dp,
+         |         na.nrm AS nrm_a, nb.nrm AS nrm_b
          |  FROM abkts a
          |  JOIN abkts b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-         |  JOIN avals va ON va.vec_id = a.vec_id
-         |  JOIN avals vb ON vb.vec_id = b.vec_id AND va.pos = vb.pos
-         |  GROUP BY 1, 2)
+         |  JOIN anorms na ON na.vec_id = a.vec_id
+         |  JOIN anorms nb ON nb.vec_id = b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT d.vec_a, d.vec_b,
-         |         round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
-         |  FROM dots d
-         |  JOIN anorms na ON d.vec_a = na.vec_id
-         |  JOIN anorms nb ON d.vec_b = nb.vec_id)
+         |  SELECT vec_a, vec_b, round(dp / (nrm_a * nrm_b), 6) AS cosine
+         |  FROM dots)
          |WHERE cosine >= 0.999 ORDER BY vec_a, vec_b""".stripMargin,
     "v3_bucketed_ann" ->
       s"""WITH $valsCte,

@@ -1,0 +1,147 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable store — and the GROWTH DISCIPLINE — for the two forget
+  * blocklists (r13/r14 verdict carry-over).
+  *
+  * Both suppression lists grow monotonically by design: a deletion
+  * request has no expiry, so no entry is ever compactable by staleness.
+  * The text list holds one 16-byte content fingerprint per distinct
+  * requested content ([[graft.queries.ExportQueries.forgetSuppressionFps]]);
+  * the vector list one 96-bit digest pair per purged embedding
+  * ([[graft.queries.VectorQueries.purgeIndexRecording]]). Digests ONLY —
+  * neither list ever retains deletable content.
+  *
+  * == Scale shape of the probe ==
+  * The list is requests-proportional, not corpus-proportional: a year of
+  * 1M deletion requests/day is ~6 GB of fps — big enough to outgrow a
+  * broadcast, small next to the corpus. The gates probe it as ONE
+  * stream-static (or batch) anti-join re-planned per micro-batch; at
+  * deployment scale the store is a parquet table BUCKETED by its key
+  * (`bucketBy(fp)` via the warehouse catalog) so the anti-join
+  * co-partitions with a bucketed arrivals table without a shuffle, and
+  * Spark falls back to a shuffled hash anti-join when it can't. This
+  * repo's store keeps the same layout contract (key-complete rows,
+  * dedup-on-append, generation dirs) minus the catalog registration —
+  * the one piece that needs a warehouse to exist.
+  *
+  * == The ONE sound compaction ==
+  * Two operations may shrink the list, and nothing else ever may:
+  *
+  *  1. '''Dedup-on-append''' (always safe): re-requests of the same
+  *     content collapse to one row — [[append]] anti-joins the delta
+  *     against the current generation, so the store holds each key once.
+  *  2. '''Explicit re-certification''' ([[compact]]): an entry whose
+  *     content was LATER re-admitted by an explicit, recorded decision —
+  *     the owner re-submitted after a policy move, the request was
+  *     withdrawn — can no longer produce a suppression event: an arrival
+  *     of that fp is now admissible, so the entry is dead weight in every
+  *     probe. Compaction removes EXACTLY the rows matching the
+  *     re-certification set on ALL key columns and must leave every other
+  *     row untouched (SuppressionStoreSpec pins both directions: the
+  *     recertified fp re-admits, every still-suppressed fp still
+  *     refuses).
+  *
+  * What compaction must NEVER do is infer re-admissibility: "the content
+  * re-certified under the current policy" is NOT a withdrawal of the
+  * deletion request (the request was about the content, timelessly —
+  * see forgetSuppressionFps' scaladoc), so [[compact]] takes the
+  * re-certification set as an explicit caller-provided table and
+  * implements no heuristic of its own.
+  *
+  * == Durability ==
+  * Generation dirs under the store root, committed by the same
+  * tmp-write + atomic-rename marker discipline as
+  * [[LandingSink]]'s `_retired_through`: `_current` names the live
+  * generation; [[append]] adds deduped files INTO the live generation
+  * (a concurrently re-planning probe picks them up at its next plan —
+  * the live-refresh semantics EventStreamSpec pins for the vector list);
+  * [[compact]] writes the survivor set as generation n+1, flips the
+  * marker, then deletes generation n. A crash between flip and delete
+  * leaves an orphan old generation that the next compact sweeps — the
+  * marker, not the listing, is the truth, exactly the LandingSink
+  * convergence argument.
+  */
+object SuppressionStore {
+
+  private val Marker = "_current"
+
+  private def gen(root: String): Long = {
+    val p = java.nio.file.Paths.get(root, Marker)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  private def genDir(root: String, g: Long) = s"$root/gen=$g"
+
+  private def flip(root: String, g: Long): Unit = {
+    val rootP = java.nio.file.Paths.get(root)
+    val tmp = rootP.resolve(s".tmp-current-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, g.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, rootP.resolve(Marker),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The live blocklist — what the ingest gates and export excludes
+    * probe. Schema is whatever the first append wrote (text: `fp`;
+    * vector: `vfp64`,`vfp32`); an empty store raises like any missing
+    * parquet path, so bootstrap with an [[append]] of the first delta. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(genDir(root, gen(root)))
+
+  private def exists(root: String): Boolean =
+    new java.io.File(genDir(root, gen(root))).isDirectory
+
+  /** Append `delta` with dedup-on-write: only keys not already present
+    * land, so re-requests of the same content collapse (sound compaction
+    * #1, applied at write time instead of list-rewrite time). Returns the
+    * number of NEW keys written. */
+  def append(spark: SparkSession, root: String, delta: DataFrame): Long = {
+    new java.io.File(root).mkdirs()
+    val dir = genDir(root, gen(root))
+    val fresh =
+      if (!exists(root)) delta.distinct()
+      else delta.distinct()
+        .join(spark.read.parquet(dir), delta.columns.toSeq, "left_anti")
+    // count once, write the counted set (localCheckpoint would pin; the
+    // delta is request-sized — per-pass, far below even the full list)
+    val rows = fresh.persist()
+    try {
+      val n = rows.count()
+      if (n > 0) rows.write.mode("append").parquet(dir)
+      if (!new java.io.File(root, Marker).isFile) flip(root, gen(root))
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Remove EXACTLY the `recertified` keys (matched on all columns) from
+    * the live generation — sound compaction #2. The caller owns the
+    * judgment that each key's deletion request was explicitly withdrawn
+    * or superseded; this method only executes the set difference, as a
+    * new generation committed by marker flip (crash-convergent: an
+    * interrupted compact leaves the old generation live and intact).
+    * Returns (rows before, rows after). */
+  def compact(spark: SparkSession, root: String,
+      recertified: DataFrame): (Long, Long) = {
+    val g = gen(root)
+    val cur = spark.read.parquet(genDir(root, g))
+    val keep = cur.join(recertified.distinct(), cur.columns.toSeq, "left_anti")
+    val before = cur.count()
+    keep.write.mode("overwrite").parquet(genDir(root, g + 1))
+    val after = spark.read.parquet(genDir(root, g + 1)).count()
+    flip(root, g + 1)
+    // sweep superseded generations AFTER the flip (the marker is the
+    // truth; a crash here just leaves sweepable orphans for next time)
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val s = f.getName.stripPrefix("gen=")
+        f.getName.startsWith("gen=") && s.nonEmpty &&
+          s.length <= 18 && s.forall(_.isDigit) && s.toLong <= g
+      }
+      .foreach(f => graft.plans.Snapshot.deleteTree(f.toPath))
+    (before, after)
+  }
+}

@@ -39,6 +39,24 @@ class BatchPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("x_export_manifest totals are the x_export_counts row set (checksum tier)") {
+    // the manifest's LAYOUT (which rows in which shard file) cannot be
+    // oracled — but its per-language arithmetic is exactly what the
+    // hash-pinned x_export_counts computes, so conservation between the
+    // rows-only query and the oracled one pins the manifest's numbers to
+    // the cross-engine-checked set (r14 verdict stretch task 8)
+    val manifest = graft.queries.ExportQueries
+      .queries("x_export_manifest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    val counts = graft.queries.ExportQueries
+      .queries("x_export_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    graft.queries.TextQueries.releaseCaches()
+    assert(manifest == counts,
+      s"manifest (lang, written_rows) diverged from the oracled counts:\n" +
+        s"  manifest=$manifest\n  counts  =$counts")
+  }
+
   test("x_export_delta: one-pass boundary form equals the literal two-set difference") {
     import graft.queries.{ExportQueries, TextQueries}
     val delta = ExportQueries.queries("x_export_delta")(spark, sf)

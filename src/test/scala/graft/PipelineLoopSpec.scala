@@ -186,8 +186,16 @@ class PipelineLoopSpec extends AnyFunSuite {
       val forgottenId = 9200001L
       val supDir = s"$base/suppressed"
       val (fps2, bands2) = (s"$base/fps2", s"$base/bands2")
-      spark.read.parquet(fpsDir).filter(col("doc_id") === forgottenId)
-        .select("fp").write.parquet(supDir)
+      // the durable store is the deployment shape (dedup-on-append,
+      // generation-committed): append the forgotten doc's fp ...
+      graft.sinks.SuppressionStore.append(spark, supDir,
+        spark.read.parquet(fpsDir).filter(col("doc_id") === forgottenId)
+          .select("fp"))
+      // ... then interleave the growth-discipline compaction with the
+      // RUNNING loop (r14 task 5): an unrelated re-certification rewrites
+      // the store mid-rollout; the forgotten fp must suppress through it
+      graft.sinks.SuppressionStore.compact(spark, supDir,
+        Seq("fp-of-content-recertified-elsewhere").toDF("fp"))
       spark.read.parquet(fpsDir).filter(col("doc_id") =!= forgottenId)
         .write.parquet(fps2)
       spark.read.parquet(bandsDir).filter(col("doc_id") =!= forgottenId)
@@ -195,7 +203,7 @@ class PipelineLoopSpec extends AnyFunSuite {
       val art2 = art.copy(
         corpusFps = spark.read.parquet(fps2),
         corpusBands = spark.read.parquet(bands2),
-        suppressedFps = Some(spark.read.parquet(supDir)))
+        suppressedFps = Some(graft.sinks.SuppressionStore.read(spark, supDir)))
       ms.addData(
         (9200301L, "src3", novels(0)), // forgotten content re-arrives: must
                                        //   die at SUPPRESSION (purged bases

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.SuppressionStore
+import graft.streaming.EventStream
+
+/** Growth discipline for the forget blocklists (r13 stretch / r14 task
+  * 5): the ONLY two operations that may shrink a suppression list are
+  * dedup-on-append and explicit re-certification, and neither may ever
+  * re-admit still-suppressed content. Both directions are pinned here —
+  * through the store's own row sets AND through the actual ingest gate
+  * probing the store. */
+class SuppressionStoreSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-sup").toString
+
+  test("append dedups on write: re-requests of the same content collapse") {
+    val root = tmp()
+    assert(SuppressionStore.append(spark, root,
+      Seq("a", "b", "c").toDF("fp")) == 3)
+    // same delta again: zero new keys, store unchanged
+    assert(SuppressionStore.append(spark, root,
+      Seq("a", "b", "c").toDF("fp")) == 0)
+    // overlapping delta: only the novel key lands
+    assert(SuppressionStore.append(spark, root,
+      Seq("b", "d").toDF("fp")) == 1)
+    assert(SuppressionStore.read(spark, root).as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c", "d"))
+  }
+
+  test("compact removes exactly the recertified keys; empty set is identity") {
+    val root = tmp()
+    SuppressionStore.append(spark, root, Seq("a", "b", "c", "d").toDF("fp"))
+    // empty re-certification set: identity (no staleness heuristic exists)
+    assert(SuppressionStore.compact(spark, root,
+      Seq.empty[String].toDF("fp")) == ((4L, 4L)))
+    assert(SuppressionStore.read(spark, root).as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c", "d"))
+    // explicit re-certification of b: exactly b goes, everything else stays
+    assert(SuppressionStore.compact(spark, root,
+      Seq("b").toDF("fp")) == ((4L, 3L)))
+    assert(SuppressionStore.read(spark, root).as[String].collect().sorted
+      .toSeq == Seq("a", "c", "d"))
+    // appends keep working against the compacted generation
+    assert(SuppressionStore.append(spark, root, Seq("b", "e").toDF("fp")) == 2)
+    assert(SuppressionStore.read(spark, root).count() == 5)
+  }
+
+  test("compaction never re-admits suppressed content at the gate") {
+    val root = tmp()
+    val fpOf = (t: String) => graft.ops.Fingerprint.col(lit(t))
+    val texts = Seq("forget me", "also forget me", "innocent text")
+    val fps = spark.range(1).select(
+      fpOf(texts(0)).as("f0"), fpOf(texts(1)).as("f1")).collect()(0)
+    SuppressionStore.append(spark, root,
+      Seq(fps.getString(0), fps.getString(1)).toDF("fp"))
+    // re-certify texts(1) ONLY
+    SuppressionStore.compact(spark, root, Seq(fps.getString(1)).toDF("fp"))
+    val arrivals = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val admitted = EventStream.suppressAtIngest(arrivals,
+      SuppressionStore.read(spark, root))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!admitted.contains(0L),
+      "still-suppressed content re-admitted after an unrelated compaction")
+    assert(admitted.contains(1L),
+      "re-certified content must be admissible — that's what compaction means")
+    assert(admitted.contains(2L), "innocent arrivals must pass")
+  }
+
+  test("vector blocklist: same store, digest-pair key, same guarantees") {
+    val root = tmp()
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, 0.4f)), (3L, Seq(0.5f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val (f64, f32) = graft.queries.VectorQueries.vectorFpCols(col("embedding"))
+    val digests = vecs.filter(col("vec_id") <= 2)
+      .select(f64.as("vfp64"), f32.as("vfp32"))
+    SuppressionStore.append(spark, root, digests)
+    assert(SuppressionStore.read(spark, root).count() == 2)
+    // re-certify vec 2's digest pair; vec 1 must stay blocked at the gate
+    SuppressionStore.compact(spark, root,
+      vecs.filter(col("vec_id") === 2L).select(f64.as("vfp64"), f32.as("vfp32")))
+    val admitted = EventStream.suppressVectorsAtIngest(vecs,
+      SuppressionStore.read(spark, root))
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 3L),
+      s"vector gate after compaction: got $admitted, want Set(2, 3)")
+  }
+
+  test("a crashed compact converges: flipped marker with a surviving old gen") {
+    val root = tmp()
+    SuppressionStore.append(spark, root, Seq("a", "b").toDF("fp"))
+    SuppressionStore.compact(spark, root, Seq("a").toDF("fp"))
+    // simulate the crash window: resurrect an orphan old generation dir
+    val orphan = new java.io.File(root, "gen=0")
+    orphan.mkdirs()
+    // reads ignore it (the marker is the truth) ...
+    assert(SuppressionStore.read(spark, root).as[String].collect()
+      .toSeq == Seq("b"))
+    // ... and the next compact sweeps it
+    SuppressionStore.compact(spark, root, Seq.empty[String].toDF("fp"))
+    assert(!orphan.exists(), "superseded generation must be swept")
+    assert(SuppressionStore.read(spark, root).as[String].collect()
+      .toSeq == Seq("b"))
+  }
+}

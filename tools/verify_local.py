@@ -103,6 +103,33 @@ def frame_sig(df):
     return list(df.columns), rows
 
 
+def sig_compare(con, sql, spark_dir):
+    """Order-free aggregate-signature compare, all inside DuckDB.
+
+    Both sides reduce to (count, bit_xor(hash(row)), sum(hash(row))) over
+    the SAME projection: columns sorted by name and CAST to the duckdb
+    types of the Spark parquet dump, so a BIGINT-vs-INTEGER (or
+    DOUBLE-vs-DECIMAL) representation difference can't silently change
+    the hash. Equal multisets of rows => equal signatures; the xor and
+    sum streams back each other up (xor alone is blind to even-count
+    collisions, sum alone to crafted offsets). Exactness of VALUES at
+    this scale rides on the sf0.01 row-dump compare of the same query —
+    this closes row-SET identity where the output is too big to dump."""
+    spark_src = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+    desc = con.execute(f"DESCRIBE {spark_src}").fetchall()
+    cols = sorted((r[0], r[1]) for r in desc)
+    expr = ", ".join(f'CAST("{c}" AS {t})' for c, t in cols)
+    def sig(src):
+        return con.execute(
+            f"SELECT count(*), bit_xor(hash(ROW({expr}))), "
+            f"sum(CAST(hash(ROW({expr})) AS HUGEINT)) FROM ({src})"
+        ).fetchone()
+    s, d = sig(spark_src), sig(sql)
+    if s == d:
+        return True, f"{s[0]} rows, xor={s[1]:x}"
+    return False, f"spark={s} duck={d}"
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     # --max-rows N (scaling runs only; the driver replica never passes it):
@@ -120,6 +147,17 @@ def main():
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    # --signature a,b,c (scaling runs only): compare the named queries by
+    # an ORDER-FREE AGGREGATE SIGNATURE computed entirely inside DuckDB
+    # (count + bit_xor/sum of per-row hashes over name-sorted, type-pinned
+    # columns) instead of the row-dump compare. For a2/v5/v8 the oracle
+    # OUTPUT is quadratic by data construction (a2 emits 110M pairs at
+    # sf1), so materializing rows to python is hours — the signature runs
+    # in seconds and still pins the exact result SET. The driver replica
+    # (no flags) never takes this path.
+    signature = set()
+    if "--signature" in sys.argv:
+        signature = set(sys.argv[sys.argv.index("--signature") + 1].split(","))
     con = duckdb.connect()
     for p in sorted(glob.glob(f"{sf}/*.parquet")):
         name = os.path.basename(p)[:-8]
@@ -129,6 +167,19 @@ def main():
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # Scale-keyed model-state exports (mirrors VerifyExports.dirFor): the
+    # oracle SQL names the sf0.01 export root as a LITERAL (the driver's
+    # static-string contract); at any other scale, Verify wrote the
+    # exports under an `@<sanitized canonical sf dir>` sibling, so point
+    # the SQL there. The driver replica (sf0.01) leaves SQL untouched.
+    import re
+    sf_canon = os.path.realpath(sf)
+    if sf_canon != "/root/testdata/sf0.01":
+        scale_root = ("/root/repo/target/verify_exports@"
+                      + re.sub(r"[^A-Za-z0-9.]+", "_", sf_canon))
+        oracle = {k: v.replace("read_parquet('/root/repo/target/verify_exports/",
+                               f"read_parquet('{scale_root}/")
+                  for k, v in oracle.items()}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
@@ -136,6 +187,16 @@ def main():
         spark_dir = f"{out}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output dir"); n_bad += 1; continue
+        if name in signature:
+            try:
+                ok, detail = sig_compare(con, sql, spark_dir)
+            except Exception as e:
+                print(f"FAIL {name} (signature): {e}"); n_bad += 1; continue
+            if ok:
+                print(f"OK   {name} (signature, {detail})"); n_ok += 1
+            else:
+                print(f"FAIL {name} (signature): {detail}"); n_bad += 1
+            continue
         if max_rows is not None:
             import pyarrow.parquet as _pq
             n_spark = sum(_pq.ParquetFile(f).metadata.num_rows
