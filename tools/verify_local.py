@@ -180,6 +180,19 @@ def main():
         oracle = {k: v.replace("read_parquet('/root/repo/target/verify_exports/",
                                f"read_parquet('{scale_root}/")
                   for k, v in oracle.items()}
+        # s6's filesystem-listing oracle names the verify dir inside
+        # read_blob. Spark's binaryFile side lists the runtime dir's DATA
+        # files (recursing into Spark-written table DIRECTORIES, skipping
+        # _-hidden files); point read_blob at the same file set: part
+        # files inside dirs for GenData-shaped fixtures, the flat files
+        # for driver-shaped ones.
+        dir_shaped = any(os.path.isdir(p)
+                         for p in glob.glob(f"{sf_canon}/*.parquet"))
+        blob = (f"{sf_canon}/*.parquet/*.parquet" if dir_shaped
+                else f"{sf_canon}/*.parquet")
+        oracle = {k: v.replace("read_blob('/root/testdata/sf0.01/*.parquet')",
+                               f"read_blob('{blob}')")
+                  for k, v in oracle.items()}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
