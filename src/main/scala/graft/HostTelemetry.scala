@@ -31,27 +31,47 @@ package graft
   *                spanned five entries; without per-entry timestamps the
   *                contiguity had to be reconstructed from execution-order
   *                reasoning. With t0 the window is a literal time range.
-  *  - `psi_*_us` — /proc/pressure/{io,memory} stall-total deltas (µs),
-  *                `some` and `full` lines. THE gap the r14 adjudication
-  *                exposed: buffered-read page-cache misses are I/O wait,
-  *                which registers in NEITHER `other` (it is not CPU) NOR
-  *                `pgmf` (read() misses are not major faults) — but PSI
-  *                io-some counts exactly the µs any task stalled on I/O.
-  *                A 24 s rep with psi_io_some_us ≈ 20e6 and other ≈ 0 is
-  *                a cold-cache stall, attributable from the artifact
-  *                alone; psi_io_some_us ≈ 0 on the same reading would
-  *                have been a real regression.
+  *  - `psi_*_us` — /proc/pressure/{io,memory,cpu} stall-total deltas
+  *                (µs), `some` and `full` lines. THE gap the r14
+  *                adjudication exposed: buffered-read page-cache misses
+  *                are I/O wait, which registers in NEITHER `other` (it is
+  *                not CPU) NOR `pgmf` (read() misses are not major
+  *                faults) — but PSI io-some counts exactly the µs any
+  *                task stalled on I/O. A 24 s rep with
+  *                psi_io_some_us ≈ 20e6 and other ≈ 0 is a cold-cache
+  *                stall, attributable from the artifact alone;
+  *                psi_io_some_us ≈ 0 on the same reading would have been
+  *                a real regression. cpu-some (added after the r15 pass-C
+  *                window below) counts runnable-but-descheduled µs — the
+  *                cgroup-quota / oversubscribed-host signature.
+  *  - `steal`   — hypervisor steal share of the jiffy total (/proc/stat
+  *                field 8): a KVM/Xen guest whose vCPUs the host gave to
+  *                someone else sees its loss HERE, not in `other`.
+  *  - `jif_rate` — jiffy-total advance over the window ÷ the advance an
+  *                unthrottled host would show (nCPUs × wall-clock ×
+  *                USER_HZ). THE tell for the one stall mode every
+  *                in-guest counter is blind to: an r15 3-process pass
+  *                recorded a window (warm_model_memos 97.3 s vs ~7 s
+  *                anchor) with self 0.04, other 0.02, psi_io ≈ 0,
+  *                pgmf 0 — the guest's CPUs were "idle" yet wall time
+  *                ran 14x: the VM itself was being paused/throttled, so
+  *                tick accounting stopped advancing with wall clock.
+  *                jif_rate ≈ 1 on a healthy host; << 1 means the host
+  *                lost real time and every reading in the window is
+  *                suspect regardless of what the other counters say.
   *
   * Every read is wrapped: on a host without /proc (or without PSI —
   * CONFIG_PSI=n, pre-4.20 kernels) the sampler degrades to zeros rather
-  * than failing the bench.
+  * than failing the bench (jif_rate degrades to 0 with the jiffy total,
+  * so a missing /proc/stat reads as "cannot attest", not "healthy").
   */
 object HostTelemetry {
 
   final case class Sample(atNanos: Long, epochMs: Long,
-      jifTotal: Long, jifBusy: Long,
+      jifTotal: Long, jifBusy: Long, jifSteal: Long,
       selfJif: Long, pgMajFault: Long, load1: Double,
-      ioSomeUs: Long, ioFullUs: Long, memSomeUs: Long, memFullUs: Long)
+      ioSomeUs: Long, ioFullUs: Long, memSomeUs: Long, memFullUs: Long,
+      cpuSomeUs: Long, cpuFullUs: Long)
 
   private def readFile(p: String): Option[String] =
     try Some(new String(java.nio.file.Files.readAllBytes(
@@ -78,14 +98,15 @@ object HostTelemetry {
 
   def sample(): Sample = {
     // /proc/stat "cpu  user nice system idle iowait irq softirq steal ..."
-    val (tot, busy) = readFile("/proc/stat").flatMap { s =>
+    val (tot, busy, steal) = readFile("/proc/stat").flatMap { s =>
       s.linesIterator.find(_.startsWith("cpu ")).map { l =>
         val f = l.trim.split("\\s+").drop(1).flatMap(x => x.toLongOption)
         val total = f.sum
         val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
-        (total, total - idle)
+        val st = if (f.length > 7) f(7) else 0L
+        (total, total - idle, st)
       }
-    }.getOrElse((0L, 0L))
+    }.getOrElse((0L, 0L, 0L))
     // /proc/self/stat: comm (field 2) may hold spaces/parens — split after
     // the last ')'. utime/stime are fields 14/15 (1-indexed) = indexes
     // 11/12 of the post-comm remainder.
@@ -104,8 +125,9 @@ object HostTelemetry {
       .getOrElse(0.0)
     val (ioS, ioF) = psi("io")
     val (meS, meF) = psi("memory")
+    val (cpS, cpF) = psi("cpu")
     Sample(System.nanoTime(), System.currentTimeMillis(),
-      tot, busy, selfJ, pgmf, l1, ioS, ioF, meS, meF)
+      tot, busy, steal, selfJ, pgmf, l1, ioS, ioF, meS, meF, cpS, cpF)
   }
 
   /** Compact JSON object for one entry window. Fractions are of the
@@ -117,10 +139,21 @@ object HostTelemetry {
     val tot = (b.jifTotal - a.jifTotal).max(1L).toDouble
     val sys = (b.jifBusy - a.jifBusy).max(0L) / tot
     val self = (b.selfJif - a.selfJif).max(0L) / tot
+    val steal = (b.jifSteal - a.jifSteal).max(0L) / tot
+    // expected jiffy advance for an unthrottled host: nCPUs × wall ×
+    // USER_HZ (always 100 per procfs ABI regardless of kernel CONFIG_HZ)
+    val wallMs = (b.epochMs - a.epochMs).max(0L)
+    val expected =
+      Runtime.getRuntime.availableProcessors().toDouble * wallMs / 10.0
+    val jifRate =
+      if (wallMs == 0) 1.0 // zero-width window: nothing to attest
+      else (b.jifTotal - a.jifTotal).max(0L) / expected.max(1.0)
     def d(x: Long, y: Long) = (y - x).max(0L)
     s"""{"t0":${a.epochMs},"load1":${f3(a.load1)},"sys":${f3(sys)},"self":${f3(self)},""" +
-      s""""other":${f3((sys - self).max(0.0))},"pgmf":${d(a.pgMajFault, b.pgMajFault)},""" +
+      s""""other":${f3((sys - self).max(0.0))},"steal":${f3(steal)},"jif_rate":${f3(jifRate)},""" +
+      s""""pgmf":${d(a.pgMajFault, b.pgMajFault)},""" +
       s""""psi_io_some_us":${d(a.ioSomeUs, b.ioSomeUs)},"psi_io_full_us":${d(a.ioFullUs, b.ioFullUs)},""" +
-      s""""psi_mem_some_us":${d(a.memSomeUs, b.memSomeUs)},"psi_mem_full_us":${d(a.memFullUs, b.memFullUs)}}"""
+      s""""psi_mem_some_us":${d(a.memSomeUs, b.memSomeUs)},"psi_mem_full_us":${d(a.memFullUs, b.memFullUs)},""" +
+      s""""psi_cpu_some_us":${d(a.cpuSomeUs, b.cpuSomeUs)},"psi_cpu_full_us":${d(a.cpuFullUs, b.cpuFullUs)}}"""
   }
 }

@@ -557,6 +557,71 @@ object ExportQueries {
         col("n_shards_touched"))
   }
 
+  /** The re-certification fixture for [[xSuppressionStore]]: among the
+    * deletion requests (doc_id ≡ 3 mod 17), the ones with
+    * doc_id ≡ 20 (mod 51 = 3·17) are later explicitly WITHDRAWN (a third
+    * of requests), and of those the doc_id ≡ 20 (mod 102 = 6·17) half
+    * re-requests after the withdrawal. Nested congruences instead of
+    * division keep both engines' derivations identical, and each set is
+    * provably a subset of the previous by CRT (20 mod 17 = 3,
+    * 20 mod 51 = 20). */
+  private val RecertMod = 51L
+  private val RecertRem = 20L
+  private val LateMod = 102L
+  private val LateRem = 20L
+
+  private def requestedFpsWhere(spark: SparkSession, dir: String,
+      mod: Long, rem: Long): DataFrame =
+    TextQueries.cachedFps(spark, dir)
+      .filter(col("doc_id") % mod === rem)
+      .select("fp").distinct()
+
+  /** Per-dataset store root (the [[outDirFor]] discipline: verify and
+    * bench datasets must not share durable state mid-session). */
+  private def suppressionRootFor(dir: String): String =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "suppression_store",
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+      .toString
+
+  /** x_suppression_store — the ORACLED gate over
+    * [[graft.sinks.SuppressionStore]]'s whole lifecycle (the r15
+    * growth-discipline machinery, previously spec-only): runs the durable
+    * store through one full generation story — append the deletion
+    * requests' fingerprints (dedup-on-append collapses duplicate-content
+    * requests: the corpus's planted exact copies share fps by
+    * construction), compact away an explicitly-withdrawn subset
+    * (generation flip + old-generation sweep), then append the
+    * re-request wave (a withdrawn fp re-requested later must re-enter) —
+    * and emits the LIVE BLOCKLIST rows. DuckDB recomputes the survivor
+    * set as pure set algebra over the same derived fixtures:
+    * (requests \ withdrawn) ∪ re-requested. A store that dropped a row it
+    * shouldn't, kept one it shouldn't, duplicated on append, or read a
+    * stale generation after the flip produces a different row set — the
+    * properties SuppressionStoreSpec pins in isolation, here pinned
+    * end-to-end under the driver's own hash gate.
+    *
+    * The store is rebuilt from an empty root on EVERY call (making the
+    * query a pure function of the fixture tables and the reps flat); the
+    * rebuild is request-proportional — three slim anti-joins over
+    * fingerprint digests, ~|corpus|/17 rows of 16-byte fps — which is
+    * exactly the probe-side scale contract the store documents: at 100 TB
+    * the list is requests-proportional (never corpus-proportional), so
+    * paying it per call here mirrors paying one append per forget pass
+    * there. */
+  def xSuppressionStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.SuppressionStore
+    val root = suppressionRootFor(dir)
+    graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(root))
+    SuppressionStore.append(spark, root, forgetSuppressionFps(spark, dir))
+    SuppressionStore.compact(spark, root,
+      requestedFpsWhere(spark, dir, RecertMod, RecertRem))
+    SuppressionStore.append(spark, root,
+      requestedFpsWhere(spark, dir, LateMod, LateRem))
+    SuppressionStore.read(spark, root).orderBy("fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,
       "x_export_counts" -> xExportCounts,
@@ -566,7 +631,8 @@ object ExportQueries {
       "x_shuffle_shards" -> xShuffleShards,
       "x_train_val_split" -> xTrainValSplit,
       "x_export_delta" -> xExportDelta,
-      "x_forget_audit" -> xForgetAudit)
+      "x_forget_audit" -> xForgetAudit,
+      "x_suppression_store" -> xSuppressionStore)
 
   /** DuckDB twin of the whole tier cascade. */
   /** The front door's gate CTE stack (arrivals → quality → exact → band
@@ -690,6 +756,26 @@ object ExportQueries {
            |                CAST(('0x' || substr(md5('$ShardSeed' || CAST(doc_id AS VARCHAR)), 1, 8))
            |                     AS BIGINT) % $NShards) FROM removed)
            |            AS BIGINT) AS n_shards_touched""".stripMargin),
+      // the survivor set of the store lifecycle, as pure set algebra over
+      // the same derived fixtures (requests \ withdrawn) ∪ re-requested;
+      // anti-join spelled LEFT JOIN ... IS NULL (the codebase's NULL-safe
+      // NOT IN idiom)
+      "x_suppression_store" -> TextQueries.oracle(
+        s""", fps AS (SELECT doc_id, ${graft.ops.Fingerprint.sql("text")} AS fp
+           |          FROM corpus),
+           |reqfp AS (SELECT DISTINCT fp FROM fps
+           |          WHERE doc_id % $ForgetMod = $ForgetRem),
+           |recertfp AS (SELECT DISTINCT fp FROM fps
+           |             WHERE doc_id % $RecertMod = $RecertRem),
+           |latefp AS (SELECT DISTINCT fp FROM fps
+           |           WHERE doc_id % $LateMod = $LateRem)
+           |SELECT fp FROM (
+           |  SELECT r.fp FROM reqfp r
+           |  LEFT JOIN recertfp w ON r.fp = w.fp
+           |  WHERE w.fp IS NULL
+           |  UNION
+           |  SELECT fp FROM latefp)
+           |ORDER BY fp""".stripMargin),
       // the leakage-safe split: assignment is pure hash arithmetic; the
       // leak set reuses the t12 stack's fps + jpairs CTEs verbatim
       "x_train_val_split" -> TextQueries.oracle(

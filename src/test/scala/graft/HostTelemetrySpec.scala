@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * rather than throw elsewhere. */
 class HostTelemetrySpec extends AnyFunSuite {
 
-  private val keySet = Set("t0", "load1", "sys", "self", "other", "pgmf",
-    "psi_io_some_us", "psi_io_full_us", "psi_mem_some_us", "psi_mem_full_us")
+  private val keySet = Set("t0", "load1", "sys", "self", "other", "steal",
+    "jif_rate", "pgmf",
+    "psi_io_some_us", "psi_io_full_us", "psi_mem_some_us", "psi_mem_full_us",
+    "psi_cpu_some_us", "psi_cpu_full_us")
 
   test("sample/deltaJson: valid JSON, fractions in [0,1], self <= sys + epsilon") {
     val a = HostTelemetry.sample()
@@ -32,7 +34,14 @@ class HostTelemetrySpec extends AnyFunSuite {
     assert(m("t0") >= 1.7e12 && m("t0") <= System.currentTimeMillis().toDouble, j)
     // PSI deltas are non-negative µs (zeros on hosts without CONFIG_PSI)
     Seq("psi_io_some_us", "psi_io_full_us", "psi_mem_some_us",
-      "psi_mem_full_us").foreach(k => assert(m(k) >= 0.0, j))
+      "psi_mem_full_us", "psi_cpu_some_us", "psi_cpu_full_us")
+      .foreach(k => assert(m(k) >= 0.0, j))
+    // steal is a fraction of the jiffy total; jif_rate ≈ 1 on a live
+    // healthy host (allow generous slack for tick rounding on a short
+    // window — what matters is it is present, positive, and not wildly
+    // above 1)
+    assert(m("steal") >= 0.0 && m("steal") <= 1.0, j)
+    assert(m("jif_rate") > 0.1 && m("jif_rate") < 2.0, j)
   }
 
   test("a zero-width window does not divide by zero") {
@@ -40,6 +49,8 @@ class HostTelemetrySpec extends AnyFunSuite {
     val j = HostTelemetry.deltaJson(a, a)
     assert(j.contains("\"sys\":0.000") && j.contains("\"pgmf\":0"), j)
     assert(j.contains("\"psi_io_some_us\":0"), j)
+    // zero-width window cannot attest throttling either way — reads 1.0
+    assert(j.contains("\"jif_rate\":1.000"), j)
   }
 
   test("parsePsiTotals: psi(7) document format") {
