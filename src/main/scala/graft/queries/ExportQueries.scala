@@ -451,8 +451,8 @@ object ExportQueries {
   /** The deletion-request fixture: corpus docs with doc_id ≡ 3 (mod 17) —
     * a pure function of the driver tables (the derived-arrivals
     * discipline), so DuckDB rebuilds the identical request set. */
-  private val ForgetMod = 17L
-  private val ForgetRem = 3L
+  private[graft] val ForgetMod = 17L
+  private[graft] val ForgetRem = 3L
 
   private[graft] def forgetRequests(spark: SparkSession, dir: String): DataFrame =
     TextQueries.corpus(spark, dir)
@@ -565,12 +565,12 @@ object ExportQueries {
     * division keep both engines' derivations identical, and each set is
     * provably a subset of the previous by CRT (20 mod 17 = 3,
     * 20 mod 51 = 20). */
-  private val RecertMod = 51L
-  private val RecertRem = 20L
-  private val LateMod = 102L
-  private val LateRem = 20L
+  private[graft] val RecertMod = 51L
+  private[graft] val RecertRem = 20L
+  private[graft] val LateMod = 102L
+  private[graft] val LateRem = 20L
 
-  private def requestedFpsWhere(spark: SparkSession, dir: String,
+  private[graft] def requestedFpsWhere(spark: SparkSession, dir: String,
       mod: Long, rem: Long): DataFrame =
     TextQueries.cachedFps(spark, dir)
       .filter(col("doc_id") % mod === rem)
@@ -610,17 +610,28 @@ object ExportQueries {
     * the list is requests-proportional (never corpus-proportional), so
     * paying it per call here mirrors paying one append per forget pass
     * there. */
-  def xSuppressionStore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.SuppressionStore
-    val root = suppressionRootFor(dir)
-    graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(root))
-    SuppressionStore.append(spark, root, forgetSuppressionFps(spark, dir))
-    SuppressionStore.compact(spark, root,
-      requestedFpsWhere(spark, dir, RecertMod, RecertRem))
-    SuppressionStore.append(spark, root,
-      requestedFpsWhere(spark, dir, LateMod, LateRem))
-    SuppressionStore.read(spark, root).orderBy("fp")
-  }
+  private val suppressionLock = new Object
+
+  def xSuppressionStore(spark: SparkSession, dir: String): DataFrame =
+    // The clean-root rebuild makes concurrent callers (parallel test
+    // suites; never the sequential Verify/Bench paths) each other's
+    // hazard: one caller's deleteTree can race another's still-lazy read
+    // of the previous store files. Serialize the lifecycle and hand back
+    // an EAGERLY materialized frame (localCheckpoint — a few dozen
+    // digest rows), so the result never depends on store files a later
+    // rebuild may remove.
+    suppressionLock.synchronized {
+      import graft.sinks.SuppressionStore
+      val root = suppressionRootFor(dir)
+      graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(root))
+      SuppressionStore.append(spark, root, forgetSuppressionFps(spark, dir))
+      SuppressionStore.compact(spark, root,
+        requestedFpsWhere(spark, dir, RecertMod, RecertRem))
+      SuppressionStore.append(spark, root,
+        requestedFpsWhere(spark, dir, LateMod, LateRem))
+      SuppressionStore.read(spark, root).orderBy("fp")
+        .localCheckpoint(true)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_export_manifest" -> xExportManifest,

@@ -109,4 +109,32 @@ class SuppressionStoreSpec extends AnyFunSuite {
     assert(SuppressionStore.read(spark, root).as[String].collect()
       .toSeq == Seq("b"))
   }
+
+  test("x_suppression_store's fixture waves stay non-trivial and nested") {
+    // GATE STRENGTH, which the DuckDB oracle cannot express: both engines
+    // derive the same wave sets by construction, so if a constants edit
+    // ever emptied the withdrawn or re-request wave the oracle would still
+    // hash-match while the lifecycle gate silently stopped exercising
+    // compact / re-append. Pin: every wave non-empty, the congruence
+    // nesting real (late ⊆ recert ⊊ requests — at the spec's tiny scale
+    // late and recert may coincide; recert == requests would empty the
+    // store and IS asserted against), and the emitted blocklist exactly
+    // (requests ∖ recert) ∪ late.
+    import graft.queries.ExportQueries
+    def fps(mod: Long, rem: Long): Set[String] =
+      ExportQueries.requestedFpsWhere(spark, sf, mod, rem)
+        .as[String].collect().toSet
+    val req = fps(ExportQueries.ForgetMod, ExportQueries.ForgetRem)
+    val recert = fps(ExportQueries.RecertMod, ExportQueries.RecertRem)
+    val late = fps(ExportQueries.LateMod, ExportQueries.LateRem)
+    assert(req.nonEmpty && recert.nonEmpty && late.nonEmpty,
+      s"degenerate wave: req=${req.size} recert=${recert.size} late=${late.size}")
+    assert(recert.subsetOf(req) && late.subsetOf(recert),
+      "congruence nesting broken — CRT subset chain must hold")
+    assert(recert != req, "compact would empty the store: recert == requests")
+    val survivors = ExportQueries.xSuppressionStore(spark, sf)
+      .select("fp").as[String].collect().toSet
+    assert(survivors == (req -- recert) ++ late,
+      "store lifecycle diverged from the set-algebra contract")
+  }
 }
