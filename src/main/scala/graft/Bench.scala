@@ -23,6 +23,29 @@ import org.apache.spark.sql.SparkSession
   * pressure slowed even untouched queries 2-3x).
   */
 object Bench {
+
+  /** The per-query anchors for the recovery-rep heuristic, parsed from
+    * the in-repo BASELINE_anchors.json (written by tools/gen_anchors.py).
+    * An absent or unparsable file returns empty — the heuristic degrades
+    * to off rather than failing the bench — which is also why this is a
+    * NAMED, spec-pinned function: a silent format drift in the anchors
+    * file would otherwise disable recovery with no visible symptom
+    * (BenchAnchorsSpec parses the real file and asserts coverage). */
+  private[graft] def loadAnchors(
+      path: String = "BASELINE_anchors.json"): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      parseAnchors(s)
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** gen_anchors.py emits each entry as `"name": {"anchor_sec": N, ...}`
+    * with anchor_sec first; the regex reads exactly that shape (and
+    * tolerates any whitespace/indentation json.dump chooses). */
+  private[graft] def parseAnchors(s: String): Map[String, Double] =
+    """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"anchor_sec"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,13 +112,7 @@ object Bench {
     // heuristic. Which entries triggered it is itself recorded
     // ("recovery_reps" in bench_out.json) so the artifact says both THAT a
     // reading was suspect and HOW the re-measurement went.
-    val anchors: Map[String, Double] =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BASELINE_anchors.json")), "UTF-8")
-        """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"anchor_sec"\s*:\s*([0-9.]+)""".r
-          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val anchors: Map[String, Double] = Bench.loadAnchors()
     val recovered = scala.collection.mutable.ArrayBuffer[String]()
     def timed(name: String)(body: => Unit): (String, Double) = {
       val h0 = HostTelemetry.sample()

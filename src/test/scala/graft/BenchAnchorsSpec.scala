@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The recovery-rep heuristic's anchor feed (r15): Bench degrades to
+  * heuristic-off when BASELINE_anchors.json is absent or unparsable —
+  * the right failure mode at runtime, but it means a format drift in the
+  * anchors file (a gen_anchors.py change reordering keys, a hand edit)
+  * would silently disable recovery with no visible symptom. This spec
+  * parses the REAL in-repo file and pins coverage, so the drift fails a
+  * test instead of a future adjudication. */
+class BenchAnchorsSpec extends AnyFunSuite {
+
+  test("the in-repo anchors file parses and covers the query set") {
+    val anchors = Bench.loadAnchors()
+    assert(anchors.size >= 140, s"only ${anchors.size} anchors parsed")
+    // every anchor is a sane positive duration
+    anchors.foreach { case (k, v) =>
+      assert(v > 0.0 && v < 60.0, s"$k anchor $v out of range")
+    }
+    // the heuristic needs anchors for the entries it protects: every
+    // current query (minus any brand-new not-yet-anchored ones) resolves
+    val missing = SparkEntry.queries.keySet -- anchors.keySet
+    assert(missing.isEmpty,
+      s"queries without an anchor (add via gen_anchors.py): $missing")
+  }
+
+  test("parseAnchors reads the gen_anchors shape and ignores others") {
+    val doc =
+      """{"conditions": "x", "anchors": {
+        |  "q1_agg": {"anchor_sec": 0.2, "band_class": "standard"},
+        |  "d9": {"anchor_sec": 2.054, "band": [1.4, 2.1]}
+        |}}""".stripMargin
+    assert(Bench.parseAnchors(doc) == Map("q1_agg" -> 0.2, "d9" -> 2.054))
+    // anchor_sec NOT first => not the emitted shape; the parse skips it
+    // (a drift like that must surface via the real-file coverage test)
+    val drifted = """"q1_agg": {"band_class": "standard", "anchor_sec": 0.2}"""
+    assert(Bench.parseAnchors(drifted).isEmpty)
+    assert(Bench.parseAnchors("") == Map.empty)
+    assert(Bench.parseAnchors("garbage { not json") == Map.empty)
+  }
+
+  test("a missing file degrades to heuristic-off, never throws") {
+    assert(Bench.loadAnchors("/nonexistent/anchors.json") == Map.empty)
+  }
+}
