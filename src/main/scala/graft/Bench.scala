@@ -41,10 +41,16 @@ object Bench {
 
   /** gen_anchors.py emits each entry as `"name": {"anchor_sec": N, ...}`
     * with anchor_sec first; the regex reads exactly that shape (and
-    * tolerates any whitespace/indentation json.dump chooses). */
+    * tolerates any whitespace/indentation json.dump chooses). The number
+    * pattern covers json.dump's full float surface INCLUDING exponent
+    * notation — Python emits e.g. `1e-05` below 1e-4, which a bare
+    * `[0-9.]+` would silently truncate to anchor 1.0 (r15 advice); the
+    * guarded toDoubleOption drops a malformed capture instead of
+    * throwing the whole file away. */
   private[graft] def parseAnchors(s: String): Map[String, Double] =
-    """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"anchor_sec"\s*:\s*([0-9.]+)""".r
-      .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"anchor_sec"\s*:\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+      .findAllMatchIn(s)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

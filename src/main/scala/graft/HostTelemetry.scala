@@ -71,7 +71,7 @@ object HostTelemetry {
       jifTotal: Long, jifBusy: Long, jifSteal: Long,
       selfJif: Long, pgMajFault: Long, load1: Double,
       ioSomeUs: Long, ioFullUs: Long, memSomeUs: Long, memFullUs: Long,
-      cpuSomeUs: Long, cpuFullUs: Long)
+      cpuSomeUs: Long, cpuFullUs: Long, statCpus: Int)
 
   private def readFile(p: String): Option[String] =
     try Some(new String(java.nio.file.Files.readAllBytes(
@@ -98,15 +98,23 @@ object HostTelemetry {
 
   def sample(): Sample = {
     // /proc/stat "cpu  user nice system idle iowait irq softirq steal ..."
-    val (tot, busy, steal) = readFile("/proc/stat").flatMap { s =>
+    // nCpus counts the per-CPU "cpuN" lines of the SAME document: the
+    // aggregate "cpu " line (jif_rate's numerator) sums over every
+    // kernel-visible CPU, while availableProcessors() is cgroup/quota
+    // aware on JDK 10+ — in a --cpus=4 container on a 64-core host the
+    // mixed-source ratio would read ~16 and miscalibrate the "≈1 =
+    // healthy" diagnostic (r15 advice).
+    val (tot, busy, steal, nCpus) = readFile("/proc/stat").flatMap { s =>
       s.linesIterator.find(_.startsWith("cpu ")).map { l =>
         val f = l.trim.split("\\s+").drop(1).flatMap(x => x.toLongOption)
         val total = f.sum
         val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
         val st = if (f.length > 7) f(7) else 0L
-        (total, total - idle, st)
+        val cpus = s.linesIterator.count(ln =>
+          ln.startsWith("cpu") && ln.length > 3 && ln.charAt(3).isDigit)
+        (total, total - idle, st, cpus)
       }
-    }.getOrElse((0L, 0L, 0L))
+    }.getOrElse((0L, 0L, 0L, 0))
     // /proc/self/stat: comm (field 2) may hold spaces/parens — split after
     // the last ')'. utime/stime are fields 14/15 (1-indexed) = indexes
     // 11/12 of the post-comm remainder.
@@ -127,7 +135,7 @@ object HostTelemetry {
     val (meS, meF) = psi("memory")
     val (cpS, cpF) = psi("cpu")
     Sample(System.nanoTime(), System.currentTimeMillis(),
-      tot, busy, steal, selfJ, pgmf, l1, ioS, ioF, meS, meF, cpS, cpF)
+      tot, busy, steal, selfJ, pgmf, l1, ioS, ioF, meS, meF, cpS, cpF, nCpus)
   }
 
   /** Compact JSON object for one entry window. Fractions are of the
@@ -141,12 +149,18 @@ object HostTelemetry {
     val self = (b.selfJif - a.selfJif).max(0L) / tot
     val steal = (b.jifSteal - a.jifSteal).max(0L) / tot
     // expected jiffy advance for an unthrottled host: nCPUs × wall ×
-    // USER_HZ (always 100 per procfs ABI regardless of kernel CONFIG_HZ)
+    // USER_HZ (always 100 per procfs ABI regardless of kernel CONFIG_HZ).
+    // nCPUs comes from the SAME /proc/stat document as the numerator
+    // (the cpuN line count), never availableProcessors(): the aggregate
+    // line ticks for every kernel-visible CPU, so a cgroup-quota-aware
+    // JDK count would inflate the ratio by visible/quota. A host whose
+    // /proc/stat had no cpuN lines degrades to 0 = "cannot attest",
+    // matching the missing-/proc path.
     val wallMs = (b.epochMs - a.epochMs).max(0L)
-    val expected =
-      Runtime.getRuntime.availableProcessors().toDouble * wallMs / 10.0
+    val expected = b.statCpus.toDouble * wallMs / 10.0
     val jifRate =
       if (wallMs == 0) 1.0 // zero-width window: nothing to attest
+      else if (b.statCpus == 0) 0.0 // no per-CPU lines: cannot attest
       else (b.jifTotal - a.jifTotal).max(0L) / expected.max(1.0)
     def d(x: Long, y: Long) = (y - x).max(0L)
     s"""{"t0":${a.epochMs},"load1":${f3(a.load1)},"sys":${f3(sys)},"self":${f3(self)},""" +

@@ -57,7 +57,7 @@ object MlQueries {
     new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(FeatureDim)
 
-  private def featurized(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def featurized(spark: SparkSession, dir: String): DataFrame = {
     val base = TextQueries.tokenizedCorpus(spark, dir)
     val (n, mean, alpha, sym, stops) =
       TextQueries.gopherSignals(col("text"), col("toks"))
@@ -83,16 +83,49 @@ object MlQueries {
     * it was weakly supervised by, the model's keep-probability in
     * micro-units, and the train/held-out split marker (audit surface: a
     * consumer thresholds `score_micro`, a validator reads `is_train` to
-    * avoid evaluating on the training split). */
+    * avoid evaluating on the training split).
+    *
+    * Oracled since r16 by the t20/x_classifier_report round-trip
+    * discipline applied at row level: the score VALUES round-trip through
+    * the verify-scale [[graft.plans.VerifyExports]] export, while the doc
+    * universe (driven from the tokenized corpus, NOT from the export — a
+    * scoring pass that dropped docs surfaces as NULL-score oracle rows),
+    * the rule verdicts (shared gopher SQL fragments), and the split
+    * arithmetic are recomputed by DuckDB independently. The fitted
+    * coefficient vector also exports (`t19_model`, 1024 weights + the
+    * idx=-1 intercept) as the audit artifact; MlSpec pins that THOSE
+    * numbers reproduce the shipped scores bit-exactly in-JVM. DuckDB does
+    * NOT re-run the dot product: margin summation order (Spark BLAS is
+    * index-ordered) and libm exp() differ across engines in final ulps,
+    * which is the same nonreproducibility that made t19 rows-only before
+    * — the round-trip pins everything that CAN be pinned exactly. */
   def t19QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val model = fitted(spark, dir)
-    model.transform(featurized(spark, dir))
+    val scored = model.transform(featurized(spark, dir))
       .select(col("doc_id"),
         col("label").cast("bigint").as("rule_keep"),
         floor(vector_to_array(col("probability")).getItem(1) * 1000000.0)
           .cast("bigint").as("score_micro"),
         (pmod(col("doc_id"), lit(10)) < 3).cast("bigint").as("is_train"))
       .orderBy("doc_id")
+    graft.plans.VerifyExports.maybeExport(dir, "t19_scores") {
+      scored.select(col("doc_id"), col("score_micro"))
+    }
+    graft.plans.VerifyExports.maybeExport(dir, "t19_model") {
+      modelExport(spark, model)
+    }
+    scored
+  }
+
+  /** The fitted model as a table: (idx, weight) for each of the
+    * [[FeatureDim]] hashed-feature coefficients plus the intercept at
+    * idx = -1 — broadcast-sized model state in auditable form. */
+  private[graft] def modelExport(spark: SparkSession,
+      model: LogisticRegressionModel): DataFrame = {
+    import spark.implicits._
+    ((-1, model.intercept) +:
+        model.coefficients.toArray.toSeq.zipWithIndex.map(_.swap))
+      .toDF("idx", "weight").orderBy("idx")
   }
 
   /** The score threshold at which a consumer keeps a doc — inlined into
@@ -116,10 +149,10 @@ object MlQueries {
     * recomputed by DuckDB independently; this upgrades classifier
     * monitoring from t19's rows-only to a hash-matched row. */
   def xClassifierReport(spark: SparkSession, dir: String): DataFrame = {
+    // t19_scores exports inside t19QualityClassifier itself (since r16 —
+    // t19's own oracle consumes it, so the export must not depend on
+    // WHICH of the two queries a verify pass runs first)
     val scored = t19QualityClassifier(spark, dir)
-    graft.plans.VerifyExports.maybeExport(dir, "t19_scores") {
-      scored.select(col("doc_id"), col("score_micro"))
-    }
     val agree =
       (col("score_micro") >= ScoreKeepThreshold) === (col("rule_keep") === 1L)
     scored.agg(
@@ -435,11 +468,11 @@ object MlQueries {
     "x_tokenizer_report" -> xTokenizerReport,
     "x_classifier_report" -> xClassifierReport)
 
-  /** t19 stays rows-only (L-BFGS coefficients are not cross-engine
-    * reproducible, so no SQL oracle can exist; MlSpec covers semantics).
-    * t20/t21 graduated to oracle-checked in round 11 via the
-    * [[graft.plans.VerifyExports]] model-state exports. */
-  val rowsOnly: Set[String] = Set("t19_quality_classifier")
+  /** Every ML query is oracle-checked: t20/t21 graduated in round 11 via
+    * the [[graft.plans.VerifyExports]] model-state exports, t19 in round
+    * 16 via the same discipline at row level (see its scaladoc for what
+    * round-trips vs what DuckDB recomputes independently). */
+  val rowsOnly: Set[String] = Set.empty
 
   val oracleSql: Map[String, String] = {
     import graft.plans.VerifyExports.sqlPath
@@ -491,6 +524,28 @@ object MlQueries {
            |       CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_vocab,
            |       CAST((SELECT count(*) FROM vc WHERE word_pieces > 1)
            |            AS BIGINT) AS n_multi_piece_vocab""".stripMargin),
+      // t19 row level: the doc universe comes from the TOKENIZED CORPUS
+      // (toks), never from the export — a scoring pass that silently
+      // dropped or duplicated docs yields NULL-score or extra oracle rows
+      // and fails the hash; rule_keep (shared gopher fragments) and the
+      // split marker are recomputed independently; only the score values
+      // themselves round-trip (L-BFGS scores are not cross-engine
+      // reproducible — the t20 discipline)
+      "t19_quality_classifier" -> TextQueries.oracle(
+        s""", rules AS (
+           |  SELECT doc_id
+           |  FROM (${TextQueries.gopherSignalsSqlFor("toks", "corpus")})
+           |  WHERE ${TextQueries.gopherKeepSql})
+           |SELECT t.doc_id,
+           |       CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END
+           |            AS BIGINT) AS rule_keep,
+           |       s.score_micro,
+           |       CAST(CASE WHEN t.doc_id % 10 < 3 THEN 1 ELSE 0 END
+           |            AS BIGINT) AS is_train
+           |FROM toks t
+           |LEFT JOIN ${sqlPath("t19_scores")} s ON t.doc_id = s.doc_id
+           |LEFT JOIN rules r ON t.doc_id = r.doc_id
+           |ORDER BY t.doc_id""".stripMargin),
       // classifier health: score VALUES round-trip through the export;
       // rule verdicts (shared gopher fragments), split arithmetic, and
       // every aggregate are recomputed independently

@@ -32,6 +32,14 @@ class BenchAnchorsSpec extends AnyFunSuite {
         |  "d9": {"anchor_sec": 2.054, "band": [1.4, 2.1]}
         |}}""".stripMargin
     assert(Bench.parseAnchors(doc) == Map("q1_agg" -> 0.2, "d9" -> 2.054))
+    // json.dump renders tiny floats in exponent notation (1e-05); the
+    // old [0-9.]+ pattern truncated that to 1.0 — a wrong-VALUE drift the
+    // coverage test cannot see (r15 advice). Pin the full float surface.
+    val expo =
+      """"tiny": {"anchor_sec": 1e-05}, "cap": {"anchor_sec": 1.5E+2},
+        |"neg": {"anchor_sec": 2.5e-1}""".stripMargin
+    assert(Bench.parseAnchors(expo) ==
+      Map("tiny" -> 1e-05, "cap" -> 150.0, "neg" -> 0.25))
     // anchor_sec NOT first => not the emitted shape; the parse skips it
     // (a drift like that must surface via the real-file coverage test)
     val drifted = """"q1_agg": {"band_class": "standard", "anchor_sec": 0.2}"""

@@ -44,6 +44,33 @@ class HostTelemetrySpec extends AnyFunSuite {
     assert(m("jif_rate") > 0.1 && m("jif_rate") < 2.0, j)
   }
 
+  test("statCpus counts /proc/stat's own cpuN lines (not the JDK's " +
+      "quota-aware availableProcessors)") {
+    val s = HostTelemetry.sample()
+    val expected = scala.io.Source.fromFile("/proc/stat").getLines()
+      .count(l => l.startsWith("cpu") && l.length > 3 && l.charAt(3).isDigit)
+    assert(s.statCpus == expected)
+    assert(s.statCpus >= 1) // live Linux host
+  }
+
+  test("jif_rate arithmetic pins to the same-document CPU count") {
+    // synthetic window: 4 kernel-visible CPUs, 1 s wall, aggregate jiffies
+    // advanced exactly 4 CPUs x 100 Hz x 1 s = 400 => rate 1.0 regardless
+    // of what availableProcessors() reads in this JVM (the r15-advice
+    // quota-container scenario, pinned without needing a cgroup)
+    val a = HostTelemetry.Sample(0L, 1000000L, 10000L, 0L, 0L, 0L, 0L, 0.0,
+      0L, 0L, 0L, 0L, 0L, 0L, 4)
+    val b = a.copy(epochMs = a.epochMs + 1000L, jifTotal = a.jifTotal + 400L)
+    assert(HostTelemetry.deltaJson(a, b).contains("\"jif_rate\":1.000"))
+    // half the expected advance reads 0.5 — the throttled-guest signature
+    val c = a.copy(epochMs = a.epochMs + 1000L, jifTotal = a.jifTotal + 200L)
+    assert(HostTelemetry.deltaJson(a, c).contains("\"jif_rate\":0.500"))
+    // a document with no cpuN lines cannot attest: degrades to 0
+    val z = a.copy(statCpus = 0)
+    val z2 = z.copy(epochMs = z.epochMs + 1000L, jifTotal = z.jifTotal + 400L)
+    assert(HostTelemetry.deltaJson(z, z2).contains("\"jif_rate\":0.000"))
+  }
+
   test("a zero-width window does not divide by zero") {
     val a = HostTelemetry.sample()
     val j = HostTelemetry.deltaJson(a, a)

@@ -57,6 +57,32 @@ class MlSpec extends AnyFunSuite {
     assert(m.coefficients.size == 1024, s"unexpected dim ${m.coefficients.size}")
   }
 
+  test("t19: the exported coefficient table reproduces the shipped scores bit-exactly") {
+    // the r16 oracle round-trips score VALUES through the verify export;
+    // this is the complementary pin that the t19_model audit artifact IS
+    // the model those scores came from: recompute every score from the
+    // exported (idx, weight) rows alone — index-ordered dot product +
+    // intercept, the BLAS evaluation order — and demand bit identity
+    val model = MlQueries.fitted(spark, sf)
+    val table = MlQueries.modelExport(spark, model).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(table.size == 1025 && table.contains(-1), s"export shape: ${table.size}")
+    val shipped = MlQueries.t19QualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val feats = MlQueries.featurized(spark, sf)
+      .select("doc_id", "features").collect()
+    assert(feats.length == shipped.size)
+    feats.foreach { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector]("features")
+      var acc = 0.0
+      v.foreachActive((i, x) => acc += x * table(i))
+      val p = 1.0 / (1.0 + math.exp(-(acc + table(-1))))
+      val score = math.floor(p * 1000000.0).toLong
+      assert(score == shipped(r.getLong(0)),
+        s"doc ${r.getLong(0)}: export-derived $score vs shipped ${shipped(r.getLong(0))}")
+    }
+  }
+
   test("tokenizer drift loop: no-trip keeps the trained instance; a forced retrain reproduces it exactly") {
     // baseline identity handle: the memoized merge table
     val before = MlQueries.learnedMerges(spark, sf)
