@@ -296,8 +296,14 @@ object Bench {
       case (n, o, s) => s"""${q(n)}:{"mode":${q(o)},"sec":${f3(s)}}"""
     }.mkString("{", ",", "}")
     val recoveryJson = recovered.map(q).mkString("[", ",", "]")
+    // the one overhead-dominated entry gets the warm_stages treatment
+    // (r15 verdict task 1): per-phase wall times of its LAST rep, so a
+    // driver-side elevation is attributable to fs reset vs append vs
+    // compact vs read from the artifact alone
+    val supStages = graft.queries.ExportQueries.lastSuppressionStages
+      .map { case (n, s) => s"${q(n)}:${f3(s)}" }.mkString("{", ",", "}")
     val fullLine =
-      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes,"host":$hostJson,"snapshot_outcomes":$snapOutcomes,"recovery_reps":$recoveryJson}"""
+      line.dropRight(1) + s""","warm_stages":$warmStages,"rep_times":$repTimes,"host":$hostJson,"snapshot_outcomes":$snapOutcomes,"recovery_reps":$recoveryJson,"suppression_stages":$supStages}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -576,13 +576,22 @@ object ExportQueries {
       .filter(col("doc_id") % mod === rem)
       .select("fp").distinct()
 
-  /** Per-dataset store root (the [[outDirFor]] discipline: verify and
-    * bench datasets must not share durable state mid-session). */
+  /** Per-dataset AND per-process store root (the [[outDirFor]]
+    * discipline: verify and bench datasets must not share durable state
+    * mid-session). The pid suffix closes the r15-advice cross-process
+    * race: the clean-root rebuild below is serialized only by a JVM-local
+    * lock, so two concurrent JVMs over the same fixture dir (forked test
+    * runs overlapping a Verify/Bench) could interleave one process's
+    * deleteTree with the other's still-lazy read of the previous store
+    * files. The store under test is a scratch rebuild — nothing durable
+    * is meant to survive the call — so keying by pid costs nothing and
+    * removes the shared mutable path outright. */
   private def suppressionRootFor(dir: String): String =
     java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "target", "suppression_store",
       java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString +
+        "-" + ProcessHandle.current().pid())
       .toString
 
   /** x_suppression_store — the ORACLED gate over
@@ -612,25 +621,60 @@ object ExportQueries {
     * there. */
   private val suppressionLock = new Object
 
+  /** Per-phase wall times of the LAST [[xSuppressionStore]] lifecycle in
+    * this JVM — Bench ships them as `suppression_stages` in
+    * bench_out.json (the warm_stages pattern, r15 verdict task 1) so a
+    * driver-side elevation of the one overhead-dominated entry is
+    * attributable to a PHASE (fs reset, an append's anti-join+write, the
+    * compact rewrite, the final read) instead of needing a local repro. */
+  @volatile private[graft] var lastSuppressionStages: Seq[(String, Double)] =
+    Nil
+
   def xSuppressionStore(spark: SparkSession, dir: String): DataFrame =
     // The clean-root rebuild makes concurrent callers (parallel test
     // suites; never the sequential Verify/Bench paths) each other's
     // hazard: one caller's deleteTree can race another's still-lazy read
-    // of the previous store files. Serialize the lifecycle and hand back
-    // an EAGERLY materialized frame (localCheckpoint — a few dozen
-    // digest rows), so the result never depends on store files a later
-    // rebuild may remove.
+    // of the previous store files. The root is pid-keyed against OTHER
+    // processes (suppressionRootFor); the lock serializes THIS process's
+    // callers, and the frame hands back EAGERLY materialized
+    // (localCheckpoint — a few dozen digest rows), so the result never
+    // depends on store files a later rebuild may remove.
     suppressionLock.synchronized {
       import graft.sinks.SuppressionStore
+      val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      def phase[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        stages += name -> (System.nanoTime() - t0) / 1e9
+        r
+      }
       val root = suppressionRootFor(dir)
-      graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(root))
-      SuppressionStore.append(spark, root, forgetSuppressionFps(spark, dir))
-      SuppressionStore.compact(spark, root,
-        requestedFpsWhere(spark, dir, RecertMod, RecertRem))
-      SuppressionStore.append(spark, root,
-        requestedFpsWhere(spark, dir, LateMod, LateRem))
-      SuppressionStore.read(spark, root).orderBy("fp")
-        .localCheckpoint(true)
+      phase("reset") {
+        graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(root))
+        // the pid-keyed root is exclusively ours: a surviving file here
+        // means deleteTree swallowed a real fs error, which would
+        // otherwise surface later as a confusing oracle hash mismatch
+        // (r15 advice — fail loudly at the phase that owns it)
+        require(!new java.io.File(root).exists(),
+          s"suppression store reset left files under $root")
+      }
+      phase("append_requests") {
+        SuppressionStore.append(spark, root, forgetSuppressionFps(spark, dir))
+      }
+      phase("compact_withdrawn") {
+        SuppressionStore.compact(spark, root,
+          requestedFpsWhere(spark, dir, RecertMod, RecertRem))
+      }
+      phase("append_rerequests") {
+        SuppressionStore.append(spark, root,
+          requestedFpsWhere(spark, dir, LateMod, LateRem))
+      }
+      val out = phase("read_live") {
+        SuppressionStore.read(spark, root).orderBy("fp")
+          .localCheckpoint(true)
+      }
+      lastSuppressionStages = stages.toSeq
+      out
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -67,6 +67,28 @@ object MlQueries {
     hashingTf.transform(labeled)
   }
 
+  /** Drop the training summary from a fitted model before memoizing it.
+    * Nothing here reads the summary, and it is a serialization landmine:
+    * it pins the fitting SparkSession (plus the predictions frame), so a
+    * task closure capturing the model — the streaming scoring twin, any
+    * broadcast scorer — serializes the whole session object graph. That
+    * "works" only while every lazily-initialized non-serializable session
+    * component is still null; the first `Dataset.observe(Observation)`
+    * in the JVM materializes the session's observation manager and every
+    * later model-capturing task then dies with NotSerializableException.
+    * The summary-free model carries exactly the broadcast-sized state the
+    * scaladoc promises (coefficients + params). Reflection because
+    * HasTrainingSummary's setter is private[ml] (public in bytecode); a
+    * reflection failure degrades to the summaried model rather than
+    * failing the fit — MlSpec pins hasSummary == false so that
+    * degradation cannot land silently. */
+  private def stripSummary(m: LogisticRegressionModel): LogisticRegressionModel = {
+    try m.getClass.getMethod("trainingSummary_$eq", classOf[Option[_]])
+      .invoke(m, None)
+    catch { case scala.util.control.NonFatal(_) => }
+    m
+  }
+
   private[graft] def fitted(spark: SparkSession, dir: String): LogisticRegressionModel = {
     // getOrElseUpdate under the lock is fine here: training is seconds,
     // callers are bench reps / spec calls, and a duplicated concurrent
@@ -74,7 +96,8 @@ object MlQueries {
     models.synchronized {
       models.getOrElseUpdate(dir, {
         val train = featurized(spark, dir).filter(pmod(col("doc_id"), lit(10)) < 3)
-        new LogisticRegression().setMaxIter(20).setRegParam(0.01).fit(train)
+        stripSummary(
+          new LogisticRegression().setMaxIter(20).setRegParam(0.01).fit(train))
       })
     }
   }

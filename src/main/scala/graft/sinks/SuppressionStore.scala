@@ -98,23 +98,47 @@ object SuppressionStore {
   /** Append `delta` with dedup-on-write: only keys not already present
     * land, so re-requests of the same content collapse (sound compaction
     * #1, applied at write time instead of list-rewrite time). Returns the
-    * number of NEW keys written. */
+    * number of NEW keys written.
+    *
+    * ONE Spark action: the novel-key count rides the write as an
+    * `observe` metric (the compact discipline) instead of a separate
+    * persist+count pass. The write stages into a process-unique tmp dir
+    * and only a NONEMPTY result's data files move into the live
+    * generation — a no-op append (every key already present) must not
+    * accumulate empty part files in a store that lives for years. The
+    * moved files keep their task-UUID names, so concurrent appends
+    * cannot collide, and a reader re-planning mid-move sees a prefix of
+    * the new files — the same live-refresh semantics the in-place
+    * append had. */
   def append(spark: SparkSession, root: String, delta: DataFrame): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
     new java.io.File(root).mkdirs()
     val dir = genDir(root, gen(root))
     val fresh =
       if (!exists(root)) delta.distinct()
       else delta.distinct()
         .join(spark.read.parquet(dir), delta.columns.toSeq, "left_anti")
-    // count once, write the counted set (localCheckpoint would pin; the
-    // delta is request-sized — per-pass, far below even the full list)
-    val rows = fresh.persist()
+    val obs = Observation()
+    val tmp = s"$root/.tmp-append-${java.util.UUID.randomUUID()}"
     try {
-      val n = rows.count()
-      if (n > 0) rows.write.mode("append").parquet(dir)
+      fresh.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(tmp)
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n > 0) {
+        val target = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(target)
+        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.isFile)
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              target.resolve(f.getName),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
       if (!new java.io.File(root, Marker).isFile) flip(root, gen(root))
       n
-    } finally { rows.unpersist(); () }
+    } finally graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
   /** Remove EXACTLY the `recertified` keys (matched on all columns) from
@@ -123,15 +147,28 @@ object SuppressionStore {
     * or superseded; this method only executes the set difference, as a
     * new generation committed by marker flip (crash-convergent: an
     * interrupted compact leaves the old generation live and intact).
-    * Returns (rows before, rows after). */
+    * Returns (rows before, rows after).
+    *
+    * Both counts ride the ONE write action as `observe` metrics — the
+    * anti-join streams every live row past the pre-join observation and
+    * every survivor past the post-join one, so a separate `cur.count()`
+    * and a post-write re-read (two extra jobs over the full list, the
+    * r15 bench's past-bar entry) buy nothing the write doesn't already
+    * prove. */
   def compact(spark: SparkSession, root: String,
       recertified: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
     val g = gen(root)
+    val obsBefore = Observation()
+    val obsAfter = Observation()
     val cur = spark.read.parquet(genDir(root, g))
+      .observe(obsBefore, count(lit(1)).as("n"))
     val keep = cur.join(recertified.distinct(), cur.columns.toSeq, "left_anti")
-    val before = cur.count()
+      .observe(obsAfter, count(lit(1)).as("n"))
     keep.write.mode("overwrite").parquet(genDir(root, g + 1))
-    val after = spark.read.parquet(genDir(root, g + 1)).count()
+    val before = obsBefore.get("n").asInstanceOf[Long]
+    val after = obsAfter.get("n").asInstanceOf[Long]
     flip(root, g + 1)
     // sweep superseded generations AFTER the flip (the marker is the
     // truth; a crash here just leaves sweepable orphans for next time)

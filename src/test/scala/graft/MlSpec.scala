@@ -55,6 +55,23 @@ class MlSpec extends AnyFunSuite {
   test("t19: model state is broadcast-sized (coefficient dim = feature dim)") {
     val m = MlQueries.fitted(spark, sf)
     assert(m.coefficients.size == 1024, s"unexpected dim ${m.coefficients.size}")
+    // the memoized model must NOT carry the training summary: it pins the
+    // fitting SparkSession into every task closure that captures the model
+    // — serializable only while the session's lazily-initialized
+    // components (e.g. the Observation manager) are still null, i.e. a
+    // time bomb armed by the first observe() call anywhere in the JVM
+    assert(!m.hasSummary, "fitted model still carries its training summary")
+    // and it must actually java-serialize standalone even with the
+    // session's observation manager materialized (the failure mode that
+    // killed the streaming scoring twin)
+    val obs = org.apache.spark.sql.Observation()
+    spark.range(1).observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+    assert(obs.get("n").asInstanceOf[Long] == 1L)
+    val out = new java.io.ObjectOutputStream(
+      java.io.OutputStream.nullOutputStream())
+    out.writeObject(m) // throws NotSerializableException on regression
+    out.close()
   }
 
   test("t19: the exported coefficient table reproduces the shipped scores bit-exactly") {
