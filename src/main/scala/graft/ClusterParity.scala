@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-JVM execution parity gate (r15 verdict task 2).
+  *
+  * Every 100-TB argument in this repo rests on plan pins measured inside
+  * ONE JVM (`local[N]`), where "task serialization" and "broadcast" are
+  * in-process moves. This main runs a pinned query set twice — once on
+  * `local[4]`, once on `local-cluster[2,2,1024]`, which launches a real
+  * standalone master/worker and TWO SEPARATE EXECUTOR PROCESSES — and
+  * compares canonical result hashes. That forces the five native
+  * codegen'd expressions (tokenize_words, minhash_sigs, simhash_sig,
+  * band_keys, float_dot), the broadcast model/quantizer state, and the
+  * GraftExtensions registration across an actual process boundary for
+  * the first time: a non-serializable Expression field, a codegen path
+  * that only compiles against driver-local state, or a broadcast that
+  * silently captured the session all fail HERE instead of on a real
+  * cluster.
+  *
+  * The query set: the reference hot path (s1 scan/sort/limit, f1 command
+  * compile, j1 broadcast join) plus one query per native expression —
+  * d2 (minhash_sigs), d5 (simhash_sig + tokenize_words), d3 (band_keys),
+  * v15 (float_dot + the IVF-PQ quantizer broadcast).
+  *
+  * Requires SPARK_HOME (the worker launches executor JVMs through the
+  * distribution's launcher); executors inherit this JVM's classpath via
+  * spark.executor.extraClassPath — local class dirs, same machine.
+  * Usage: ClusterParity <sfDir> <outFile>. Writes one
+  * `name,localHash,clusterHash` line per query; exits 0 iff every pair
+  * matches (ClusterParitySpec launches this as a subprocess and pins
+  * exit + per-line equality).
+  */
+object ClusterParity {
+
+  val Queries: Seq[String] = Seq(
+    "s1_dequeue", "f1_command_compile", "j1_job_format_join",
+    "d2_minhash_sig", "d5_simhash_sig", "d3_minhash_lsh_pairs",
+    "v15_ivfpq_ann")
+
+  /** Canonical content hash: columns name-sorted, every cell rendered to
+    * a fixed text form, rows sorted, sha-256 over the block. Mirrors the
+    * driver-compare idea (order-independent value identity); both sides
+    * render in the same JVM so plain toString is a stable cell form for
+    * the scalar-only oracled outputs this gate selects. */
+  def canonicalHash(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.columns.sorted.toSeq
+    val block = df.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i =>
+        if (r.isNullAt(i)) "␀" else r.get(i).toString)
+        .mkString(""))
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(block.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  private def session(master: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-parity-$master")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+    val withCp =
+      if (master.startsWith("local-cluster"))
+        b.config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+          // executor JVMs need the same reflective access the driver gets
+          // from the test/launcher -J flags
+          .config("spark.executor.extraJavaOptions",
+            "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+              "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+              "--add-opens=java.base/java.util=ALL-UNNAMED " +
+              "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+              "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED " +
+              "--add-opens=java.base/sun.security.action=ALL-UNNAMED")
+      else b
+    val s = withCp.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Forget every JVM-level memo bound to the previous session so the
+    * second run rebuilds its frames against the new one (the on-disk
+    * snapshot FILES are session-independent and get reused — only the
+    * DataFrame handles must not leak across sessions). */
+  private def releaseSessionState(): Unit = {
+    graft.queries.TextQueries.releaseCaches()
+    graft.queries.VectorQueries.releaseCaches()
+    graft.queries.MlQueries.releaseModels()
+    graft.queries.MlQueries.releaseBpe()
+    graft.plans.Snapshot.resetForTest()
+  }
+
+  private def runAll(master: String, sfDir: String): Map[String, String] = {
+    val spark = session(master)
+    try Queries.map { n =>
+      n -> canonicalHash(SparkEntry.queries(n)(spark, sfDir))
+    }.toMap
+    finally {
+      releaseSessionState()
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outFile = args.lift(1)
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster mode needs SPARK_HOME (the worker launches executors " +
+        "through the distribution)")
+    val local = runAll("local[4]", sfDir)
+    val cluster = runAll("local-cluster[2,2,1024]", sfDir)
+    val lines = Queries.map(n => s"$n,${local(n)},${cluster(n)}")
+    outFile.foreach(f => java.nio.file.Files.write(
+      java.nio.file.Paths.get(f),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8")))
+    lines.foreach(println)
+    val bad = Queries.filter(n => local(n) != cluster(n))
+    if (bad.nonEmpty) {
+      System.err.println(s"PARITY MISMATCH: ${bad.mkString(",")}")
+      sys.exit(2)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-JVM execution parity (r15 verdict task 2): run the pinned query
+  * set on `local-cluster[2,2,1024]` — a real standalone master/worker
+  * with two separate EXECUTOR PROCESSES — and demand hash-identical
+  * results vs `local[4]`. This is the only gate where task and broadcast
+  * serialization of the five native expressions and the extension
+  * registration actually cross a process boundary; everything else in
+  * the suite runs one JVM. Launched as a subprocess (the SnapRaceMain
+  * pattern): the parity main owns two sequential SparkContexts, which
+  * cannot share a JVM with the suite's session.
+  *
+  * Skipped (canceled) only when no Spark distribution is present —
+  * local-cluster needs SPARK_HOME for the worker's executor launcher. */
+class ClusterParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sparkHome =
+    sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+
+  test("local-cluster[2,2,1024] reproduces local[4] hashes on the native-expression query set") {
+    assume(new java.io.File(sparkHome, "jars").isDirectory,
+      s"no Spark distribution at $sparkHome — local-cluster unavailable")
+    // make sure the suite session exists BEFORE the subprocess competes
+    // for CPU (lazy init elsewhere would otherwise race the launch)
+    assert(spark.version.nonEmpty)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter(_.startsWith("--add-opens"))
+        .flatMap(a => a.split("=", 2) match {
+          case Array(k, v) if k == "--add-opens" => Seq("--add-opens", v)
+          case _ => Seq(a)
+        }).toSeq
+    }
+    val out = java.nio.file.Files.createTempFile("cluster-parity", ".txt")
+    java.nio.file.Files.delete(out)
+    val log = java.nio.file.Files.createTempFile("cluster-parity", ".log")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g", "-cp", cp,
+      "graft.ClusterParity", sf, out.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.environment().put("SPARK_HOME", sparkHome)
+    // the distribution launcher needs the scala version to build the
+    // executor command; without it Worker dies with "Cannot find any
+    // build directories"
+    pb.environment().put("SPARK_SCALA_VERSION",
+      scala.util.Properties.versionNumberString.split("\\.").take(2)
+        .mkString("."))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    val p = pb.start()
+    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+      s"parity subprocess did not terminate (log: $log)")
+    assert(p.exitValue() == 0,
+      s"parity subprocess exited ${p.exitValue()} (log: $log)")
+    val lines = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+      .trim.linesIterator.toSeq
+    assert(lines.map(_.split(",")(0)).toSet == ClusterParity.Queries.toSet,
+      s"parity output incomplete: $lines")
+    for (l <- lines) {
+      val Array(name, localHash, clusterHash) = l.split(",")
+      assert(localHash == clusterHash,
+        s"$name diverged across the process boundary (log: $log)")
+      assert(localHash.length == 64, s"$name: malformed hash")
+    }
+  }
+}
