@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.GenData <templateDir> <outDir> <mult>
   *   e.g. runMain graft.GenData /root/testdata/sf0.1 target/sf1 10
   *
-  * Faithfulness contract (profiled from the driver fixtures, see
-  * BASELINE.md r14 scaling notes): every column's marginal distribution
-  * and the cross-table key ranges match the template; in particular the
-  * DOCUMENT DUP STRUCTURE (≈0.32% exact dups, ≈4% near-dups of a random
-  * earlier doc — the rates that drive d1/d3/d6 candidate counts) and the
-  * EMBEDDING cluster geometry (10 weak label clusters, centroid norm
-  * ≈0.065 — what shapes IVF cell balance) scale linearly, so a
+  * Faithfulness contract (MEASURED off the driver fixtures — r16
+  * remeasurement, pinned by GenDataSpec's marginals test): every
+  * column's marginal distribution and the cross-table key ranges match
+  * the template; in particular the DOCUMENT DUP STRUCTURE (0.16% exact
+  * dups, ≈4.9% near-dups = a random earlier doc's text with its LAST
+  * word dropped — the rates that drive d1/d3/d6 candidate counts) and
+  * the EMBEDDING geometry (isotropic unit vectors; the 10 labels carry
+  * no geometric signal — per-label centroid norm is the 1/√m noise
+  * floor, what shapes IVF cell balance) scale linearly, so a
   * superlinear bench entry at sf1 is the PLAN's doing, not the data's.
   * region/nation are fixed-cardinality dimensions copied from the
   * template verbatim.
@@ -26,7 +28,7 @@ import org.apache.spark.sql.functions._
   * final text, so dup CHAINS (A dups B which itself dups C) are not
   * transitively propagated the way the template's sequential-lookback
   * generator propagates them. Per-doc chain probability is the dup rate
-  * squared (≈0.0432² ≈ 1.9e-3 of docs), so marginal dup rates — what
+  * squared (≈0.0502² ≈ 2.5e-3 of docs), so marginal dup rates — what
   * drives d1/d3/d6 candidate counts — are faithful, but the cluster-SIZE
   * tail (clusters of 3+) is slightly thinner than the template's at
   * large mult. Scale-shape conclusions are unaffected; exact cluster
@@ -188,9 +190,16 @@ object GenData {
 
     // documents: base text = L words (L ~ U[10,100]) off the 31-word
     // vocabulary; then the template's dup structure — doc i is an exact
-    // copy of a random earlier doc with p≈0.0032, a near-dup (first word
-    // dropped) with p≈0.04, else its own base text. One self-join
-    // replaces the template generator's sequential lookback.
+    // copy of a random earlier doc with p = 0.0016, a near-dup (LAST
+    // word dropped) with p ≈ 0.049, else its own base text. One
+    // self-join replaces the template generator's sequential lookback.
+    // Both rates and the trim direction are MEASURED off the sf0.1
+    // template (r16: n=5000, exact = (n − distinct text)/n = 0.0016;
+    // 243 trim-pair docs = 0.0486, all last-word — the r13 profile had
+    // doubled the exact rate and guessed first-word); GenDataSpec pins
+    // the generated marginals against the template's within tolerance
+    // so a regeneration can't silently drift the d1/d3/d6 candidate
+    // geometry the SCALING conclusions ride on.
     val nDoc = n("documents")
     val base = ids("documents").select(
       col("id").as("doc_id"),
@@ -200,20 +209,34 @@ object GenData {
           (pmod(xxhash64(col("id"), j, lit("dw")), lit(31L)) + 1)
             .cast("int"))), " ").as("base_text"))
     val kindU = u(col("doc_id"), "dkind")
+    // de-collide near-dup sources: two near-dups of the SAME source trim
+    // to the SAME text, which the measured-marginals metric counts as an
+    // EXTRA EXACT DUP (~n·rate²/2 ≈ 0.0012 of docs — it was 2/3 of the
+    // generated exact rate before r16). The template has zero such
+    // collision groups (all its dup-text groups are full base texts), so
+    // demote every collided near past the first back to "self". One
+    // window over the ~5% near subset, partitions are per-source tiny —
+    // scale-free at any mult.
+    val nearRk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("src_id")).orderBy(col("doc_id"))
     val docs = base.select(
         col("doc_id"), col("base_text"),
-        when(col("doc_id") > 0 && kindU < 0.0032, lit("exact"))
-          .when(col("doc_id") > 0 && kindU < 0.0432, lit("near"))
+        when(col("doc_id") > 0 && kindU < 0.0016, lit("exact"))
+          .when(col("doc_id") > 0 && kindU < 0.0502, lit("near"))
           .otherwise(lit("self")).as("kind"),
         when(col("doc_id") > 0,
           h(col("doc_id"), "dsrc", nDoc) % greatest(col("doc_id"), lit(1L)))
           .otherwise(lit(0L)).as("src_id"))
+      .withColumn("kind",
+        when(col("kind") === "near" &&
+            org.apache.spark.sql.functions.row_number().over(nearRk) > 1,
+          lit("self")).otherwise(col("kind")))
       .join(base.select(col("doc_id").as("src_id"),
         col("base_text").as("src_text")), Seq("src_id"), "left")
       .select(col("doc_id"),
         when(col("kind") === "exact", col("src_text"))
           .when(col("kind") === "near",
-            regexp_replace(col("src_text"), "^\\S+\\s+", ""))
+            regexp_replace(col("src_text"), "\\s+\\S+$", ""))
           .otherwise(col("base_text")).as("text"),
         pick(col("doc_id"), "dlang2",
           Seq("en", "en", "en", "en", "en", "en", "en", "en",
@@ -223,12 +246,19 @@ object GenData {
       .withColumn("n_chars", length(col("text")).cast("bigint"))
     write("documents", docs.orderBy("doc_id"), math.max(1, (mult / 10).toInt))
 
-    // embeddings: 64-dim unit vectors with 10 WEAK label clusters —
-    // v = sqrt(1-a²)·g/|g| + a·c_label (a≈0.065, the template's centroid
-    // norm), g gaussian via Box-Muller on two uniform hashes, c_label a
-    // deterministic unit vector per label
+    // embeddings: 64-dim isotropic unit vectors, g gaussian via
+    // Box-Muller on two uniform hashes. The r13 profile read the
+    // template's per-label centroid norm (≈0.0708) as weak cluster
+    // signal; the r16 remeasurement shows it IS the 1/√m noise floor of
+    // m≈200 unit vectors per label exactly (same-label mean cosine
+    // −0.0016 vs cross-label +0.0001 — statistically null), i.e. the
+    // template's labels carry NO geometric signal and an additive
+    // centroid term (the old a=0.065) was injecting structure the
+    // template lacks — inflating generated centroid norms to
+    // √(a² + 1/m) ≈ 0.097 and flattering IVF cell balance at sf1.
+    // GenDataSpec pins the geometry against the template's measured
+    // marginals, so this can't drift back.
     val dim = 64
-    val alpha = 0.065
     def gauss(id: Column, salt: String, j: Column): Column = {
       val u1 = pmod(xxhash64(id, j, lit(salt + "1")), lit(999999L))
         .cast("double") / 1e6 + 1e-7
@@ -239,17 +269,13 @@ object GenData {
     val lab = h(col("id"), "elab", 10L)
     val g = transform(sequence(lit(1), lit(dim)),
       j => gauss(col("id"), "eg", j))
-    val c = transform(sequence(lit(1), lit(dim)),
-      j => gauss(lab, "ec", j))
     def nrm(a: Column): Column =
       sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
     write("embeddings", ids("embeddings")
-      .select(col("id").as("vec_id"), lab.cast("int").as("label"),
-        g.as("g"), c.as("c"))
+      .select(col("id").as("vec_id"), lab.cast("int").as("label"), g.as("g"))
       .select(col("vec_id"),
-        zip_with(col("g"), col("c"),
-          (gv, cv) => (gv / nrm(col("g")) * math.sqrt(1 - alpha * alpha)
-            + cv / nrm(col("c")) * alpha).cast("float")).as("embedding"),
+        transform(col("g"), gv => (gv / nrm(col("g"))).cast("float"))
+          .as("embedding"),
         col("label")), 1)
   }
 }

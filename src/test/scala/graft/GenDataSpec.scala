@@ -57,4 +57,58 @@ class GenDataSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$a/customer.parquet")
       .agg(max("c_nationkey")).collect()(0).getInt(0) < 25)
   }
+
+  test("dup-chain and embedding marginals land within tolerance of the template's (r15 task 5)") {
+    // the SCALING conclusions (BASELINE.md) ride d1/d3/d6 candidate
+    // geometry, which rides these marginals; measure BOTH sides with the
+    // same metric so a generator drift — or a silent template
+    // regeneration — fails here instead of skewing an sf1 sweep. Both
+    // sides are pure hash functions of row ids, so the comparison is
+    // deterministic: the bands below cover generator-vs-template model
+    // mismatch, not run-to-run noise.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val gen = java.nio.file.Files.createTempDirectory("graft-gen-m").toString
+    GenData.generate(spark, template, gen, 1.0)
+
+    def docMarginals(df: DataFrame): (Double, Double) = {
+      val n = df.count().toDouble
+      val exact = (n - df.select("text").distinct().count()) / n
+      // near-dup metric: a doc whose text is some OTHER doc's text with
+      // its last word dropped (the template's measured trim direction)
+      val tails = df
+        .select(regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        .distinct()
+      val near = df.join(tails, Seq("text"), "left_semi").count() / n
+      (exact, near)
+    }
+    val tmplDocs = spark.read.parquet(s"$template/documents.parquet")
+    val genDocs = spark.read.parquet(s"$gen/documents.parquet")
+    val (te, tn) = docMarginals(tmplDocs)
+    val (ge, gn) = docMarginals(genDocs)
+    assert(te > 0 && tn > 0, s"template has no dup structure? exact=$te near=$tn")
+    assert(math.abs(ge - te) <= 0.5 * te + 5e-4,
+      s"exact-dup rate drift: generated $ge vs template $te")
+    assert(math.abs(gn - tn) <= 0.3 * tn,
+      s"near-dup rate drift: generated $gn vs template $tn")
+
+    def centroidNorms(df: DataFrame): Seq[Double] = df
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("label").agg(sum(col("m") * col("m")).as("s2"))
+      .collect().map(r => math.sqrt(r.getAs[Double]("s2"))).toSeq
+    val tNorms = centroidNorms(spark.read.parquet(s"$template/embeddings.parquet"))
+    val gNorms = centroidNorms(spark.read.parquet(s"$gen/embeddings.parquet"))
+    assert(tNorms.size == 10 && gNorms.size == 10,
+      s"label cardinality drift: ${tNorms.size} vs ${gNorms.size}")
+    val (tMean, gMean) = (tNorms.sum / 10, gNorms.sum / 10)
+    assert(math.abs(gMean - tMean) <= 0.3 * tMean,
+      s"cluster-tightness drift: centroid-norm mean $gMean vs template $tMean")
+    // label balance: no cluster collapses or dominates on either side
+    def balance(df: DataFrame): Double = {
+      val sizes = df.groupBy("label").count().collect().map(_.getLong(1))
+      sizes.max.toDouble / sizes.min
+    }
+    assert(balance(spark.read.parquet(s"$gen/embeddings.parquet")) < 1.5)
+  }
 }
