@@ -153,6 +153,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("suppression blocklist as a bucketed table: the anti-join probe plans exchange-free") {
+    // SuppressionStore's scaladoc claims the deployment-scale probe
+    // co-partitions via bucketBy(fp) "so the anti-join co-partitions with
+    // a bucketed arrivals table without a shuffle" — until now argued,
+    // not planned (r15 verdict task 4). Write the blocklist (the real
+    // forget-request fingerprints) and an arrivals table bucketed on the
+    // same key, disable broadcast so the small fixture can't cheat into
+    // BroadcastHashJoin, and pin the LEFT ANTI SortMergeJoin with no
+    // hash-partitioning Exchange on either side — the plan shape a
+    // requests-proportional list too big to broadcast needs at 100 TB.
+    import graft.queries.ExportQueries
+    val blocklist = ExportQueries.forgetSuppressionFps(spark, sf)
+    val arrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), graft.ops.Fingerprint.col(col("text")).as("fp"))
+    ScaleTechniques.writeBucketed(blocklist, "fp", 8, "suppression_b")
+    ScaleTechniques.writeBucketed(arrivals, "fp", 8, "arrivals_b")
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(bcast)
+    spark.conf.set(bcast, "-1")
+    try {
+      val l = spark.table("arrivals_b")
+      val r = spark.table("suppression_b")
+      val probe = l.join(r, l("fp") === r("fp"), "left_anti")
+      val p = planOf(probe)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed suppression probe still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+        s"probe must plan as a sort-merge anti-join over the buckets:\n$p")
+      // and the survivors are exactly arrivals minus the suppressed
+      val suppressed = l.join(r, l("fp") === r("fp"), "left_semi").count()
+      assert(suppressed > 0, "fixture must contain suppressed arrivals")
+      assert(probe.count() == arrivals.count() - suppressed)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(bcast, v)
+        case None => spark.conf.unset(bcast)
+      }
+      spark.sql("DROP TABLE IF EXISTS suppression_b")
+      spark.sql("DROP TABLE IF EXISTS arrivals_b")
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy(col("l_returnflag"))
