@@ -168,8 +168,7 @@ class EventStreamSpec extends AnyFunSuite {
               ()
           }
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        TestSpark.drainAndStop(q, 120000)
       }
       def kept() = out.synchronized(out.sorted.toSeq)
       // within the horizon: the untimed gate's spec feed (batches 1+2 in
@@ -900,8 +899,7 @@ class EventStreamSpec extends AnyFunSuite {
             ()
           }
           .start()
-        q.awaitTermination(180000)
-        q.stop()
+        TestSpark.drainAndStop(q)
       }
       // drain 1: srcA junk(1) + novels 2,3 under cap=1; srcB exact-dup(10)
       // then novelty(11)

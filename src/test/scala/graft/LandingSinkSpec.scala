@@ -150,7 +150,7 @@ class LandingSinkSpec extends AnyFunSuite {
     def drain(): Unit = {
       val q = LandingSink.start(ms.toDF().toDF("doc_id", "text"), root, ckpt,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination(120000); q.stop()
+      TestSpark.drainAndStop(q, 120000)
     }
     ms.addData(1L -> "alpha", 2L -> "beta")
     drain()

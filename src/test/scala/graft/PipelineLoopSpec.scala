@@ -110,8 +110,7 @@ class PipelineLoopSpec extends AnyFunSuite {
           EventStream.ingestFrontDoorCapped(docs, a, cap = 1),
           landDir, ckpt,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination(180000)
-        q.stop()
+        TestSpark.drainAndStop(q)
       }
       var lastFolded = -1L
       // retirement keeps the landing dir bounded: each round ends by

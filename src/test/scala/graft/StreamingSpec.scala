@@ -87,7 +87,7 @@ class StreamingSpec extends AnyFunSuite {
           ()
         }
         .start()
-      q.awaitTermination(120000)
+      TestSpark.drainAndStop(q, 120000)
     }
     java.nio.file.Files.writeString(src.resolve("a.json"),
       (1L to 3L).map(i => s"""{"id":$i,"priority":1.0}""").mkString("\n"))
@@ -162,7 +162,7 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (_: Dataset[Long], _: Long) => () }
         .start()
-      q.awaitTermination(120000)
+      TestSpark.drainAndStop(q, 120000)
       // listener events are delivered asynchronously
       val deadline = System.currentTimeMillis() + 30000
       while (wm.lastSuccess != 42L && System.currentTimeMillis() < deadline)
@@ -185,7 +185,7 @@ class StreamingSpec extends AnyFunSuite {
       val ms = MemoryStream[StatusEvent]
       ms.addData(evs: _*)
       val q = AlertSink.start(ms.toDS(), table, Trigger.AvailableNow())
-      q.awaitTermination(120000)
+      TestSpark.drainAndStop(q, 120000)
     }
     deliver()
     assert(table.alerts.map(a => (a.job_id, a.status)) ==
@@ -221,7 +221,7 @@ class StreamingSpec extends AnyFunSuite {
           ()
         }
         .start()
-      q.awaitTermination(120000)
+      TestSpark.drainAndStop(q, 120000)
       assert(out(1L) == "encsrv01 - Encoding Pass 1", "regression must be refused")
       assert(out(2L) == "Done")
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
@@ -241,7 +241,7 @@ class StreamingSpec extends AnyFunSuite {
         MockRunner, ledger, capacity = 10,
         evs => events.synchronized { events ++= evs },
         Trigger.AvailableNow(), Some(ckpt.toString))
-      q.awaitTermination(120000)
+      TestSpark.drainAndStop(q, 120000)
     }
     spark.createDataset(mkJobs(1 to 2)).write.mode("append").parquet(dir.toString)
     runOnce()
@@ -301,7 +301,7 @@ class StreamingSpec extends AnyFunSuite {
     ms.addData(jobs: _*)
     val q = JobStream.start(ms.toDS(), MockRunner, ledger, capacity = 4,
       evs => events.synchronized { events ++= evs }, Trigger.AvailableNow())
-    q.awaitTermination(120000)
+    TestSpark.drainAndStop(q, 120000)
     // capacity 4 → the 4 highest-priority jobs (6,5,4,3) claimed once each
     assert(ledger.claimed.keySet == Set(6L, 5L, 4L, 3L))
     val done = events.filter(_.status == "Done").map(_.job_id).toSet
@@ -317,7 +317,7 @@ class StreamingSpec extends AnyFunSuite {
     ms2.addData(jobs: _*)
     val q2 = JobStream.start(ms2.toDS(), MockRunner, ledger, capacity = 4,
       evs => events2.synchronized { events2 ++= evs }, Trigger.AvailableNow())
-    q2.awaitTermination(120000)
+    TestSpark.drainAndStop(q2, 120000)
     assert(ledger.claimed.keySet == Set(6L, 5L, 4L, 3L), "ownership changed on replay")
     assert(events2.map(_.job_id).toSet.subsetOf(Set(6L, 5L, 4L, 3L)),
       s"replay dispatched jobs it doesn't own: ${events2.toSeq}")
