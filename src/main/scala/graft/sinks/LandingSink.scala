@@ -199,6 +199,35 @@ object LandingSink {
       .start()
   }
 
+  /** ONE catch-up landing run: start under Trigger.AvailableNow, wait
+    * until the available data is consumed AND COMMITTED, stop. This is
+    * the production form of the ingest loop's "round" (the
+    * fold-since-last discipline PipelineLoopSpec composes) — and it owns
+    * the quiescence quirk so no integrator rediscovers it: a stateful
+    * front door (transformWithState cap, TTL'd ledgers) never reports
+    * caught-up under AvailableNow on this Spark version; after the real
+    * batches the query loops EMPTY micro-batches back-to-back until
+    * something external stops it (measured: ~100 commits for ~5 data
+    * batches, each test drain eating its full await ceiling). Drained =
+    * the query has made progress and the last two progress reports carry
+    * zero input rows — the landing dir then holds every available batch
+    * behind its commit, and only the empty timer/TTL cycles remain.
+    * `maxMs` bounds a genuinely stuck stream; a FAILED query rethrows
+    * its exception, exactly what `awaitTermination` would have done. */
+  def runOnce(survivors: DataFrame, root: String, checkpoint: String,
+      maxMs: Long = 600000L): Unit = {
+    val q = start(survivors, root, checkpoint, Trigger.AvailableNow())
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    def drained: Boolean = {
+      val rp = q.recentProgress
+      rp.length >= 3 && rp.takeRight(2).forall(_.numInputRows == 0L)
+    }
+    while (q.isActive && !drained && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q.exception.foreach(e => throw e)
+    q.stop()
+  }
+
   private def deleteTree(p: java.nio.file.Path): Unit =
     graft.plans.Snapshot.deleteTree(p)
 }

@@ -103,15 +103,13 @@ class PipelineLoopSpec extends AnyFunSuite {
     try {
       val ms = MemoryStream[(Long, String, String)]
       val docs = ms.toDF().toDF("doc_id", "source", "text")
-      // transformWithState never quiesces under a continuous trigger: each
-      // round is an AvailableNow landing run over ONE shared checkpoint
-      def drain(a: EventStream.IngestArtifacts = art): Unit = {
-        val q = LandingSink.start(
+      // each round is ONE catch-up landing run over a shared checkpoint —
+      // the production primitive (LandingSink.runOnce owns the
+      // stateful-AvailableNow quiescence quirk; its scaladoc)
+      def drain(a: EventStream.IngestArtifacts = art): Unit =
+        LandingSink.runOnce(
           EventStream.ingestFrontDoorCapped(docs, a, cap = 1),
-          landDir, ckpt,
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        TestSpark.drainAndStop(q)
-      }
+          landDir, ckpt, maxMs = 180000L)
       var lastFolded = -1L
       // retirement keeps the landing dir bounded: each round ends by
       // retiring everything the fold consumed, so the dir entering round
