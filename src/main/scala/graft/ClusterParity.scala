@@ -42,14 +42,19 @@ object ClusterParity {
     * a fixed text form, rows sorted, sha-256 over the block. Mirrors the
     * driver-compare idea (order-independent value identity); both sides
     * render in the same JVM so plain toString is a stable cell form for
-    * the scalar-only oracled outputs this gate selects. */
+    * the scalar-only oracled outputs this gate selects. Cells are
+    * LENGTH-PREFIXED: a bare separator join would let a boundary-shifting
+    * divergence (("ab","c") vs ("a","bc") -- exactly the tokenize/band-key
+    * failure class this gate exists to catch) or an embedded separator
+    * render two different rows identically. */
   def canonicalHash(df: DataFrame): String = {
     import org.apache.spark.sql.functions.col
     val cols = df.columns.sorted.toSeq
     val block = df.select(cols.map(col): _*).collect()
-      .map(r => cols.indices.map(i =>
-        if (r.isNullAt(i)) "␀" else r.get(i).toString)
-        .mkString(""))
+      .map(r => cols.indices.map { i =>
+        val c = if (r.isNullAt(i)) "␀" else r.get(i).toString
+        s"${c.length}:$c"
+      }.mkString("|"))
       .sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(block.getBytes("UTF-8")).map(b => f"$b%02x").mkString

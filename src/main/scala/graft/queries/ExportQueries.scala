@@ -594,6 +594,40 @@ object ExportQueries {
         "-" + ProcessHandle.current().pid())
       .toString
 
+  /** pid-keyed roots must not leak: every JVM that ran the lifecycle
+    * would otherwise deposit a scratch store dir under target/ forever
+    * (forked suites, Verify, Bench — many JVMs per session). Normal exit
+    * deletes this process's roots via a shutdown hook; crashed siblings
+    * are swept by the NEXT run's reset phase, which removes any
+    * `<md5>-<pid>` dir whose pid is no longer alive (safe by the same
+    * pid-exclusivity that motivated the keying). */
+  private val ownedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val sweepHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      ownedRoots.forEach(r =>
+        graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(r)))
+    }, "graft-suppression-root-sweep"))
+  }
+  private def registerRoot(root: String): Unit = {
+    sweepHook
+    ownedRoots.add(root)
+    ()
+  }
+  private def sweepDeadSiblings(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    val self = ProcessHandle.current().pid().toString
+    Option(p.getParent.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName.split("-", 2) match {
+        case Array(_, pid) if pid != self && pid.nonEmpty &&
+            pid.forall(_.isDigit) && pid.length <= 10 &&
+            ProcessHandle.of(pid.toLong).isEmpty =>
+          graft.plans.Snapshot.deleteTree(f.toPath)
+        case _ => ()
+      }
+    }
+  }
+
   /** x_suppression_store — the ORACLED gate over
     * [[graft.sinks.SuppressionStore]]'s whole lifecycle (the r15
     * growth-discipline machinery, previously spec-only): runs the durable
@@ -649,7 +683,9 @@ object ExportQueries {
         r
       }
       val root = suppressionRootFor(dir)
+      registerRoot(root)
       phase("reset") {
+        sweepDeadSiblings(root)
         graft.plans.Snapshot.deleteTree(java.nio.file.Paths.get(root))
         // the pid-keyed root is exclusively ours: a surviving file here
         // means deleteTree swallowed a real fs error, which would

@@ -215,8 +215,19 @@ object LandingSink {
     * `maxMs` bounds a genuinely stuck stream; a FAILED query rethrows
     * its exception, exactly what `awaitTermination` would have done. */
   def runOnce(survivors: DataFrame, root: String, checkpoint: String,
-      maxMs: Long = 600000L): Unit = {
-    val q = start(survivors, root, checkpoint, Trigger.AvailableNow())
+      maxMs: Long = 600000L): Unit =
+    drainAndStop(start(survivors, root, checkpoint, Trigger.AvailableNow()),
+      maxMs)
+
+  /** The drain-by-signal loop [[runOnce]] rides — public and SHARED (the
+    * test harness delegates here) so the quiescence heuristic lives in
+    * exactly one place: wait until the query has made progress and the
+    * last two progress reports carry zero input rows, bounded by
+    * `maxMs`; a FAILED query rethrows its exception exactly as
+    * `awaitTermination` would have. Works for any AvailableNow query,
+    * landing or not. */
+  def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+      maxMs: Long): Unit = {
     val deadline = System.nanoTime() + maxMs * 1000000L
     def drained: Boolean = {
       val rp = q.recentProgress

@@ -22,33 +22,18 @@ object TestSpark {
   }
   val sf = "/root/testdata/sf0.001"
 
-  /** Drain an AvailableNow streaming query by SIGNAL and stop it.
-    *
-    * transformWithState/TTL'd-state queries never quiesce under
-    * Trigger.AvailableNow on this Spark version: after the real data
-    * batches they loop EMPTY micro-batches back-to-back until the
-    * `awaitTermination(ms)` ceiling (measured on the r16 full suite:
-    * ~100 commits for ~5 data batches per checkpoint, NINE ceiling-length
-    * stalls ≈ 25 min of a 40-min run — and the sites without a `stop()`
-    * after the timed-out await left the query looping for the rest of
-    * the suite). Drained = the query made progress and the last two
-    * progress reports carried zero input rows: the available data is
-    * consumed and committed, only the empty timer/TTL cycles remain. The
-    * ceiling stays as the fallback for a genuinely stuck stream, and a
-    * FAILED query rethrows its exception exactly as awaitTermination
-    * did. */
+  /** Drain an AvailableNow streaming query by SIGNAL and stop it —
+    * delegates to the production loop ([[graft.sinks.LandingSink
+    * .drainAndStop]], whose scaladoc documents the stateful-AvailableNow
+    * quiescence quirk) so the heuristic lives in exactly one place.
+    * Exists because transformWithState/TTL'd-state queries never quiesce
+    * under Trigger.AvailableNow on this Spark version: before the r16
+    * conversion the suite paid NINE await-ceiling stalls ≈ 25 min of a
+    * 40-min run, and the sites without a `stop()` after the timed-out
+    * await left the query looping for the rest of the suite. */
   def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
-      maxMs: Long = 180000L): Unit = {
-    val deadline = System.nanoTime() + maxMs * 1000000L
-    def drained: Boolean = {
-      val rp = q.recentProgress
-      rp.length >= 3 && rp.takeRight(2).forall(_.numInputRows == 0L)
-    }
-    while (q.isActive && !drained && System.nanoTime() < deadline)
-      Thread.sleep(100)
-    q.exception.foreach(e => throw e)
-    q.stop()
-  }
+      maxMs: Long = 180000L): Unit =
+    graft.sinks.LandingSink.drainAndStop(q, maxMs)
 }
 
 class EntrySmokeSpec extends AnyFunSuite {

@@ -104,11 +104,14 @@ class GenDataSpec extends AnyFunSuite {
     val (tMean, gMean) = (tNorms.sum / 10, gNorms.sum / 10)
     assert(math.abs(gMean - tMean) <= 0.3 * tMean,
       s"cluster-tightness drift: centroid-norm mean $gMean vs template $tMean")
-    // label balance: no cluster collapses or dominates on either side
+    // label balance: no cluster collapses or dominates on either side —
+    // the template check also guards the centroid-norm comparison above
+    // against a silently regenerated template with degenerate labels
     def balance(df: DataFrame): Double = {
       val sizes = df.groupBy("label").count().collect().map(_.getLong(1))
       sizes.max.toDouble / sizes.min
     }
+    assert(balance(spark.read.parquet(s"$template/embeddings.parquet")) < 1.5)
     assert(balance(spark.read.parquet(s"$gen/embeddings.parquet")) < 1.5)
   }
 }
