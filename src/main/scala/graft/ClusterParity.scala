@@ -38,6 +38,20 @@ object ClusterParity {
     "d2_minhash_sig", "d5_simhash_sig", "d3_minhash_lsh_pairs",
     "v15_ivfpq_ann")
 
+  /** The STATEFUL STREAMING leg (r16 verdict task 5): one capped
+    * front-door catch-up drain — the engine's ST2 claim-ledger shape
+    * (reference: encodesrv/__init__.py:112–113, the queue's at-most-N
+    * claim discipline, here the per-source budget) — run with REAL
+    * executor processes. The batch legs above prove expression/broadcast
+    * serialization; this one additionally crosses the boundary with a
+    * RocksDB transformWithState store, the stream-static gate joins, and
+    * the landing sink's exactly-once commit, none of which had ever run
+    * outside one JVM. */
+  val StreamName = "stream_capped_front_door"
+
+  /** All parity rows, batch + streaming. */
+  val AllNames: Seq[String] = Queries :+ StreamName
+
   /** Canonical content hash: columns name-sorted, every cell rendered to
     * a fixed text form, rows sorted, sha-256 over the block. Mirrors the
     * driver-compare idea (order-independent value identity); both sides
@@ -46,14 +60,18 @@ object ClusterParity {
     * LENGTH-PREFIXED: a bare separator join would let a boundary-shifting
     * divergence (("ab","c") vs ("a","bc") -- exactly the tokenize/band-key
     * failure class this gate exists to catch) or an embedded separator
-    * render two different rows identically. */
+    * render two different rows identically. NULL is encoded OUT-OF-BAND
+    * (a bare `N` cell, vs `S<len>:<text>` for a value): an in-band
+    * sentinel string would hash a null cell and a literal cell holding
+    * the sentinel identically, so a null-vs-value divergence across the
+    * process boundary could go undetected (r16 advice). */
   def canonicalHash(df: DataFrame): String = {
     import org.apache.spark.sql.functions.col
     val cols = df.columns.sorted.toSeq
     val block = df.select(cols.map(col): _*).collect()
       .map(r => cols.indices.map { i =>
-        val c = if (r.isNullAt(i)) "␀" else r.get(i).toString
-        s"${c.length}:$c"
+        if (r.isNullAt(i)) "N"
+        else { val c = r.get(i).toString; s"S${c.length}:$c" }
       }.mkString("|"))
       .sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
@@ -100,12 +118,58 @@ object ClusterParity {
     graft.plans.Snapshot.resetForTest()
   }
 
+  /** Survivor hash of one capped front-door drain against `sfDir`'s
+    * documents table. Deterministic by construction so the two masters
+    * are comparable: the arrival slice lands as ONE parquet file (one
+    * AvailableNow micro-batch — within-batch cap semantics are
+    * keep-the-`cap`-smallest doc_ids per source, partition-order-free),
+    * the corpus probe tables are seeded from a DISJOINT slice that
+    * shares planted duplicate content (so the exact-dedup and near-dup
+    * band gates actually kill rows), and the model/merges/weights are
+    * the memoized deterministic trainers. Survivors flow through
+    * [[graft.sinks.LandingSink.runOnce]] — the production catch-up
+    * round — and the landed rows (batch column dropped; single batch
+    * either way) hash canonically. */
+  def streamingSurvivorHash(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft-parity-stream")
+    val (srcDir, landDir, ckpt) =
+      (s"$base/arrivals", s"$base/landing", s"$base/ckpt")
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val arrivals = docsAll.filter(col("doc_id") % 7 === 0)
+    arrivals.coalesce(1).write.parquet(srcDir)
+    val corpus = docsAll.filter(col("doc_id") % 7 === 1)
+    val art = graft.streaming.EventStream.IngestArtifacts(
+      corpusFps = corpus.select(col("doc_id"),
+        graft.ops.Fingerprint.col(col("text")).as("fp")),
+      corpusBands = corpus.select(col("doc_id"),
+        posexplode(graft.queries.TextQueries.bandKeysCol(col("text")))
+          .as(Seq("band", "bkey"))),
+      model = graft.queries.MlQueries.fitted(spark, sfDir),
+      merges = graft.queries.MlQueries.learnedMerges(spark, sfDir),
+      bucketWeights = graft.queries.TextQueries.dsirBucketWeights(spark, sfDir))
+    val stream = spark.readStream.schema(arrivals.schema).parquet(srcDir)
+    val drained = graft.sinks.LandingSink.runOnce(
+      graft.streaming.EventStream.ingestFrontDoorCapped(stream, art, cap = 3L),
+      landDir, ckpt, maxMs = 300000L)
+    require(drained, "parity stream did not drain within its deadline")
+    val out = spark.read.parquet(landDir).drop("batch")
+    require(out.limit(1).count() > 0,
+      "parity stream produced zero survivors — the gate would be vacuous")
+    canonicalHash(out)
+  }
+
   private def runAll(master: String, sfDir: String): Map[String, String] = {
     val spark = session(master)
-    try Queries.map { n =>
-      n -> canonicalHash(SparkEntry.queries(n)(spark, sfDir))
-    }.toMap
-    finally {
+    try {
+      val batch = Queries.map { n =>
+        n -> canonicalHash(SparkEntry.queries(n)(spark, sfDir))
+      }
+      (batch :+ (StreamName -> streamingSurvivorHash(spark, sfDir))).toMap
+    } finally {
       releaseSessionState()
       spark.stop()
       SparkSession.clearActiveSession()
@@ -121,12 +185,12 @@ object ClusterParity {
         "through the distribution)")
     val local = runAll("local[4]", sfDir)
     val cluster = runAll("local-cluster[2,2,1024]", sfDir)
-    val lines = Queries.map(n => s"$n,${local(n)},${cluster(n)}")
+    val lines = AllNames.map(n => s"$n,${local(n)},${cluster(n)}")
     outFile.foreach(f => java.nio.file.Files.write(
       java.nio.file.Paths.get(f),
       (lines.mkString("\n") + "\n").getBytes("UTF-8")))
     lines.foreach(println)
-    val bad = Queries.filter(n => local(n) != cluster(n))
+    val bad = AllNames.filter(n => local(n) != cluster(n))
     if (bad.nonEmpty) {
       System.err.println(s"PARITY MISMATCH: ${bad.mkString(",")}")
       sys.exit(2)

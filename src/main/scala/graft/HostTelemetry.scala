@@ -59,6 +59,27 @@ package graft
   *                jif_rate ≈ 1 on a healthy host; << 1 means the host
   *                lost real time and every reading in the window is
   *                suspect regardless of what the other counters say.
+  *                STEAL CAVEAT (r16 verdict task 3): the raw ratio runs
+  *                ABOVE 1 under hypervisor steal — the r16 driver's
+  *                steal windows read jif_rate 1.085–1.114 against steal
+  *                0.107–0.120, i.e. jif_rate − 1 ≈ steal share almost
+  *                exactly. Cause: the tick-sampled buckets (user/system/
+  *                idle/iowait) already account every elapsed tick by
+  *                themselves, while the `steal` field is sourced from
+  *                the paravirt steal clock (ns-granular, kvm-clock) and
+  *                folded into the SAME aggregate line — so a window with
+  *                steal sums past nCPUs × wall × HZ by about the stolen
+  *                share. The healthy test therefore classifies the
+  *                steal-ADJUSTED rate jif_rate × (1 − steal): on the
+  *                r16 windows it reads 0.966–0.981 — healthy — while a
+  *                genuinely paused guest (the r15b incident) still reads
+  *                ≪ 1 because pausing stops the tick buckets themselves.
+  *  - `jif_class` — [[jifRateClass]] of the window, in-artifact: the
+  *                band interpretation (`stalled` < 0.9 ≤ `healthy` ≤ 1.1
+  *                < `overaccounting`, on the steal-adjusted rate;
+  *                `cannot_attest` when /proc could not be read) shipped
+  *                next to the number so a driver-side reading needs no
+  *                after-the-fact doctrine lookup.
   *
   * Every read is wrapped: on a host without /proc (or without PSI —
   * CONFIG_PSI=n, pre-4.20 kernels) the sampler degrades to zeros rather
@@ -138,6 +159,35 @@ object HostTelemetry {
       tot, busy, steal, selfJ, pgmf, l1, ioS, ioF, meS, meF, cpS, cpF, nCpus)
   }
 
+  /** Band classification of a window's jiffy-advance rate (r16 verdict
+    * task 3: a point test "≈1 healthy" has no meaningful upper tail once
+    * steal windows legitimately read 1.05–1.13). The classified quantity
+    * is the STEAL-ADJUSTED rate `jifRate × (1 − stealFrac)` — the advance
+    * of the tick-sampled buckets alone, which a healthy guest keeps ≈ 1
+    * whether or not the hypervisor is stealing (steal is ns-sourced on
+    * top; see the scaladoc above). Bands, both tails meaningful:
+    *  - `cannot_attest` — jifRate 0: /proc/stat absent or had no cpuN
+    *    lines; nothing can be said either way.
+    *  - `stalled` — adjusted < 0.9: the guest's own ticks lost real
+    *    time (VM paused / hard-throttled, the r15b warm_model_memos
+    *    incident); EVERY reading in the window is suspect.
+    *  - `healthy` — adjusted in [0.9, 1.1]: tick accounting kept up;
+    *    wall-clock elevations in this window need a different cause
+    *    (check steal/other/psi).
+    *  - `overaccounting` — adjusted > 1.1: ticks advanced faster than
+    *    nCPUs × wall even after removing steal — anomalous (clock jump,
+    *    CPU hotplug mid-window); the reading is untrustworthy in the
+    *    OPPOSITE direction from a stall, so flag rather than fold into
+    *    healthy. */
+  def jifRateClass(jifRate: Double, stealFrac: Double): String =
+    if (jifRate == 0.0) "cannot_attest"
+    else {
+      val adj = jifRate * (1.0 - stealFrac.max(0.0).min(1.0))
+      if (adj < 0.9) "stalled"
+      else if (adj > 1.1) "overaccounting"
+      else "healthy"
+    }
+
   /** Compact JSON object for one entry window. Fractions are of the
     * system-wide jiffy total (all CPUs), 3 decimals; PSI deltas are raw
     * stall-µs (the /proc unit); t0 is the window's start, epoch ms. */
@@ -165,6 +215,7 @@ object HostTelemetry {
     def d(x: Long, y: Long) = (y - x).max(0L)
     s"""{"t0":${a.epochMs},"load1":${f3(a.load1)},"sys":${f3(sys)},"self":${f3(self)},""" +
       s""""other":${f3((sys - self).max(0.0))},"steal":${f3(steal)},"jif_rate":${f3(jifRate)},""" +
+      s""""jif_class":"${jifRateClass(jifRate, steal)}",""" +
       s""""pgmf":${d(a.pgMajFault, b.pgMajFault)},""" +
       s""""psi_io_some_us":${d(a.ioSomeUs, b.ioSomeUs)},"psi_io_full_us":${d(a.ioFullUs, b.ioFullUs)},""" +
       s""""psi_mem_some_us":${d(a.memSomeUs, b.memSomeUs)},"psi_mem_full_us":${d(a.memFullUs, b.memFullUs)},""" +

@@ -27,7 +27,7 @@ object SparkEntry {
       ScalarQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
       VectorQueries.oracleSql ++ JoinQueries.oracleSql ++ MlQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ ExportQueries.oracleSql ++
-      MaintenanceQueries.oracleSql
+      MaintenanceQueries.oracleSql ++ ApproxQueries.oracleSql
 
   /** Queries deliberately shipped WITHOUT an oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] the sketch/approximate variants of exact operators shipped
-  * elsewhere — the 100 TB swap-ins (SURVEY §8 notes). These are declared
-  * rows-only (`SparkEntry.rowsOnlyQueries`): approximate answers are
-  * engine-specific by design, so the driver records the weaker check. Each
-  * scaladoc names the exact twin the oracle does verify.
-  */
+  * elsewhere — the 100 TB swap-ins (SURVEY §8 notes). The sketch-content
+  * queries are rows-only (`SparkEntry.rowsOnlyQueries`): approximate
+  * answers are engine-specific by design, so the driver records the
+  * weaker check, and each scaladoc names the exact twin ApproxSpec
+  * verifies. x_price_quantiles is the exception since r17: its CONTRACT
+  * (rank-error bound) is SQL-checkable, so it oracles by signature —
+  * see [[xPriceQuantiles]]. */
 object ApproxQueries {
 
   /** approx_count_distinct (HyperLogLog++) twin of `e4_json_props`'
@@ -24,16 +26,30 @@ object ApproxQueries {
   /** approx_percentile twin of exact quantiles over lineitem prices —
     * single-pass sketch vs a full sort. One row per quantile (never an
     * array output column: the driver's pandas row-sort cannot hash
-    * ndarrays — it crashed the r01 harness). */
+    * ndarrays — it crashed the r01 harness).
+    *
+    * ORACLED BY SIGNATURE since r17 (verdict task 6, the t19/t20
+    * round-trip discipline): the engine's own quantile VALUES export via
+    * [[graft.plans.VerifyExports]], and the DuckDB oracle re-emits
+    * exactly the exported rows FILTERED by an independently recomputed
+    * rank-error bound — approx_percentile's contract is that the value
+    * returned for quantile q has rank within n/accuracy of q·n
+    * (GK summaries; accuracy 10000 here ⇒ ±0.01% of n) and is an
+    * OBSERVED element of the column. A value violating the bound, a
+    * fabricated value, or a wrong n drops its row in the oracle and the
+    * driver's hash gate goes red; equality-of-approximation is never
+    * demanded. */
   def xPriceQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.5, 0.95, 0.99)
-    graft.plans.Tables.table(spark, dir, "lineitem")
+    val res = graft.plans.Tables.table(spark, dir, "lineitem")
       .agg(approx_percentile(col("l_extendedprice"),
         array(qs.map(lit): _*), lit(10000)).as("vals"),
         count(lit(1)).as("n"))
       .select(posexplode(col("vals")).as(Seq("pos", "value")), col("n"))
       .select(element_at(array(qs.map(lit): _*), col("pos") + 1).as("quantile"),
         col("value"), col("n"))
+    graft.plans.VerifyExports.maybeExport(dir, "x_price_quantiles")(res)
+    res
   }
 
   /** approx_top_k (DataSketches frequent-items) twin of `t6_top_terms`'
@@ -61,6 +77,34 @@ object ApproxQueries {
     "x_price_quantiles" -> xPriceQuantiles,
     "x_approx_top_terms" -> xApproxTopTerms)
 
-  /** No oracle by design. */
-  val rowsOnly: Set[String] = queries.keySet
+  /** x_price_quantiles' signature oracle: re-emit the engine's exported
+    * rows iff each passes the independently recomputed rank bound. The
+    * value's rank interval in the sorted column is [r_lt+1, r_le]
+    * (r_lt = #{x<v}, r_le = #{x≤v}); the GK contract demands it
+    * intersect [q·n − n/acc, q·n + n/acc], checked with a ±1-row fudge
+    * for the floor/ceil boundary arithmetic. The n-equality conjunct and
+    * the EXISTS observed-element check make a wrong row count or a
+    * value the column never held drop the row too. */
+  val oracleSql: Map[String, String] = {
+    import graft.plans.VerifyExports.sqlPath
+    Map(
+      "x_price_quantiles" ->
+        s"""SELECT e.quantile, e.value, e.n
+           |FROM ${sqlPath("x_price_quantiles")} e
+           |WHERE e.n = (SELECT count(*) FROM lineitem)
+           |  AND EXISTS (SELECT 1 FROM lineitem l
+           |              WHERE l.l_extendedprice = e.value)
+           |  AND (SELECT count(*) FROM lineitem l
+           |       WHERE l.l_extendedprice <= e.value)
+           |      >= CAST(floor((e.quantile - 1.0/10000) * e.n) AS BIGINT) - 1
+           |  AND (SELECT count(*) FROM lineitem l
+           |       WHERE l.l_extendedprice < e.value)
+           |      <= CAST(ceil((e.quantile + 1.0/10000) * e.n) AS BIGINT) + 1
+           |ORDER BY e.quantile""".stripMargin)
+  }
+
+  /** No oracle by design (sketch content is engine-specific; each has a
+    * spec-pinned exactness twin in ApproxSpec). x_price_quantiles left
+    * this set in r17 via the export round-trip above. */
+  val rowsOnly: Set[String] = queries.keySet - "x_price_quantiles"
 }

@@ -614,14 +614,25 @@ object ExportQueries {
     ownedRoots.add(root)
     ()
   }
-  private def sweepDeadSiblings(root: String): Unit = {
+  /** Two sweep conditions, either sufficient (r16 advice): (1) the
+    * embedded pid is dead — but `ProcessHandle.of(pid).isEmpty` reads
+    * false whenever the pid was REUSED by any live process, so on a busy
+    * host a crashed JVM's dir can look owned forever; therefore also
+    * (2) the dir's mtime is past `olderThanMs` — the store is documented
+    * scratch-only and a lifecycle lives seconds, so a 6-hour-old sibling
+    * is garbage regardless of apparent pid liveness. Our own pid is
+    * always exempt (the shutdown hook owns it). */
+  private def sweepDeadSiblings(root: String,
+      olderThanMs: Long = 6L * 60 * 60 * 1000): Unit = {
     val p = java.nio.file.Paths.get(root)
     val self = ProcessHandle.current().pid().toString
+    val cutoff = System.currentTimeMillis() - olderThanMs
     Option(p.getParent.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName.split("-", 2) match {
         case Array(_, pid) if pid != self && pid.nonEmpty &&
             pid.forall(_.isDigit) && pid.length <= 10 &&
-            ProcessHandle.of(pid.toLong).isEmpty =>
+            (ProcessHandle.of(pid.toLong).isEmpty ||
+              f.lastModified() < cutoff) =>
           graft.plans.Snapshot.deleteTree(f.toPath)
         case _ => ()
       }

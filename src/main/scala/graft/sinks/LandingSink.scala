@@ -213,9 +213,16 @@ object LandingSink {
     * zero input rows — the landing dir then holds every available batch
     * behind its commit, and only the empty timer/TTL cycles remain.
     * `maxMs` bounds a genuinely stuck stream; a FAILED query rethrows
-    * its exception, exactly what `awaitTermination` would have done. */
+    * its exception, exactly what `awaitTermination` would have done.
+    *
+    * Returns TRUE iff the round actually drained (or the query
+    * terminated on its own): `false` means the deadline expired with
+    * data still flowing — the landing dir holds a PARTIAL round and the
+    * caller must not fold/retire as if it were complete (r16 advice: a
+    * silent Unit return made a stuck round indistinguishable from a
+    * drained one; `awaitTermination(timeout)` at least said false). */
   def runOnce(survivors: DataFrame, root: String, checkpoint: String,
-      maxMs: Long = 600000L): Unit =
+      maxMs: Long = 600000L): Boolean =
     drainAndStop(start(survivors, root, checkpoint, Trigger.AvailableNow()),
       maxMs)
 
@@ -225,9 +232,15 @@ object LandingSink {
     * last two progress reports carry zero input rows, bounded by
     * `maxMs`; a FAILED query rethrows its exception exactly as
     * `awaitTermination` would have. Works for any AvailableNow query,
-    * landing or not. */
+    * landing or not.
+    *
+    * Returns TRUE when the drain signal fired or the query terminated by
+    * itself; FALSE when `maxMs` expired while the query was still active
+    * and not drained (the query is still stopped — bounding a stuck
+    * stream is the point — but the caller can now tell a drained round
+    * from a truncated one). */
   def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
-      maxMs: Long): Unit = {
+      maxMs: Long): Boolean = {
     val deadline = System.nanoTime() + maxMs * 1000000L
     def drained: Boolean = {
       val rp = q.recentProgress
@@ -236,7 +249,9 @@ object LandingSink {
     while (q.isActive && !drained && System.nanoTime() < deadline)
       Thread.sleep(100)
     q.exception.foreach(e => throw e)
+    val ok = !q.isActive || drained
     q.stop()
+    ok
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -76,6 +76,28 @@ object SuppressionStore {
 
   private def genDir(root: String, g: Long) = s"$root/gen=$g"
 
+  /** Reclaim staging leftovers orphaned by a crash between a tmp write
+    * and its finally/rename (r16 advice): compact's generation sweep only
+    * matches `gen=` names, so a `.tmp-append-<uuid>` dir or flip's
+    * `.tmp-current-<uuid>` file would otherwise sit under a store root
+    * that lives for years. Age-gated like [[LandingSink.sweepOrphans]]:
+    * a YOUNG tmp entry may belong to a live sibling's in-flight append —
+    * an append lives seconds, so anything past `olderThanMs` (default an
+    * hour) is a dead attempt's garbage. Runs at [[append]]/[[compact]]
+    * entry; invisible to readers either way (probes read `gen=` dirs
+    * only), this is purely a disk-reclaim discipline. */
+  private[graft] def sweepStaleTmp(root: String,
+      olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => (f.getName.startsWith(".tmp-append-") ||
+          f.getName.startsWith(".tmp-current-")) &&
+        f.lastModified() < cutoff)
+    dead.foreach(f => graft.plans.Snapshot.deleteTree(f.toPath))
+    dead.length
+  }
+
   private def flip(root: String, g: Long): Unit = {
     val rootP = java.nio.file.Paths.get(root)
     val tmp = rootP.resolve(s".tmp-current-${java.util.UUID.randomUUID()}")
@@ -102,7 +124,14 @@ object SuppressionStore {
     *
     * ONE Spark action: the novel-key count rides the write as an
     * `observe` metric (the compact discipline) instead of a separate
-    * persist+count pass. The write stages into a process-unique tmp dir
+    * persist+count pass. Accumulator caveat (r16 advice): `observe`
+    * metrics live in the plan, so on a real cluster a stage RETRY or a
+    * speculative duplicate can over-count where a separate count() job
+    * was retry-exact. The value that gates behavior here — the n>0
+    * move-files decision — tolerates over-count (any retry of a nonempty
+    * write is still nonempty); the RETURNED count is telemetry, and a
+    * caller needing an audit-exact figure should count the store itself.
+    * The write stages into a process-unique tmp dir
     * and only a NONEMPTY result's data files move into the live
     * generation — a no-op append (every key already present) must not
     * accumulate empty part files in a store that lives for years. The
@@ -114,6 +143,7 @@ object SuppressionStore {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
     new java.io.File(root).mkdirs()
+    sweepStaleTmp(root)
     val dir = genDir(root, gen(root))
     val fresh =
       if (!exists(root)) delta.distinct()
@@ -154,11 +184,15 @@ object SuppressionStore {
     * every survivor past the post-join one, so a separate `cur.count()`
     * and a post-write re-read (two extra jobs over the full list, the
     * r15 bench's past-bar entry) buy nothing the write doesn't already
-    * prove. */
+    * prove. Same accumulator caveat as [[append]]: on a cluster, stage
+    * retries/speculation can over-count these returned figures (nothing
+    * here gates on them); audit-exact numbers come from counting the
+    * generations themselves. */
   def compact(spark: SparkSession, root: String,
       recertified: DataFrame): (Long, Long) = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
+    sweepStaleTmp(root)
     val g = gen(root)
     val obsBefore = Observation()
     val obsAfter = Observation()

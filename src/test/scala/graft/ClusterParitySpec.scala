@@ -8,7 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * results vs `local[4]`. This is the only gate where task and broadcast
   * serialization of the five native expressions and the extension
   * registration actually cross a process boundary; everything else in
-  * the suite runs one JVM. Launched as a subprocess (the SnapRaceMain
+  * the suite runs one JVM. Since r17 the set includes ONE STATEFUL
+  * STREAMING leg (ClusterParity.StreamName): a capped front-door
+  * AvailableNow drain — RocksDB transformWithState budget state,
+  * stream-static gate joins, LandingSink exactly-once commit — whose
+  * survivor set must also hash identically across the boundary
+  * (r16 verdict task 5). Launched as a subprocess (the SnapRaceMain
   * pattern): the parity main owns two sequential SparkContexts, which
   * cannot share a JVM with the suite's session.
   *
@@ -54,13 +59,16 @@ class ClusterParitySpec extends AnyFunSuite {
     pb.redirectErrorStream(true)
     pb.redirectOutput(log.toFile)
     val p = pb.start()
-    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+    // 600 s covered the batch set; the r17 streaming leg (a capped
+    // front-door drain per master, RocksDB state + landing commit)
+    // adds up to ~2 min
+    assert(p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS),
       s"parity subprocess did not terminate (log: $log)")
     assert(p.exitValue() == 0,
       s"parity subprocess exited ${p.exitValue()} (log: $log)")
     val lines = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
       .trim.linesIterator.toSeq
-    assert(lines.map(_.split(",")(0)).toSet == ClusterParity.Queries.toSet,
+    assert(lines.map(_.split(",")(0)).toSet == ClusterParity.AllNames.toSet,
       s"parity output incomplete: $lines")
     for (l <- lines) {
       val Array(name, localHash, clusterHash) = l.split(",")

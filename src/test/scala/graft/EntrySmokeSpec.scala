@@ -33,7 +33,8 @@ object TestSpark {
     * await left the query looping for the rest of the suite. */
   def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
       maxMs: Long = 180000L): Unit =
-    graft.sinks.LandingSink.drainAndStop(q, maxMs)
+    assert(graft.sinks.LandingSink.drainAndStop(q, maxMs),
+      s"stream did not drain within ${maxMs} ms")
 }
 
 class EntrySmokeSpec extends AnyFunSuite {

@@ -71,6 +71,38 @@ class HostTelemetrySpec extends AnyFunSuite {
     assert(HostTelemetry.deltaJson(z, z2).contains("\"jif_rate\":0.000"))
   }
 
+  test("jif_rate band: steal-adjusted classification, both tails meaningful") {
+    import HostTelemetry.jifRateClass
+    // r16 verdict task 3. The classified quantity is jifRate*(1-steal):
+    // steal is ns-sourced (paravirt steal clock) ON TOP of the
+    // tick-complete buckets, so a healthy stolen-from guest reads raw
+    // jif_rate ≈ 1 + steal — the r16 driver's four steal windows,
+    // VERBATIM, must classify healthy:
+    assert(jifRateClass(1.099, 0.107) == "healthy") // x_vcompact_audit
+    assert(jifRateClass(1.097, 0.112) == "healthy") // a2_range_pairs
+    assert(jifRateClass(1.085, 0.110) == "healthy") // a3_roster
+    assert(jifRateClass(1.114, 0.120) == "healthy") // m2_audio_near_dup
+    // the r15b paused-guest incident shape: ticks themselves lost time
+    assert(jifRateClass(0.07, 0.0) == "stalled")
+    assert(jifRateClass(0.89, 0.0) == "stalled") // just under the band
+    // plain healthy host, no steal
+    assert(jifRateClass(1.0, 0.0) == "healthy")
+    assert(jifRateClass(0.9, 0.0) == "healthy") // band edges inclusive
+    assert(jifRateClass(1.1, 0.0) == "healthy")
+    // over-advance NOT explained by steal: anomalous, not healthy
+    assert(jifRateClass(1.2, 0.0) == "overaccounting")
+    // heavy steal cannot launder a stall into health: raw 0.95 under 30%
+    // steal means the tick buckets only kept 0.665 of wall — stalled
+    assert(jifRateClass(0.95, 0.30) == "stalled")
+    // degraded /proc reads cannot attest either way
+    assert(jifRateClass(0.0, 0.0) == "cannot_attest")
+    // and the class ships in the artifact next to the number
+    val a = HostTelemetry.sample()
+    Thread.sleep(20)
+    val j = HostTelemetry.deltaJson(a, HostTelemetry.sample())
+    assert(j.contains("\"jif_class\":\""), j)
+  }
+
   test("a zero-width window does not divide by zero") {
     val a = HostTelemetry.sample()
     val j = HostTelemetry.deltaJson(a, a)

@@ -178,4 +178,35 @@ class LandingSinkSpec extends AnyFunSuite {
     assert(rows.sameElements(Array(1L, 2L, 3L)),
       s"every doc exactly once across the restart, got ${rows.toSeq}")
   }
+
+  test("drainAndStop distinguishes a drained round from a deadline-expired one") {
+    // r16 advice: a Unit return made a stuck/partial round report the
+    // same as a clean drain. FALSE path: a rate source never quiesces —
+    // rows flow in every micro-batch, so the drain signal (two trailing
+    // zero-input progress reports) cannot fire and the deadline expires
+    // with the query active. The query must still be STOPPED (bounding a
+    // stuck stream is the point), just reported as not-drained.
+    // rowsPerSecond high enough that no two consecutive micro-batches can
+    // both read zero rows (the drain signal) even at ~ms batch cadence
+    val stuck = spark.readStream.format("rate")
+      .option("rowsPerSecond", "10000").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-land5-ck").toString)
+      .start()
+    assert(!LandingSink.drainAndStop(stuck, maxMs = 4000),
+      "a never-draining stream must report false at the deadline")
+    assert(!stuck.isActive, "the expired query must still be stopped")
+    // TRUE path: an AvailableNow drain over a finite source reports true
+    // (every TestSpark.drainAndStop call in this suite asserts it too —
+    // this case exists to pin the FALSE side next to one green TRUE).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-land5").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-land5-ck2").toString
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(1L -> "alpha")
+    assert(LandingSink.runOnce(ms.toDF().toDF("doc_id", "text"), root, ckpt,
+      maxMs = 120000), "a finite AvailableNow round must report drained")
+  }
 }

@@ -107,9 +107,9 @@ class PipelineLoopSpec extends AnyFunSuite {
       // the production primitive (LandingSink.runOnce owns the
       // stateful-AvailableNow quiescence quirk; its scaladoc)
       def drain(a: EventStream.IngestArtifacts = art): Unit =
-        LandingSink.runOnce(
+        assert(LandingSink.runOnce(
           EventStream.ingestFrontDoorCapped(docs, a, cap = 1),
-          landDir, ckpt, maxMs = 180000L)
+          landDir, ckpt, maxMs = 180000L), "landing round did not drain")
       var lastFolded = -1L
       // retirement keeps the landing dir bounded: each round ends by
       // retiring everything the fold consumed, so the dir entering round

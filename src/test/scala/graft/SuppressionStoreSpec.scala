@@ -110,6 +110,31 @@ class SuppressionStoreSpec extends AnyFunSuite {
       .toSeq == Seq("b"))
   }
 
+  test("crash-orphaned staging leftovers are swept at the next append/compact") {
+    val root = tmp()
+    SuppressionStore.append(spark, root, Seq("a", "b").toDF("fp"))
+    // simulate a process that died between its tmp write and the rename:
+    // an old .tmp-append dir and an old .tmp-current file under the root
+    val oldTmpDir = new java.io.File(root, ".tmp-append-deadbeef")
+    oldTmpDir.mkdirs()
+    java.nio.file.Files.write(oldTmpDir.toPath.resolve("part-0"),
+      Array[Byte](1))
+    val oldTmpCur = new java.io.File(root, ".tmp-current-deadbeef")
+    java.nio.file.Files.write(oldTmpCur.toPath, "9".getBytes("UTF-8"))
+    // a FRESH tmp is a sibling's possible in-flight attempt: not swept
+    val young = new java.io.File(root, ".tmp-append-young")
+    young.mkdirs()
+    val stale = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(oldTmpDir.setLastModified(stale) && oldTmpCur.setLastModified(stale))
+    SuppressionStore.append(spark, root, Seq("c").toDF("fp"))
+    assert(!oldTmpDir.exists() && !oldTmpCur.exists(),
+      "stale staging leftovers must be reclaimed")
+    assert(young.exists(), "a young tmp may be a live sibling's attempt")
+    // the sweep touched nothing the store reads
+    assert(SuppressionStore.read(spark, root).as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c"))
+  }
+
   test("x_suppression_store's fixture waves stay non-trivial and nested") {
     // GATE STRENGTH, which the DuckDB oracle cannot express: both engines
     // derive the same wave sets by construction, so if a constants edit
