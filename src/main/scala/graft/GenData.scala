@@ -80,6 +80,7 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val Array(templateDir, outDir, multS) = args.take(3)
     val mult = multS.toDouble
+    val skew = args.lift(3).contains("skew")
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -87,12 +88,20 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, templateDir, outDir, mult)
+    generate(spark, templateDir, outDir, mult, skewedSource = skew)
     spark.stop()
   }
 
+  /** `skewedSource`: emit the documents `source` column Zipf-skewed
+    * instead of the template's uniform src0–src19 (r16 verdict stretch
+    * task 7 — the skewed-fixture leg the uniform generator cannot
+    * exercise): `src_k = floor(20·u⁴)` puts ≈47% of docs in src0 with a
+    * power-law tail — the hot-domain shape a real crawl has and the
+    * input the AQE-skew/salting SCALING evidence (SkewProbe) measures.
+    * Everything else — dup structure, lang mix, text marginals, every
+    * other table — stays byte-identical to the uniform variant. */
   def generate(spark: SparkSession, templateDir: String, outDir: String,
-      mult: Double): Unit = {
+      mult: Double, skewedSource: Boolean = false): Unit = {
     // base counts READ from the template (parquet footer metadata only —
     // a count() over parquet with no filter never touches row data)
     val baseCounts: Map[String, Long] = Scaled.map(t =>
@@ -242,7 +251,12 @@ object GenData {
           Seq("en", "en", "en", "en", "en", "en", "en", "en",
             "zh", "zh", "zh", "es", "es", "es", "fr", "fr", "fr",
             "de", "de", "de")).as("lang"),
-        concat(lit("src"), (col("doc_id") % 20).cast("string")).as("source"))
+        (if (skewedSource)
+          concat(lit("src"), floor(lit(20.0) *
+            pow(u(col("doc_id"), "dskew"), 4.0)).cast("int").cast("string"))
+        else
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+          .as("source"))
       .withColumn("n_chars", length(col("text")).cast("bigint"))
     write("documents", docs.orderBy("doc_id"), math.max(1, (mult / 10).toInt))
 

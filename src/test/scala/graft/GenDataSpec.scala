@@ -114,4 +114,35 @@ class GenDataSpec extends AnyFunSuite {
     assert(balance(spark.read.parquet(s"$template/embeddings.parquet")) < 1.5)
     assert(balance(spark.read.parquet(s"$gen/embeddings.parquet")) < 1.5)
   }
+
+  test("skewedSource variant: hot-domain histogram, everything else identical") {
+    // the SkewProbe fixture's contract (r17): skew changes ONLY the
+    // documents source column's histogram — a hot domain holding ~half
+    // the corpus with a power-law tail — so a uniform-vs-skew
+    // measurement difference is attributable to the key distribution
+    // and nothing else
+    import org.apache.spark.sql.functions._
+    val u = java.nio.file.Files.createTempDirectory("graft-gen-u").toString
+    val s = java.nio.file.Files.createTempDirectory("graft-gen-s").toString
+    GenData.generate(spark, template, u, 0.05)
+    GenData.generate(spark, template, s, 0.05, skewedSource = true)
+    val du = spark.read.parquet(s"$u/documents.parquet")
+    val ds = spark.read.parquet(s"$s/documents.parquet")
+    def hotShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.groupBy("source").count()
+        .agg(max("count").as("hot"), sum("count").as("tot")).collect()(0)
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    assert(hotShare(du) < 0.10, "uniform variant must stay uniform")
+    assert(hotShare(ds) > 0.40 && hotShare(ds) < 0.55,
+      s"skew variant must put ~47% of docs in the hot source, got ${hotShare(ds)}")
+    // same source VALUE SPACE (src0..src19), no new domains
+    assert(ds.select("source").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(du.select("source").distinct().collect().map(_.getString(0)).toSet))
+    // every non-source column is row-for-row identical
+    val cols = du.columns.filterNot(_ == "source").map(col)
+    assert(du.select(cols: _*).exceptAll(ds.select(cols: _*)).isEmpty &&
+      ds.select(cols: _*).exceptAll(du.select(cols: _*)).isEmpty,
+      "skew must not touch any column but source")
+  }
 }
