@@ -120,13 +120,32 @@ object Bench {
     // reading was suspect and HOW the re-measurement went.
     val anchors: Map[String, Double] = Bench.loadAnchors()
     val recovered = scala.collection.mutable.ArrayBuffer[String]()
+    // r17: the steal calibration (BASELINE.md STEAL REGIME) showed the
+    // 2-4x driver-side breaches are BURSTY hypervisor descheduling — a
+    // w-second full stop lands ~w on whichever rep is in flight, and a
+    // rep that escapes the burst reads at anchor. So beyond the r15
+    // 5x-anytime trigger, an entry past the VIOLATION bar (2x + 0.3 s)
+    // whose own window shows steal ≥ 0.05 earns one recovery rep too:
+    // under burst steal the extra rep usually lands at anchor and pulls
+    // the median toward truth, while a real regression re-reads slow and
+    // the artifact keeps both facts ("recovery_reps" + rep_times). The
+    // steal-case budget is capped — a pass stuck inside a long steal
+    // window must not double its own wall time re-measuring everything.
+    val maxStealRecoveries = 12
+    var stealRecoveries = 0
     def timed(name: String)(body: => Unit): (String, Double) = {
       val h0 = HostTelemetry.sample()
       var ts = (1 to reps).map(_ => once(name)(body))
       if (reps > 1) anchors.get(name).foreach { a =>
-        if (median(ts) > 5 * a && median(ts) - a > 0.3) {
+        val med = median(ts)
+        val hard = med > 5 * a && med - a > 0.3
+        lazy val st = HostTelemetry.stealFrac(h0, HostTelemetry.sample())
+        val stealCase = !hard && med > 2 * a && med - a > 0.3 &&
+          stealRecoveries < maxStealRecoveries && st >= 0.05
+        if (hard || stealCase) {
+          if (stealCase) stealRecoveries += 1
           System.err.println(
-            f"[bench] $name median ${median(ts)}%.3f > 5x anchor $a%.3f — recovery rep")
+            f"[bench] $name median $med%.3f vs anchor $a%.3f (${if (hard) "5x" else f"2x under steal ${st}%.3f"}) — recovery rep")
           ts = ts :+ once(name)(body)
           recovered += name
         }

@@ -188,6 +188,15 @@ object HostTelemetry {
       else "healthy"
     }
 
+  /** Hypervisor-steal share of a window's jiffy total — the fraction
+    * deltaJson renders as `steal`, exposed numerically so callers (the
+    * Bench recovery-rep heuristic) can branch on the regime without
+    * re-parsing their own artifact JSON. */
+  def stealFrac(a: Sample, b: Sample): Double = {
+    val tot = (b.jifTotal - a.jifTotal).max(1L).toDouble
+    (b.jifSteal - a.jifSteal).max(0L) / tot
+  }
+
   /** Compact JSON object for one entry window. Fractions are of the
     * system-wide jiffy total (all CPUs), 3 decimals; PSI deltas are raw
     * stall-µs (the /proc unit); t0 is the window's start, epoch ms. */
