@@ -63,4 +63,30 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(a - e) / e <= 0.01, s"q=$q: approx $a vs exact $e")
     }
   }
+
+  test("x_price_quantiles rank bound: the signature its DuckDB oracle re-derives") {
+    // the r17 oracle (ApproxQueries.oracleSql) re-admits each exported
+    // row only under the GK rank contract recomputed in SQL; pin the
+    // SAME contract in-suite so a bound break fails `sbt test` directly
+    // instead of surfacing only as a driver-side hash mismatch. Also
+    // pins the observed-element clause (GK summaries return real data
+    // values, never interpolations) and the n conjunct.
+    import org.apache.spark.sql.functions._
+    val prices = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"))
+    val n = prices.count()
+    ApproxQueries.xPriceQuantiles(spark, sf).collect().foreach { r =>
+      val (q, v, rn) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+      assert(rn == n, s"q=$q: exported n $rn != corpus count $n")
+      val rLe = prices.filter(col("v") <= v).count()
+      val rLt = prices.filter(col("v") < v).count()
+      val eps = n / 10000.0
+      assert(rLe >= math.floor((q * n) - eps) - 1,
+        s"q=$q v=$v: rank_le $rLe below the lower rank bound")
+      assert(rLt <= math.ceil((q * n) + eps) + 1,
+        s"q=$q v=$v: rank_lt $rLt above the upper rank bound")
+      assert(prices.filter(col("v") === v).count() > 0,
+        s"q=$q: value $v is not an observed element")
+    }
+  }
 }
