@@ -246,12 +246,16 @@ object LandingSink {
       val rp = q.recentProgress
       rp.length >= 3 && rp.takeRight(2).forall(_.numInputRows == 0L)
     }
-    while (q.isActive && !drained && System.nanoTime() < deadline)
-      Thread.sleep(100)
-    q.exception.foreach(e => throw e)
-    val ok = !q.isActive || drained
-    q.stop()
-    ok
+    // stop() in finally: the FAILED-query rethrow below must not leak a
+    // still-registered query (a failed query is inactive, but the
+    // deadline path can throw nothing yet still be interrupted by the
+    // caller's own exceptions — stopping twice is a safe no-op)
+    try {
+      while (q.isActive && !drained && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.exception.foreach(e => throw e)
+      !q.isActive || drained
+    } finally q.stop()
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
