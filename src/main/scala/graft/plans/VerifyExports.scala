@@ -69,6 +69,37 @@ object VerifyExports {
       }
   }
 
+  private val materialized = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
+  /** Export-path variant for queries whose output is not guaranteed
+    * bit-stable across EXECUTIONS of the same plan (GK percentile
+    * summaries and frequent-items sketches merge partials in
+    * scheduler-dependent order): collect ONCE, export exactly the
+    * collected rows, and return a local-relation frame built from the
+    * same rows — so the engine result the driver hashes and the export
+    * the oracle re-admits are byte-identical by construction, never two
+    * independent sketch runs. Non-export invocations (bench, dev) get
+    * the untouched lazy plan: no collect, no write. Memoized per
+    * (JVM, dataset, name) like [[maybeExport]]. */
+  def materializedExport(queryDir: String, name: String)(df: => DataFrame): DataFrame = {
+    val root = dirFor(queryDir)
+    val shouldExport =
+      root == Dir || sys.props.get(ExportAllProp).exists(_ == "1")
+    if (!shouldExport) df
+    else {
+      val (schema, rows) = materialized.computeIfAbsent(s"$root|$name", _ => {
+        val built = df
+        (built.schema, built.collect().toSeq)
+      })
+      val spark = org.apache.spark.sql.SparkSession.active
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      maybeExport(queryDir, name)(local)
+      local
+    }
+  }
+
   /** The `read_parquet` clause oracle SQL uses to consume an export.
     * Always the sf0.01 literal: oracle SQL is a STATIC string (the
     * driver's contract); a non-default-scale sweep rewrites the root via

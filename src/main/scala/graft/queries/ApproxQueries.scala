@@ -4,24 +4,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] the sketch/approximate variants of exact operators shipped
-  * elsewhere — the 100 TB swap-ins (SURVEY §8 notes). The sketch-content
-  * queries are rows-only (`SparkEntry.rowsOnlyQueries`): approximate
-  * answers are engine-specific by design, so the driver records the
-  * weaker check, and each scaladoc names the exact twin ApproxSpec
-  * verifies. x_price_quantiles is the exception since r17: its CONTRACT
-  * (rank-error bound) is SQL-checkable, so it oracles by signature —
-  * see [[xPriceQuantiles]]. */
+  * elsewhere — the 100 TB swap-ins (SURVEY §8 notes). Approximate
+  * answers are engine-specific by design, so equality-of-approximation
+  * is never demanded — instead every sketch query ORACLES BY SIGNATURE
+  * (r17 task 6 → r18 task 1): the engine's value rows export via
+  * [[graft.plans.VerifyExports]], and the DuckDB oracle re-emits each
+  * row iff it passes the sketch's CONTRACT recomputed independently in
+  * SQL (rank-error bound for GK quantiles, a 5σ error band for HLL++,
+  * exact top-k set membership for frequent-items at
+  * maxItemsTracked ≫ distinct). A fabricated value, an out-of-band
+  * estimate, or a missing group drops/adds a row in the oracle and the
+  * driver's hash gate goes red. ApproxSpec pins the same contracts
+  * in-suite against the exact twins. */
 object ApproxQueries {
 
   /** approx_count_distinct (HyperLogLog++) twin of `e4_json_props`'
     * COUNT(DISTINCT user_id): constant memory per group vs a full distinct
-    * shuffle — the only viable form when the key cardinality is billions. */
-  def xApproxUsers(spark: SparkSession, dir: String): DataFrame =
-    graft.plans.Tables.table(spark, dir, "events")
+    * shuffle — the only viable form when the key cardinality is billions.
+    *
+    * ORACLED BY SIGNATURE since r18: rsd 0.01 ⇒ standard error ~1% of
+    * the true distinct count; the oracle admits each exported row iff
+    * |approx − exact| ≤ max(1, 5% of exact) (a ~5σ band, the same band
+    * ApproxSpec pins) AND n_events equals the exact group count. The
+    * oracle drives from the EXACT group list (left join), so a missing
+    * event_type surfaces as an unmatched oracle row, not a silently
+    * shrunk result. */
+  def xApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    val res = graft.plans.Tables.table(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+    graft.plans.VerifyExports.materializedExport(dir, "x_approx_users")(res)
+  }
 
   /** approx_percentile twin of exact quantiles over lineitem prices —
     * single-pass sketch vs a full sort. One row per quantile (never an
@@ -48,8 +63,12 @@ object ApproxQueries {
       .select(posexplode(col("vals")).as(Seq("pos", "value")), col("n"))
       .select(element_at(array(qs.map(lit): _*), col("pos") + 1).as("quantile"),
         col("value"), col("n"))
-    graft.plans.VerifyExports.maybeExport(dir, "x_price_quantiles")(res)
-    res
+    // materialized, not maybeExport: GK partial-summary merge order is
+    // not guaranteed deterministic across executions, so the export job
+    // and the driver's own collection must share ONE collected result
+    // (r17 ADVICE) — otherwise the oracle could re-emit rows from a
+    // different (equally valid) approximation than the one hashed.
+    graft.plans.VerifyExports.materializedExport(dir, "x_price_quantiles")(res)
   }
 
   /** approx_top_k (DataSketches frequent-items) twin of `t6_top_terms`'
@@ -60,17 +79,29 @@ object ApproxQueries {
     * maxItemsTracked 10000 >> k 20 keeps the fixture's heavy hitters
     * exact in practice (ApproxSpec pins set-and-count agreement with t6).
     * Output exploded to one row per (token, count) — never an array
-    * column (driver row-sort constraint, the r01 lesson). */
-  def xApproxTopTerms(spark: SparkSession, dir: String): DataFrame =
+    * column (driver row-sort constraint, the r01 lesson).
+    *
+    * ORACLED BY SIGNATURE since r18: with maxItemsTracked ≫ the
+    * fixture's distinct token count the sketch's counts are exact, so
+    * the contract is exact top-k membership — the oracle re-admits each
+    * exported (token, n) iff n equals the token's true count AND n is at
+    * or above the 20th-largest true count (any valid top-20 under
+    * boundary ties passes), with a total-row-count conjunct so a short
+    * export can't shrink both sides symmetrically. Export is
+    * materialized because frequent-items merge order could break
+    * boundary ties differently across executions. */
+  def xApproxTopTerms(spark: SparkSession, dir: String): DataFrame = {
     // t6's corpus + tokenization via the checkpointed toks snapshot —
     // files survive releaseCaches(), so this reads a stable scan instead
     // of re-tokenizing after the text block's caches are gone
-    TextQueries.tokenizedCorpus(spark, dir)
+    val res = TextQueries.tokenizedCorpus(spark, dir)
       .select(explode(col("toks")).as("token"))
       .filter(length(col("token")) >= 4)
       .agg(expr("approx_top_k(token, 20, 10000)").as("top"))
       .select(explode(col("top")).as("x"))
       .select(col("x.item").as("token"), col("x.count").as("n"))
+    graft.plans.VerifyExports.materializedExport(dir, "x_approx_top_terms")(res)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_approx_users" -> xApproxUsers,
@@ -88,6 +119,41 @@ object ApproxQueries {
   val oracleSql: Map[String, String] = {
     import graft.plans.VerifyExports.sqlPath
     Map(
+      // HLL++ signature oracle: driven from the EXACT per-type group
+      // list so completeness is checked too — a missing or spurious
+      // event_type, an n_events mismatch, or an estimate outside the
+      // 5σ band (max(1, 5%·exact), rsd 0.01 ⇒ σ≈1%) yields an
+      // unmatched/NULL oracle row and a red hash.
+      "x_approx_users" ->
+        s"""WITH x AS (
+           |  SELECT event_type, count(DISTINCT user_id) AS du,
+           |         count(*) AS cnt
+           |  FROM events GROUP BY event_type)
+           |SELECT x.event_type, e.approx_users, e.n_events
+           |FROM x LEFT JOIN ${sqlPath("x_approx_users")} e
+           |  ON e.event_type = x.event_type
+           | AND e.n_events = x.cnt
+           | AND abs(e.approx_users - x.du)
+           |       <= greatest(1, CAST(floor(0.05 * x.du) AS BIGINT))
+           |ORDER BY x.event_type""".stripMargin,
+      // frequent-items signature oracle: re-admit each exported row iff
+      // its count is the token's TRUE count and at/above the
+      // 20th-largest true count (any valid top-20 under boundary ties);
+      // the count(*)=20 conjunct stops a short export from matching its
+      // own echo. Tokenization = t6's proven corpus/toks CTEs.
+      "x_approx_top_terms" -> TextQueries.oracle(
+        s""", exact AS (
+           |  SELECT token, count(*) AS n
+           |  FROM (SELECT unnest(toks) AS token FROM toks)
+           |  WHERE length(token) >= 4
+           |  GROUP BY token),
+           |exp AS (SELECT token, n FROM ${sqlPath("x_approx_top_terms")})
+           |SELECT e.token, e.n
+           |FROM exp e JOIN exact x ON e.token = x.token AND e.n = x.n
+           |WHERE e.n >= (SELECT min(n) FROM
+           |        (SELECT n FROM exact ORDER BY n DESC LIMIT 20))
+           |  AND (SELECT count(*) FROM exp) = 20
+           |ORDER BY e.n DESC, e.token""".stripMargin),
       "x_price_quantiles" ->
         s"""SELECT e.quantile, e.value, e.n
            |FROM ${sqlPath("x_price_quantiles")} e
@@ -103,8 +169,7 @@ object ApproxQueries {
            |ORDER BY e.quantile""".stripMargin)
   }
 
-  /** No oracle by design (sketch content is engine-specific; each has a
-    * spec-pinned exactness twin in ApproxSpec). x_price_quantiles left
-    * this set in r17 via the export round-trip above. */
-  val rowsOnly: Set[String] = queries.keySet - "x_price_quantiles"
+  /** Empty since r18: every sketch query now oracles by signature via
+    * the export round-trip above (quantiles r17, HLL++ and top-k r18). */
+  val rowsOnly: Set[String] = Set.empty
 }

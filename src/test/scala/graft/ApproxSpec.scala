@@ -64,6 +64,33 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("materializedExport collects once: export and engine rows are byte-identical") {
+    // the r17 ADVICE hazard: a sketch plan re-executed for the export
+    // job can legally return a DIFFERENT approximation than the one the
+    // driver hashes. materializedExport must evaluate the plan exactly
+    // once and serve the same rows to both consumers — pinned here with
+    // a non-deterministic frame, where any second execution would differ.
+    import graft.plans.VerifyExports
+    val prop = VerifyExports.ExportAllProp
+    val prev = sys.props.get(prop)
+    sys.props(prop) = "1"
+    try {
+      def probe() = VerifyExports.materializedExport(sf, "spec_materialize_probe")(
+        spark.range(5).select(col("id"), rand().as("v")))
+      val first = probe().collect().map(_.toSeq).toSeq
+      val second = probe().collect().map(_.toSeq).toSeq
+      assert(first == second, "re-invocation re-executed the plan")
+      val exported = spark.read.parquet(
+        s"${VerifyExports.dirFor(sf)}/spec_materialize_probe")
+        .collect().map(_.toSeq).toSeq
+      assert(exported.sortBy(_.head.toString) == first.sortBy(_.head.toString),
+        "exported rows differ from the rows the engine returns")
+    } finally prev match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props.remove(prop)
+    }
+  }
+
   test("x_price_quantiles rank bound: the signature its DuckDB oracle re-derives") {
     // the r17 oracle (ApproxQueries.oracleSql) re-admits each exported
     // row only under the GK rank contract recomputed in SQL; pin the
