@@ -164,7 +164,12 @@ object SkewProbe {
           "spark.sql.adaptive.skewJoin.enabled",
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          "spark.sql.adaptive.coalescePartitions.enabled")
+          "spark.sql.adaptive.coalescePartitions.enabled",
+          // debug knobs (env-gated above) — unset unconditionally so a
+          // debug run's settings never leak into the aggregation leg or
+          // later session use (r17 advice)
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.forceOptimizeSkewedJoin")
           .foreach(spark.conf.unset)
       }
     }

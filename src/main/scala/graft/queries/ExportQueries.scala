@@ -614,13 +614,16 @@ object ExportQueries {
     ownedRoots.add(root)
     ()
   }
-  /** Two sweep conditions, either sufficient (r16 advice): (1) the
-    * embedded pid is dead — but `ProcessHandle.of(pid).isEmpty` reads
-    * false whenever the pid was REUSED by any live process, so on a busy
-    * host a crashed JVM's dir can look owned forever; therefore also
-    * (2) the dir's mtime is past `olderThanMs` — the store is documented
-    * scratch-only and a lifecycle lives seconds, so a 6-hour-old sibling
-    * is garbage regardless of apparent pid liveness. Our own pid is
+  /** Two sweep conditions, BOTH required (r17 advice revising r16's
+    * either-sufficient rule): (1) the embedded pid is dead AND (2) the
+    * dir's mtime is past `olderThanMs`. The r16 OR could delete a LIVE
+    * sibling's root — directory mtime only refreshes on direct-child
+    * changes, so a >6h JVM that built its store early and lazily reads
+    * it late looks stale by mtime while its pid is demonstrably alive.
+    * The cost of AND is that a crashed JVM whose pid was REUSED by a
+    * live process keeps its dir until the recycled pid also dies plus
+    * the age window — acceptable for bounded scratch under target/,
+    * whereas deleting live data mid-lifecycle is not. Our own pid is
     * always exempt (the shutdown hook owns it). */
   private def sweepDeadSiblings(root: String,
       olderThanMs: Long = 6L * 60 * 60 * 1000): Unit = {
@@ -631,8 +634,8 @@ object ExportQueries {
       f.getName.split("-", 2) match {
         case Array(_, pid) if pid != self && pid.nonEmpty &&
             pid.forall(_.isDigit) && pid.length <= 10 &&
-            (ProcessHandle.of(pid.toLong).isEmpty ||
-              f.lastModified() < cutoff) =>
+            ProcessHandle.of(pid.toLong).isEmpty &&
+            f.lastModified() < cutoff =>
           graft.plans.Snapshot.deleteTree(f.toPath)
         case _ => ()
       }

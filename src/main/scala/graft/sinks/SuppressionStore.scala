@@ -76,31 +76,46 @@ object SuppressionStore {
 
   private def genDir(root: String, g: Long) = s"$root/gen=$g"
 
+  /** Process-unique tmp-entry name: embeds the writer's pid (before the
+    * uuid) so [[sweepStaleTmp]] can distinguish a dead attempt's garbage
+    * from a LIVE sibling's slow in-flight write. */
+  private def tmpName(kind: String): String =
+    s".tmp-$kind-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
+
   /** Reclaim staging leftovers orphaned by a crash between a tmp write
     * and its finally/rename (r16 advice): compact's generation sweep only
-    * matches `gen=` names, so a `.tmp-append-<uuid>` dir or flip's
-    * `.tmp-current-<uuid>` file would otherwise sit under a store root
-    * that lives for years. Age-gated like [[LandingSink.sweepOrphans]]:
-    * a YOUNG tmp entry may belong to a live sibling's in-flight append —
-    * an append lives seconds, so anything past `olderThanMs` (default an
-    * hour) is a dead attempt's garbage. Runs at [[append]]/[[compact]]
-    * entry; invisible to readers either way (probes read `gen=` dirs
-    * only), this is purely a disk-reclaim discipline. */
+    * matches `gen=` names, so a `.tmp-append-*` dir or flip's
+    * `.tmp-current-*` file would otherwise sit under a store root that
+    * lives for years. The r16 pure age gate could race a genuinely SLOW
+    * live sibling — a parquet write exceeding `olderThanMs` got its tmp
+    * deleted mid-write, failing the writer's subsequent file moves — so
+    * since r18 tmp names embed the writer pid ([[tmpName]]) and a
+    * pid-bearing entry is swept only when that pid is DEAD (plus the age
+    * gate, which absorbs pid reuse: a reused pid merely defers reclaim).
+    * Entries without a parsable pid (legacy layout) keep the pure age
+    * gate. Runs at [[append]]/[[compact]] entry; invisible to readers
+    * either way (probes read `gen=` dirs only), this is purely a
+    * disk-reclaim discipline. */
   private[graft] def sweepStaleTmp(root: String,
       olderThanMs: Long = 60L * 60 * 1000): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val self = ProcessHandle.current().pid().toString
     val dead = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
       .filter(f => (f.getName.startsWith(".tmp-append-") ||
           f.getName.startsWith(".tmp-current-")) &&
-        f.lastModified() < cutoff)
+        f.lastModified() < cutoff && {
+          val pid = f.getName.split("-").drop(2).headOption.getOrElse("")
+          if (pid.isEmpty || !pid.forall(_.isDigit) || pid.length > 10) true
+          else pid != self && ProcessHandle.of(pid.toLong).isEmpty
+        })
     dead.foreach(f => graft.plans.Snapshot.deleteTree(f.toPath))
     dead.length
   }
 
   private def flip(root: String, g: Long): Unit = {
     val rootP = java.nio.file.Paths.get(root)
-    val tmp = rootP.resolve(s".tmp-current-${java.util.UUID.randomUUID()}")
+    val tmp = rootP.resolve(tmpName("current"))
     java.nio.file.Files.write(tmp, g.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, rootP.resolve(Marker),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -150,7 +165,7 @@ object SuppressionStore {
       else delta.distinct()
         .join(spark.read.parquet(dir), delta.columns.toSeq, "left_anti")
     val obs = Observation()
-    val tmp = s"$root/.tmp-append-${java.util.UUID.randomUUID()}"
+    val tmp = s"$root/${tmpName("append")}"
     try {
       fresh.observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(tmp)

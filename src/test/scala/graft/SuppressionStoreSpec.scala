@@ -126,10 +126,30 @@ class SuppressionStoreSpec extends AnyFunSuite {
     young.mkdirs()
     val stale = System.currentTimeMillis() - 2L * 60 * 60 * 1000
     assert(oldTmpDir.setLastModified(stale) && oldTmpCur.setLastModified(stale))
+    // r18 pid-aware sweep: a stale tmp whose embedded pid is ALIVE is a
+    // slow in-flight sibling write, never garbage (the r17 advice race);
+    // one whose pid is dead is reclaimable once past the age gate.
+    val livePid = {
+      import scala.jdk.CollectionConverters._
+      ProcessHandle.allProcesses().iterator().asScala
+        .map(_.pid()).find(_ != ProcessHandle.current().pid())
+        .getOrElse(ProcessHandle.current().pid())
+    }
+    val staleLive = new java.io.File(root, s".tmp-append-$livePid-slowwrite")
+    staleLive.mkdirs()
+    val deadPid = (99999L to 1L by -1L)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val staleDead = new java.io.File(root, s".tmp-append-$deadPid-crashed")
+    staleDead.mkdirs()
+    assert(staleLive.setLastModified(stale) && staleDead.setLastModified(stale))
     SuppressionStore.append(spark, root, Seq("c").toDF("fp"))
     assert(!oldTmpDir.exists() && !oldTmpCur.exists(),
       "stale staging leftovers must be reclaimed")
     assert(young.exists(), "a young tmp may be a live sibling's attempt")
+    assert(staleLive.exists(),
+      "a stale tmp with a live writer pid is an in-flight write, not garbage")
+    assert(!staleDead.exists(),
+      "a stale tmp with a dead writer pid must be reclaimed")
     // the sweep touched nothing the store reads
     assert(SuppressionStore.read(spark, root).as[String].collect().sorted
       .toSeq == Seq("a", "b", "c"))
