@@ -700,13 +700,27 @@ object TextQueries {
     * unordered form keeps the intent explicit rather than relying on the
     * optimizer to delete a sort that was never meant. */
   private def d7KeepSet(spark: SparkSession, dir: String): DataFrame = {
-    val fps = cachedFps(spark, dir)
-    val keeps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    val exactRemoved = fps.join(keeps, "fp")
-      .filter(col("doc_id") > col("keep_id")).select("doc_id")
-    val nearRemoved = verifiedPairs(spark, dir).select(col("doc_b").as("doc_id"))
-    fps.select("doc_id")
-      .except(exactRemoved.unionByName(nearRemoved))
+    // r18 reshape (the d7 clean-read creep, r17 watch item 1): the
+    // original form DERIVED the removals (fps ⋈ groupBy-min back-join,
+    // then EXCEPT) and so paid two fps scans, the groupBy exchange, the
+    // join, and EXCEPT's distinct shuffles on BOTH sides — ~3 shuffle
+    // stages to express "first doc of each content group". The keep set
+    // is directly expressible instead: row_number over (fp, doc_id) = 1
+    // — ONE fps scan and ONE exchange, and the rank filter is
+    // WindowGroupLimit-eligible, so each map task forwards only its
+    // per-fp minimum before the shuffle (shuffle volume = distinct fps,
+    // the same reduction groupBy's partial agg bought, without the
+    // join-back). The near-dup removals then subtract via LEFT ANTI
+    // (broadcast locally; hash-shuffle at scale) — EXCEPT's extra
+    // distinct was pure overhead: fps carries one row per doc_id by
+    // construction, so the anti join is set-identical.
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    cachedFps(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+      .join(verifiedPairs(spark, dir).select(col("doc_b").as("doc_id")),
+        Seq("doc_id"), "left_anti")
   }
 
   /** The certification-ELIGIBLE set — d7's dedup keep set minus t8's
