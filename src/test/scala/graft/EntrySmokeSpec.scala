@@ -62,6 +62,50 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracle entries with no query: $orphaned")
   }
 
+  test("s6's oracle literal names the directory the verify gate actually runs at") {
+    // the literal-path trap (r17 verdict task 4): DuckDB read_blob needs a
+    // literal, so s6's oracle pins a directory STRING while the Spark side
+    // lists whatever dir the driver passes. A drift between the literal,
+    // the documented verify scale, and the harness's rewrite pattern would
+    // VACUATE the oracle silently (both sides green on different file
+    // sets). Pin all three couplings:
+    import graft.plans.VerifyExports
+    val sql = SparkEntry.oracleSql("s6_listing_sum")
+    // 1. the SQL carries the exact literal the local-harness rewrite
+    //    (tools/verify_local.py) greps for — byte-for-byte
+    val literal = s"read_blob('${VerifyExports.VerifyDir}/*.parquet')"
+    assert(sql.contains(literal),
+      s"s6 oracle no longer contains the verify-dir literal: $literal")
+    assert(VerifyExports.VerifyDir == "/root/testdata/sf0.01",
+      "VerifyDir moved — update tools/verify_local.py's read_blob rewrite " +
+        "pattern and TESTDATA.md coupling together")
+    // 2. the literal is the scale TESTDATA.md documents for the t2
+    //    correctness gate (the driver's contract doc)
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/TESTDATA.md")), "UTF-8")
+    val gateIdx = doc.indexOf("t2 correctness")
+    assert(gateIdx >= 0, "TESTDATA.md no longer documents the t2 gate")
+    // the sentence wraps across lines — read the 120 chars after the marker
+    val gateText = doc.substring(gateIdx, math.min(doc.length, gateIdx + 120))
+    assert(gateText.contains(VerifyExports.VerifyDir.split("/").last + ";") ||
+        gateText.contains(VerifyExports.VerifyDir.split("/").last + " "),
+      s"TESTDATA.md's t2 sentence no longer names ${VerifyExports.VerifyDir}: $gateText")
+    // 3. both engines enumerate the same non-empty file universe: Spark's
+    //    binaryFile listing at VerifyDir == the literal dir's parquet files
+    val sparkSide = SparkEntry.queries("s6_listing_sum")(spark, VerifyExports.VerifyDir)
+      .select("file_name", "file_size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fsSide = Option(new java.io.File(VerifyExports.VerifyDir)
+        .listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+    assert(fsSide.nonEmpty, s"no parquet files at ${VerifyExports.VerifyDir}")
+    assert(sparkSide == fsSide,
+      s"s6's Spark listing and the oracle literal's file set diverge: " +
+        s"spark-only=${sparkSide.keySet -- fsSide.keySet} " +
+        s"fs-only=${fsSide.keySet -- sparkSide.keySet}")
+  }
+
   test("no module silently shadows another's query name (Map ++ drops dups)") {
     import graft.queries._
     val modules = Seq(EncodeQueries.queries, AnalyticsQueries.queries,
