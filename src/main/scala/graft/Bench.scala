@@ -161,11 +161,13 @@ object Bench {
     // never sets it, so the contract run is always the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // the one non-SparkEntry entry: the streaming ingest round (below)
+    val StreamEntry = "stream_front_door"
     val all = only match {
       case Some(sel) =>
         // fail fast on a typo: a silently-dropped name yields a near-empty
         // bench that still exits 0 and prints a plausible report (r7 advice)
-        val unknown = sel -- SparkEntry.queries.keySet
+        val unknown = sel -- SparkEntry.queries.keySet - StreamEntry
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
         SparkEntry.queries.filter { case (k, _) => sel(k) }
@@ -271,8 +273,71 @@ object Bench {
     val mediaRes = run(mediaNames)
     val restRes = run(restNames)
 
+    // r17 verdict task 5: every prior entry is batch — a throughput
+    // regression in the ONE production-shaped streaming topology (capped
+    // front door → LandingSink catch-up round, the engine's poll-to-claim
+    // hot path; reference: /root/reference/encodesrv/__init__.py:97-141)
+    // was invisible to the driver gate. One anchored entry: a fixed
+    // arrival slice (documents doc_id%7==0) drains through the full gate
+    // chain (quality → corpus dedup → suppression → near-dup bands →
+    // RocksDB transformWithState domain cap → annotators) into a landing
+    // round under Trigger.AvailableNow. Fixture build (arrival parquet,
+    // probe tables, memoized model/merges/weights — all deterministic)
+    // happens OUTSIDE the timed body; each rep pays the full
+    // stream-start/drain/commit cycle on a fresh checkpoint, which IS the
+    // measured quantity.
+    val streamRes =
+      if (!only.forall(_.contains(StreamEntry))) Seq.empty[(String, Double)]
+      else {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+        val srcDir = s"$base/arrivals"
+        val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "source", "text")
+        docsAll.filter(col("doc_id") % 7 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(srcDir)
+        val corpus = docsAll.filter(col("doc_id") % 7 === 1)
+        val art = graft.streaming.EventStream.IngestArtifacts(
+          corpusFps = corpus.select(col("doc_id"),
+            graft.ops.Fingerprint.col(col("text")).as("fp")),
+          corpusBands = corpus.select(col("doc_id"),
+            posexplode(graft.queries.TextQueries.bandKeysCol(col("text")))
+              .as(Seq("band", "bkey"))),
+          model = graft.queries.MlQueries.fitted(spark, sfDir),
+          merges = graft.queries.MlQueries.learnedMerges(spark, sfDir),
+          bucketWeights = graft.queries.TextQueries.dsirBucketWeights(spark, sfDir))
+        var round = 0
+        var lastLanding = ""
+        val res = timed(StreamEntry) {
+          round += 1
+          val landDir = s"$base/landing-$round"
+          val ckpt = s"$base/ckpt-$round"
+          lastLanding = landDir
+          val stream = spark.readStream.schema(docsAll.schema).parquet(srcDir)
+          val drained = graft.sinks.LandingSink.runOnce(
+            graft.streaming.EventStream.ingestFrontDoorCapped(
+              stream, art, cap = 200L),
+            landDir, ckpt, maxMs = 240000L)
+          require(drained, s"$StreamEntry round $round did not drain")
+        }
+        // the round must have LANDED survivors, else the timing is vacuous
+        require(spark.read.parquet(lastLanding).limit(1).count() > 0,
+          s"$StreamEntry landed zero survivors")
+        prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+        graft.plans.Snapshot.deleteTree(base)
+        Seq(res)
+      }
+
     val results =
-      warm ++ warmModels ++ textRes ++ vecRes ++ warmMedia ++ mediaRes ++ restRes
+      warm ++ warmModels ++ textRes ++ vecRes ++ warmMedia ++ mediaRes ++
+        restRes ++ streamRes
     import JsonText.q
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE renders "87,487" — invalid JSON (round-3 advice)
