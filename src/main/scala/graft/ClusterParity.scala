@@ -21,7 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query set: the reference hot path (s1 scan/sort/limit, f1 command
   * compile, j1 broadcast join) plus one query per native expression —
   * d2 (minhash_sigs), d5 (simhash_sig + tokenize_words), d3 (band_keys),
-  * v15 (float_dot + the IVF-PQ quantizer broadcast).
+  * v15 (float_dot + the IVF-PQ quantizer broadcast) — plus, since r18
+  * (r17 verdict task 8), one shuffle-heavy aggregate (q18: groupBy-HAVING
+  * over lineitem joined back through orders — real map-side partials and
+  * a cross-process exchange) and one window query (e3: row_number
+  * last-per-key, the WindowGroupLimit plan) so the exchange-heavy and
+  * window-group-limit plan families also carry a process-boundary hash
+  * gate, not only expression serialization.
   *
   * Requires SPARK_HOME (the worker launches executor JVMs through the
   * distribution's launcher); executors inherit this JVM's classpath via
@@ -36,7 +42,7 @@ object ClusterParity {
   val Queries: Seq[String] = Seq(
     "s1_dequeue", "f1_command_compile", "j1_job_format_join",
     "d2_minhash_sig", "d5_simhash_sig", "d3_minhash_lsh_pairs",
-    "v15_ivfpq_ann")
+    "v15_ivfpq_ann", "q18_large_orders", "e3_latest_per_user")
 
   /** The STATEFUL STREAMING leg (r16 verdict task 5): one capped
     * front-door catch-up drain — the engine's ST2 claim-ledger shape
