@@ -189,6 +189,62 @@ object SkewProbe {
       (naive, salted)
     }
 
+    // leg 4 (r18, the r17 verdict's "pin AQE's skew recovery on a real
+    // engine query" task, resolved honestly): t29's FULL per-source
+    // ranking is the one real-query shape the AQE/salting toolbox CANNOT
+    // recover — no rank<=k filter for WindowGroupLimit, and skew
+    // splitting acts on join shuffle reads, never window partitions — so
+    // the measured lever is the range-sorted rank rewrite
+    // ([[graft.plans.ScaleTechniques.rangeSortedRank]], equivalence
+    // pinned in ScaleSpec): hash-window vs range-rank over the REAL t29
+    // input on both key histograms. sum(cap_rank) as the action so
+    // column pruning can never drop the window under a count.
+    def rankLeg(dir: String): (Double, Double) = {
+      val in = graft.queries.TextQueries.t29Input(spark, dir)
+      import org.apache.spark.sql.expressions.Window
+      val winT = timeMedian(3) {
+        in.withColumn("cap_rank",
+            row_number().over(Window.partitionBy(col("source"))
+              .orderBy(col("priority"), col("doc_id"))).cast("bigint"))
+          .agg(sum(col("cap_rank"))).collect(); ()
+      }
+      val rangeT = timeMedian(3) {
+        graft.plans.ScaleTechniques.rangeSortedRank(
+            in, "source", Seq("priority", "doc_id"), "cap_rank")
+          .agg(sum(col("cap_rank"))).collect(); ()
+      }
+      (winT, rangeT)
+    }
+
+    // the CROSSOVER leg: at sf1 the hot source's window partition sorts
+    // in well under a second, so the range-rank's two passes cannot pay —
+    // amplify the same skewed universe `amp`x (unique ids, priorities
+    // remixed) until the single-task sort is the visible straggler the
+    // rewrite exists to remove. The pair of reads (sf1: rewrite loses;
+    // amplified: rewrite wins) IS the result — it bounds the crossover
+    // instead of asserting "use at scale".
+    def ampRankLeg(dir: String, amp: Int): (Double, Double) = {
+      val in = graft.queries.TextQueries.t29Input(spark, dir)
+        .withColumn("rep", explode(array((0 until amp).map(lit): _*)))
+        .select((col("doc_id") * amp + col("rep")).as("doc_id"),
+          col("source"),
+          (col("priority") * 31 + col("rep") * 1048573L).cast("bigint")
+            .as("priority"))
+      import org.apache.spark.sql.expressions.Window
+      val winT = timeMedian(3) {
+        in.withColumn("cap_rank",
+            row_number().over(Window.partitionBy(col("source"))
+              .orderBy(col("priority"), col("doc_id"))).cast("bigint"))
+          .agg(sum(col("cap_rank"))).collect(); ()
+      }
+      val rangeT = timeMedian(3) {
+        graft.plans.ScaleTechniques.rangeSortedRank(
+            in, "source", Seq("priority", "doc_id"), "cap_rank")
+          .agg(sum(col("cap_rank"))).collect(); ()
+      }
+      (winT, rangeT)
+    }
+
     val (hotU, hotS) = (hotShare(uniformDir), hotShare(skewDir))
     // discarded first pass: the first window/agg queries in a fresh JVM
     // pay codegen + snapshot-load, which would otherwise all land on
@@ -200,6 +256,10 @@ object SkewProbe {
     val (jOffS, sawOffS) = skewJoin(skewDir, skewOn = false)
     val (jOnS, sawOnS) = skewJoin(skewDir, skewOn = true)
     val (aggNaive, aggSalted) = aggLeg(skewDir)
+    val (rankWinU, rankRangeU) = rankLeg(uniformDir)
+    val (rankWinS, rankRangeS) = rankLeg(skewDir)
+    val rankAmp = sys.env.getOrElse("SPARK_GRAFT_RANK_AMP", "16").toInt
+    val (ampWinS, ampRangeS) = ampRankLeg(skewDir, rankAmp)
 
     import JsonText.q
     def f3(v: Double) =
@@ -215,7 +275,11 @@ object SkewProbe {
         s""""smj_skew_skewjoin_off":${f3(jOffS)},""" +
         s""""smj_skew_skewjoin_on":${f3(jOnS)},""" +
         s""""plan_shows_skew_split_on":$sawOnS,"plan_shows_skew_split_off":$sawOffS,""" +
-        s""""agg_skew_naive":${f3(aggNaive)},"agg_skew_salted":${f3(aggSalted)}}""")
+        s""""agg_skew_naive":${f3(aggNaive)},"agg_skew_salted":${f3(aggSalted)},""" +
+        s""""rank_window_uniform":${f3(rankWinU)},"rank_range_uniform":${f3(rankRangeU)},""" +
+        s""""rank_window_skew":${f3(rankWinS)},"rank_range_skew":${f3(rankRangeS)},""" +
+        s""""rank_amp":$rankAmp,""" +
+        s""""rank_window_skew_amp":${f3(ampWinS)},"rank_range_skew_amp":${f3(ampRangeS)}}""")
     spark.stop()
   }
 }

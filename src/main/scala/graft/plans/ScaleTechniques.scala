@@ -58,4 +58,72 @@ object ScaleTechniques {
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+
+  /** Per-key row_number over a RANGE-SORTED layout — the hot-key-splitting
+    * alternative to `row_number().over(Window.partitionBy(key)
+    * .orderBy(ord...))` for FULL per-key ranking (every row gets its rank,
+    * so WindowGroupLimit's rank<=k pushdown does not apply and AQE cannot
+    * help: skew splitting acts on join shuffle reads, never on a window
+    * partition — a 47%-hot key is one straggler task, by construction,
+    * in the hash-window plan).
+    *
+    * Range partitioning on (key, ord...) splits the hot key across many
+    * partitions at range boundaries; per-key rank is then LOCAL position
+    * within the sorted partition plus the count of same-key rows in
+    * earlier partitions. Everything stays in codegen'd DataFrame ops (a
+    * first cut walked partitions with mapPartitions over df.rdd; the
+    * Row-boxing tax made it 2.4x SLOWER than the straggler it removes —
+    * measured, SkewProbe r18):
+    *
+    *  - local position = monotonically_increasing_id minus the partition
+    *    base (the id is partitionId·2^33 + index, assigned in sorted
+    *    order within each partition);
+    *  - the per-(partition, key) stats frame — min local id + row count,
+    *    O(partitions + distinct keys) rows since a key occupies
+    *    contiguous range partitions — aggregates small, gets its
+    *    cross-partition prefix offsets from a window over ITSELF (tiny,
+    *    never skewed: one row per (partition, key)), and broadcast-joins
+    *    back;
+    *  - rank = local − first_local_in_partition + 1 + prefix.
+    *
+    * The two consumers of the sorted layout (stats + main) are identical
+    * subplans; in the EXECUTED local plan ReuseExchange did not fuse the
+    * two range exchanges (observed r18), so the stateless form pays the
+    * range shuffle twice — deliberately accepted over a persist-based
+    * form whose cache lifecycle the caller would own. Measured
+    * consequence (SkewProbe rank legs, sf1-skew and 16x amplified): at
+    * local[32] the rewrite is SLOWER in wall clock than the hash window
+    * (~1.9x at 9M rows / 47%-hot), because a single-task in-memory sort
+    * of a few million rows is cheap relative to an extra full-data pass.
+    * The rewrite's real claim is the bound, not local wall time: max
+    * partition = N/P regardless of skew, where the hash window's hot
+    * partition (47% of the data in ONE task) stops fitting executor
+    * memory long before 100 TB. Reach for this when the hot key
+    * overwhelms a task, not to speed up a skew that still fits.
+    * Deterministic when (key, ord...) is a total order (append a unique
+    * id to `ord` otherwise). */
+  def rangeSortedRank(df: DataFrame, key: String, ord: Seq[String],
+      rankCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = (key +: ord).map(col)
+    val withLoc = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .select(col("*"), spark_partition_id().as("_pid"),
+        monotonically_increasing_id().as("_mid"))
+      .withColumn("_loc", col("_mid") - col("_pid").cast("long") * (1L << 33))
+    val stats = withLoc.groupBy(col("_pid"), col(key))
+      .agg(min(col("_loc")).as("_first"), count(lit(1)).as("_cnt"))
+      .withColumn("_before",
+        coalesce(sum(col("_cnt")).over(
+          Window.partitionBy(col(key)).orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withLoc.join(broadcast(stats.drop("_cnt")), Seq("_pid", key))
+      .withColumn(rankCol,
+        col("_loc") - col("_first") + lit(1L) + col("_before"))
+      .drop("_pid", "_mid", "_loc", "_first", "_before")
+  }
 }

@@ -1730,17 +1730,24 @@ object TextQueries {
     * the oracle is untouched. */
   def t29DomainCapWith(spark: SparkSession, dir: String,
       cap: Long): DataFrame = {
-    val pr = conv(substring(
-        md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("bigint")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority"), col("doc_id"))
-    graft.plans.Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), pr.as("priority"))
+    t29Input(spark, dir)
       .withColumn("cap_rank", row_number().over(w).cast("bigint"))
       .select(col("doc_id"), col("source"), col("cap_rank"),
         (col("cap_rank") <= cap).cast("bigint").as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** t29's ranked universe (doc, source, derived priority) — shared with
+    * SkewProbe's rank-recovery leg so the probe measures the REAL query's
+    * input, not a lookalike. */
+  private[graft] def t29Input(spark: SparkSession, dir: String): DataFrame = {
+    val pr = conv(substring(
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    graft.plans.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), pr.as("priority"))
   }
 
   /** t30's per-sequence token budget (a short fixture-visible context

@@ -195,6 +195,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("range-sorted rank equals the hash-window row_number, key split across partitions") {
+    // the hot-key-splitting FULL-ranking alternative (r18: the lever the
+    // t29-shaped window needs under source skew, where WindowGroupLimit
+    // does not apply and AQE cannot split a window partition). Pin both
+    // halves of the claim: (1) exact row_number equivalence on a skewed
+    // key distribution incl. a dominant key, (2) the dominant key's rows
+    // actually SPAN multiple range partitions — the property the hash
+    // window structurally cannot have.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id") * 2654435761L, lit(1000)).as("priority"))
+      // force a dominant key: fold 60% of sources into one
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(10)) < 6, lit("hot")).otherwise(col("source")))
+    val windowed = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("priority"), col("doc_id"))).cast("long"))
+      .select("doc_id", "rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = ScaleTechniques.rangeSortedRank(
+      docs, "source", Seq("priority", "doc_id"), "rk", partitions = 8)
+    val viaRange = ranked.select("doc_id", "rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRange == windowed,
+      s"rank mismatch on ${viaRange.count { case (k, v) => windowed.get(k) != Some(v) }} docs")
+    // the hot key spans >1 partition in the ranked layout
+    val hotParts = ranked.filter(col("source") === "hot")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(hotParts > 1,
+      s"hot key landed in $hotParts partition(s) — the split never happened")
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy(col("l_returnflag"))
