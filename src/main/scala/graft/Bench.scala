@@ -357,13 +357,31 @@ object Bench {
     // degrades to an empty array, same as the recovery heuristic.
     val violations = results.flatMap { case (n, med) =>
       anchors.get(n).filter(a => med > 2 * a && med - a > 0.3).map { a =>
-        val floor = repLog.get(n).map(_.min).getOrElse(med)
+        val reps0 = repLog.getOrElse(n, Seq(med))
+        val floor = reps0.min
         val host = hostLog.getOrElse(n, "")
         val st = """"steal":([0-9.]+)""".r.findFirstMatchIn(host)
           .map(_.group(1)).getOrElse("0")
         val jc = """"jif_class":"(\w+)"""".r.findFirstMatchIn(host)
           .map(_.group(1)).getOrElse("unknown")
-        s"""{"n":${q(n)},"a":${f3(a)},"m":${f3(med)},"f":${f3(floor)},"st":$st,"jc":${q(jc)}}"""
+        // r17 verdict task 7 (stretch): emit the calibrated READ-RULE
+        // class itself (BASELINE.md STEAL REGIME) so the driver artifact
+        // needs zero human interpretation. steal-regime = the entry's own
+        // window shows burst steal (>=5%), jiffy accounting healthy, and
+        // at least one rep escaped the burst to read inside the violation
+        // bar — the shape the freezer-antagonist calibration reproduced.
+        // suspect = effectively NO steal in the window and flat reps
+        // (spread <= 25% of the slowest): every rep read slow on a quiet
+        // host, which is what a real plan regression looks like.
+        // indeterminate = neither signature; read rep_times + host.
+        val stD = st.toDoubleOption.getOrElse(0.0)
+        val floorInBar = floor <= 2 * a || floor - a <= 0.3
+        val flat = (reps0.max - reps0.min) <= 0.25 * reps0.max
+        val cl =
+          if (stD >= 0.05 && jc == "healthy" && floorInBar) "steal-regime"
+          else if (stD < 0.01 && flat) "suspect"
+          else "indeterminate"
+        s"""{"n":${q(n)},"a":${f3(a)},"m":${f3(med)},"f":${f3(floor)},"st":$st,"jc":${q(jc)},"cl":${q(cl)}}"""
       }
     }.mkString("[", ",", "]")
     // key order matters for the ARCHIVED record, not for JSON semantics:
