@@ -20,6 +20,13 @@ import graft.streaming.JobStream.{JobRequest, StatusEvent}
   */
 object BatchPipeline {
 
+  /** Default records-per-shard-file cap. ONE definition because the
+    * x_export_manifest ORACLE recomputes the shard count from it
+    * (ceil(rows/cap) under the single-writer-task contiguity contract) —
+    * a drift between the writer's cap and the oracle's divisor would
+    * surface as a driver hash mismatch, which is intended. */
+  val DefaultShardCap = 10000
+
   case class RoundResult(events: Dataset[StatusEvent], finalJobs: DataFrame)
 
   /** One scheduler round over a jobs snapshot. */
@@ -100,7 +107,7 @@ object BatchPipeline {
     * shared bases; the only new work is one doc_id equi-join and the
     * export shuffle (one task per routing value). */
   def exportCleanCorpus(spark: SparkSession, dir: String, outDir: String,
-      maxRecordsPerFile: Int = 10000): DataFrame =
+      maxRecordsPerFile: Int = DefaultShardCap): DataFrame =
     exportCleanCorpusAudited(spark, dir, outDir, maxRecordsPerFile).manifest
 
   /** [[exportCleanCorpus]] plus the conservation baseline: the clean frame
@@ -111,7 +118,7 @@ object BatchPipeline {
     * one bounded row per routing value (languages), the legitimate
     * driver-side scalar, and the cache is dropped before returning. */
   def exportCleanCorpusAudited(spark: SparkSession, dir: String,
-      outDir: String, maxRecordsPerFile: Int = 10000): ExportAudit = {
+      outDir: String, maxRecordsPerFile: Int = DefaultShardCap): ExportAudit = {
     // unordered form on purpose: the embedded presentation sort would be
     // elided under the join by EliminateSorts anyway, but composing the
     // snapshot scan directly keeps the intent explicit (the d7KeepSet /
@@ -145,7 +152,7 @@ object BatchPipeline {
     * shard a contiguous skey range, so training order is the reproducible
     * pseudo-random permutation the layout query describes. */
   def exportShuffled(frame: DataFrame, outDir: String,
-      maxRecordsPerFile: Int = 10000,
+      maxRecordsPerFile: Int = DefaultShardCap,
       policy: graft.model.ExportPolicy =
         graft.model.ExportPolicy.Default): Unit =
     graft.sinks.ShardWriter.writeShards(
@@ -178,7 +185,7 @@ object BatchPipeline {
     * backup that lost its marker). With either signal the two applies
     * commute (DeltaExportSpec). */
   def applyExportDelta(spark: SparkSession, dir: String, exportDir: String,
-      maxRecordsPerFile: Int = 10000,
+      maxRecordsPerFile: Int = DefaultShardCap,
       forgetApplied: Boolean = false,
       policy: graft.model.ExportPolicy =
         graft.model.ExportPolicy.Default): DeltaApplied = {
@@ -239,7 +246,7 @@ object BatchPipeline {
     * index bases rebuild through their own snapshot-eviction seam
     * ([[graft.plans.Snapshot]]) exactly as a compaction fold does. */
   def applyForget(spark: SparkSession, dir: String, exportDir: String,
-      maxRecordsPerFile: Int = 10000,
+      maxRecordsPerFile: Int = DefaultShardCap,
       policyV2: Boolean = false,
       policy: graft.model.ExportPolicy =
         graft.model.ExportPolicy.Default): ForgetApplied = {

@@ -57,8 +57,8 @@ object ExportQueries {
     * DuckDB recomputes the whole t12 CTE stack independently
     * ([[TextQueries.t12OracleCtes]] — one definition, two final SELECTs),
     * so the export path's arithmetic is cross-engine hash-pinned;
-    * [[xExportManifest]] keeps only the file-layout tier (shard counts,
-    * rows_conserved vs the actual write) rows-only. */
+    * [[xExportManifest]]'s file-layout tier is oracle-bound too since
+    * r18 via the ceil(rows/cap) contract (see oracleSql). */
   def xExportCounts(spark: SparkSession, dir: String): DataFrame =
     TextQueries.t12CleanUnordered(spark, dir)
       .join(TextQueries.corpus(spark, dir).select("doc_id", "lang"), "doc_id")
@@ -789,6 +789,33 @@ object ExportQueries {
            |WHERE x.doc_id IS NULL
            |GROUP BY c.lang
            |ORDER BY c.lang""".stripMargin),
+      // the manifest's LAYOUT tier is contract-bound too (r18, retiring
+      // the last rows-only row): with one writer task per routing value
+      // (salts=1) and a fixed records-per-file cap, minimal contiguous
+      // rolling gives n_shards = ceil(rows/cap) exactly; written_rows
+      // must equal the independently recomputed survivor count and
+      // rows_conserved must read 1. A writer that dropped rows, split
+      // files early, or left a stale shard changes a value and the
+      // driver's hash goes red.
+      "x_export_manifest" -> TextQueries.oracle(
+        s"""${TextQueries.t12OracleCtes},
+           |expected AS (
+           |  SELECT c.lang, CAST(count(*) AS BIGINT) AS expected_rows
+           |  FROM keepset k
+           |  JOIN quality q ON k.doc_id = q.doc_id
+           |    AND q.quality_micro >= ${TextQueries.CleanQualityFloor}
+           |  LEFT JOIN contaminated x ON k.doc_id = x.doc_id
+           |  JOIN corpus c ON k.doc_id = c.doc_id
+           |  WHERE x.doc_id IS NULL
+           |  GROUP BY c.lang)
+           |SELECT lang,
+           |       CAST(ceil(expected_rows /
+           |         ${graft.pipeline.BatchPipeline.DefaultShardCap}.0) AS BIGINT)
+           |         AS n_shards,
+           |       expected_rows AS written_rows,
+           |       CAST(1 AS BIGINT) AS rows_conserved
+           |FROM expected
+           |ORDER BY lang""".stripMargin),
       // the shuffle layout: the SAME t12 CTE stack (cleanset inlines
       // t12's final join), then the salted-key shard+rank arithmetic
       "x_shuffle_shards" -> TextQueries.oracle(
@@ -998,5 +1025,7 @@ object ExportQueries {
 
   /** No oracle possible for the manifest (file-layout-dependent); see the
     * scaladoc above. The compaction audit IS oracle-checked. */
-  val rowsOnly: Set[String] = Set("x_export_manifest")
+  /** Empty since r18: the manifest's shard-count tier oracles by the
+    * ceil(rows/cap) single-writer-contiguity contract (see oracleSql). */
+  val rowsOnly: Set[String] = Set.empty
 }
