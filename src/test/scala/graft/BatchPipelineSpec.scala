@@ -21,6 +21,18 @@ class BatchPipelineSpec extends AnyFunSuite {
     TextQueries.releaseCaches()
     assert(survivors > 0 && man.map(_._2).sum == survivors)
     assert(man.forall(_._2 <= 30L), "record cap violated")
+    // the ceil(rows/cap) layout contract the r18 x_export_manifest oracle
+    // recomputes, pinned here at a cap SMALL enough to force multi-shard
+    // langs (the driver's sf0.01 gate sees only single-shard langs):
+    // minimal contiguous rolling means exactly ceil files per lang.
+    val byLang = man.groupBy(_._1)
+      .map { case (lang, files) => lang -> (files.length, files.map(_._2).sum) }
+    byLang.foreach { case (lang, (nFiles, rows)) =>
+      assert(nFiles.toLong == (rows + 29) / 30,
+        s"$lang: $nFiles files for $rows rows breaks the ceil(rows/cap) contract")
+    }
+    assert(byLang.values.exists(_._1 > 1),
+      "no multi-shard language — the ceil contract was not exercised")
     // the written corpus round-trips with the redacted projection intact
     val cols = spark.read.parquet(out).columns.toSet
     assert(Set("doc_id", "quality_micro", "redacted", "lang").subsetOf(cols), cols)
