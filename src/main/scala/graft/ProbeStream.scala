@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, posexplode}
+
+/** stream_front_door attribution probe (optimization round r18).
+  *
+  * The bench's streaming entry reads 1.65x its anchor at floor on this
+  * host and is the single largest entry (~11% of the total). This main
+  * reproduces the bench fixture EXACTLY (same arrival slice, same
+  * artifacts, same LandingSink.runOnce drain) and then prints what the
+  * bench cannot: the StreamingQueryProgress durationMs breakdown per
+  * micro-batch, so the ~7-8 s floor is attributable to stream-start vs
+  * real-batch compute vs empty-batch state commits vs drain polling.
+  *
+  * A/B knobs (env), all defaulting to the bench's current shape:
+  *   GRAFT_PROBE_STREAM_SHUFFLE  state/shuffle partition count (default: cpus)
+  *   GRAFT_PROBE_MAT=1           pre-materialize corpusFps/corpusBands to
+  *                               parquet (the scaladoc'd production shape:
+  *                               "a parquet table the join reads per batch")
+  *   GRAFT_PROBE_CHANGELOG=1     RocksDB changelog checkpointing
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.ProbeStream <sfDir> [reps]
+  */
+object ProbeStream {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val streamShuffle = sys.env.getOrElse("GRAFT_PROBE_STREAM_SHUFFLE", cpus)
+    val mat = sys.env.get("GRAFT_PROBE_MAT").contains("1")
+    val changelog = sys.env.get("GRAFT_PROBE_CHANGELOG").contains("1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (changelog)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-probe-stream")
+    val srcDir = s"$base/arrivals"
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    docsAll.filter(col("doc_id") % 7 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val corpus = docsAll.filter(col("doc_id") % 7 === 1)
+    def fpsDF = corpus.select(col("doc_id"),
+      graft.ops.Fingerprint.col(col("text")).as("fp"))
+    def bandsDF = corpus.select(col("doc_id"),
+      posexplode(graft.queries.TextQueries.bandKeysCol(col("text")))
+        .as(Seq("band", "bkey")))
+    val (corpusFps, corpusBands) =
+      if (!mat) (fpsDF, bandsDF)
+      else {
+        val t0 = System.nanoTime()
+        fpsDF.write.mode("overwrite").parquet(s"$base/corpus_fps")
+        bandsDF.write.mode("overwrite").parquet(s"$base/corpus_bands")
+        System.err.println(f"[probe] artifact materialization ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        (spark.read.parquet(s"$base/corpus_fps"),
+          spark.read.parquet(s"$base/corpus_bands"))
+      }
+    val art = graft.streaming.EventStream.IngestArtifacts(
+      corpusFps = corpusFps,
+      corpusBands = corpusBands,
+      model = graft.queries.MlQueries.fitted(spark, sfDir),
+      merges = graft.queries.MlQueries.learnedMerges(spark, sfDir),
+      bucketWeights = graft.queries.TextQueries.dsirBucketWeights(spark, sfDir))
+
+    System.err.println(
+      s"[probe] cpus=$cpus streamShuffle=$streamShuffle mat=$mat changelog=$changelog")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val artMat = graft.streaming.EventStream.IngestArtifacts(
+      corpusFps = {
+        fpsDF.write.mode("overwrite").parquet(s"$base/corpus_fps")
+        spark.read.parquet(s"$base/corpus_fps")
+      },
+      corpusBands = {
+        bandsDF.write.mode("overwrite").parquet(s"$base/corpus_bands")
+        spark.read.parquet(s"$base/corpus_bands")
+      },
+      model = art.model, merges = art.merges,
+      bucketWeights = art.bucketWeights)
+    // interleaved config matrix: each rep runs every config back-to-back,
+    // so a host slow window hits all configs of that rep roughly equally
+    // and the per-rep RATIOS stay meaningful on this steal-prone box
+    val configs: Seq[(String, String, Boolean, Boolean)] = Seq(
+      ("base32", cpus, false, false),
+      ("s8matlog", "8", true, true),
+      ("s4matlog", "4", true, true))
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    var n = 0
+    (1 to reps).foreach { round =>
+      configs.foreach { case (label, shuffle, useMat, useLog) =>
+        n += 1
+        val landDir = s"$base/landing-$n"
+        val ckpt = s"$base/ckpt-$n"
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        spark.conf.set(changelogKey, useLog.toString)
+        val theArt = if (useMat) artMat else art
+        val t0 = System.nanoTime()
+        val stream = spark.readStream.schema(docsAll.schema).parquet(srcDir)
+        val q = graft.sinks.LandingSink.start(
+          graft.streaming.EventStream.ingestFrontDoorCapped(
+            stream, theArt, cap = 200L),
+          landDir, ckpt,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        val drained = graft.sinks.LandingSink.drainAndStop(q, 240000L)
+        val tAll = (System.nanoTime() - t0) / 1e9
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val batches = q.recentProgress.map { p =>
+          s"b${p.batchId}:${p.numInputRows}r=${p.durationMs.get("triggerExecution")}ms"
+        }.mkString(" ")
+        System.err.println(f"[probe] rep $round $label%-9s total=$tAll%7.3f drained=$drained  $batches")
+      }
+    }
+    graft.plans.Snapshot.deleteTree(base)
+    spark.stop()
+  }
+}

@@ -39,7 +39,7 @@ object Snapshot {
     * so every pre-existing snapshot goes stale at once. (Per-callsite revs
     * would be finer-grained, but a missed bump silently serves stale data
     * — one epoch, bumped on any build change, is the safe contract.) */
-  private val logicEpoch = "e12d" // r12: toks/simhash/sigs bases moved to native expressions
+  private val logicEpoch = "e18a" // r18: repartition-width builds; fps derives from toks
 
   /** Escape hatch for dev loops: -Dgraft.snapshot.reuse=false (or env
     * GRAFT_SNAPSHOT_REUSE=false) forces every build to run, ignoring and
@@ -232,7 +232,19 @@ object Snapshot {
           // sweeper — the final path is never observable half-written.
           val tmp = root.resolve(
             s".tmp-${path.getFileName}-${java.util.UUID.randomUUID()}")
-          build.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
+          // repartition, NOT coalesce (r18 optimization round): coalesce
+          // back-propagates through the build's narrow chain and fused the
+          // ENTIRE build — tokenize, minhash, decode — onto `files` tasks
+          // (files=1 ⇒ a single-core build on a 32-core host; measured:
+          // the built-mode warm pass ran its per-row compute at width 1-4
+          // because the small fixture parquets scan as one split). The
+          // round-robin exchange decouples build width from file count:
+          // compute runs at the plan's own parallelism, only the
+          // already-small RESULT is shuffled into `files` output files.
+          // Row-to-file assignment stays deterministic
+          // (sortBeforeRepartition, on by default) and no consumer
+          // depends on file layout — every oracled query re-sorts.
+          build.repartition(files).write.mode("overwrite").parquet(tmp.toString)
           java.nio.file.Files.write(tmp.resolve("_GRAFT_OK"),
             stamp.getBytes("UTF-8"))
           val lockCh = java.nio.channels.FileChannel.open(

@@ -297,12 +297,32 @@ object MlQueries {
     * the loop's end state IS the corpus vocabulary encoded under every
     * learned merge, so the encode query (t21) costs no extra pass. */
   private[graft] def train(words0: DataFrame, k: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainWithCadence(words0, k,
+      sys.env.get("SPARK_GRAFT_BPE_CKPT_EVERY").flatMap(_.toIntOption)
+        .getOrElse(4).max(1)) // env override for A/B probes; semantics-free
+
+  /** [[train]] with an explicit checkpoint cadence — r18 optimization
+    * round. The per-merge localCheckpoint is lineage hygiene, not
+    * semantics: between checkpoints each round's argmax re-applies at
+    * most `ckptEvery − 1` pending mergeCol folds on the fly, which on
+    * the distinct-words table is array arithmetic, while the eager
+    * materialization it replaces was a whole extra Spark job per round
+    * (k rounds paid 2k sequential job latencies; the LOOP, not the data,
+    * dominated warm_model_memos' bpe stage). Depth stays bounded at
+    * `ckptEvery` folds so codegen never sees an unbounded expression
+    * tree. BpeSpec's exact-reference pin is unchanged — same merges,
+    * same end state at any cadence (ProbeModels asserts table equality
+    * between cadences in-process). */
+  private[graft] def trainWithCadence(words0: DataFrame, k: Int,
+      ckptEvery: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var words = words0
       .select(col("word"), symsCol(col("word")).as("syms"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
+    val CkptEvery = ckptEvery
+    var pendingFolds = 0
     for (round <- 1 to k if !exhausted) {
       val top = words.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(
@@ -319,9 +339,16 @@ object MlQueries {
         merges += ((round, l, r, cnt))
         words = words
           .select(col("word"), mergeCol(col("syms"), l, r).as("syms"), col("freq"))
-          .localCheckpoint(true)
+        pendingFolds += 1
+        if (pendingFolds == CkptEvery) {
+          words = words.localCheckpoint(true)
+          pendingFolds = 0
+        }
       }
     }
+    // the returned end state must stay cheap to re-scan (t21's vocab join
+    // reads it repeatedly): flush any pending folds into one final snapshot
+    if (pendingFolds > 0) words = words.localCheckpoint(true)
     (merges.toSeq, words)
   }
 

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** warm_model_memos attribution probe (optimization round r18): times the
+  * BPE train loop and the quantizer train repeatedly in ONE process so
+  * the checkpoint-cadence and argmax-shape changes can be A/B'd on this
+  * steal-prone host (interleaved same-window pairs; single-shot warm
+  * entries swing 2-3x between process runs here).
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.queries.ProbeModels <sfDir> [reps]
+  */
+object ProbeModels {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the toks snapshot outside the timed loops
+    TextQueries.tokenizedCorpus(spark, sfDir).count()
+    val words0 = MlQueries.wordFreq(spark, sfDir)
+      .localCheckpoint(true)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    (1 to reps).foreach { r =>
+      val merges1 = scala.collection.mutable.ArrayBuffer[Seq[(Int, String, String, Long)]]()
+      val tOld = time { merges1 += MlQueries.trainWithCadence(words0, 16, 1)._1 }
+      val tNew = time { merges1 += MlQueries.trainWithCadence(words0, 16, 4)._1 }
+      require(merges1(0) == merges1(1), "merge tables diverged between cadences")
+      System.err.println(f"[probe-models] rep $r bpe ckpt1=$tOld%.3f ckpt4=$tNew%.3f (identical merges)")
+    }
+    // the A/B flag is read per assignCells call, so the two quantizer
+    // shapes interleave inside one process (same host window); rows are
+    // asserted identical each rep
+    (1 to reps).foreach { r =>
+      VectorQueries.assignWindowForProbe = true
+      var a: Seq[(Long, Seq[Double])] = null
+      val tW = time { a = VectorQueries.quantizerRowsUnmemoized(spark, sfDir) }
+      VectorQueries.assignWindowForProbe = false
+      var b: Seq[(Long, Seq[Double])] = null
+      val tA = time { b = VectorQueries.quantizerRowsUnmemoized(spark, sfDir) }
+      require(a == b, "quantizer rows diverged between argmax shapes")
+      System.err.println(f"[probe-models] rep $r quantizer window=$tW%.3f agg=$tA%.3f (identical rows)")
+    }
+    spark.stop()
+  }
+}

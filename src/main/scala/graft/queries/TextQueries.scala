@@ -194,8 +194,23 @@ object TextQueries {
     * files=4 keeps the consumers' scan parallelism (coalesce caps at the
     * build's own partition count, so this never adds an exchange). */
   private def cachedToks(spark: SparkSession, dir: String): DataFrame =
-    checkpointed(spark, dir, "toks", files = 4)(
-      corpus(spark, dir).withColumn("toks", toksCol(col("text"))))
+    checkpointed(spark, dir, "toks", files = 4)({
+      // r18 optimization round: the fixture parquet scans as ONE split
+      // (580 KB at sf0.1), so the tokenize pass — the whole corpus's
+      // per-row work — ran single-task. Widen BEFORE the heavy per-row
+      // compute when (and only when) the scan is narrower than the
+      // session's parallelism: at real scale the input arrives in many
+      // splits and the repartition is skipped — shuffling a 100 TB text
+      // corpus to "parallelize" it would be the bug, not the fix. The
+      // exchange moves the raw rows once (small here by construction:
+      // it only fires when the input was a handful of splits).
+      val c = corpus(spark, dir)
+      val width = spark.sparkContext.defaultParallelism
+      val widened =
+        if (c.rdd.getNumPartitions < math.min(width, 16)) c.repartition(width)
+        else c
+      widened.withColumn("toks", toksCol(col("text")))
+    })
 
   /** THE whitespace tokenization, as one shared Column definition: the
     * checkpointed batch base and every streaming ingest twin
@@ -456,8 +471,14 @@ object TextQueries {
     * lineage): one corpus scan + md5 per session instead of one per
     * consumer. */
   private[queries] def cachedFps(spark: SparkSession, dir: String): DataFrame =
+    // r18 optimization round: build off the toks snapshot (same rows as
+    // corpus() by construction — toks adds a column, filters nothing)
+    // instead of re-running the 3-scan union + regexp mutant derivation;
+    // the fps build stage becomes one narrow snapshot scan + md5. Every
+    // consumer (d1/d7/d9, the compaction and forget probes) reads the
+    // same (doc_id, fp) rows as before.
     checkpointed(spark, dir, "fps")(
-      corpus(spark, dir).withColumn("fp", fpCol).select("doc_id", "fp"))
+      cachedToks(spark, dir).withColumn("fp", fpCol).select("doc_id", "fp"))
 
   /** Exact dedup: hash-groupBy on normalised content; emit duplicate groups
     * (canonical = min doc_id). One shuffle keyed by the 128-bit fingerprint
@@ -753,14 +774,36 @@ object TextQueries {
     * is a fixture-scale artifact, not a 100 TB concern. */
   def d8LevenshteinVerify(spark: SparkSession, dir: String): DataFrame = {
     val maxDist = 40
-    val c = corpus(spark, dir).select(col("doc_id"), col("text"))
-    cachedCands(spark, dir)
-      .join(c.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(c.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(abs(length(col("ca.text")) - length(col("cb.text"))) <= maxDist)
+    // r18 optimization round — three changes, same output (oracle-proven):
+    //   1. Text comes off the checkpointed toks snapshot (same rows as
+    //      corpus() by construction) instead of re-running the 3-scan
+    //      union + regexp mutant derivation on BOTH join sides: the old
+    //      plan carried SIX documents.parquet scans per rep.
+    //   2. The PAIR side broadcasts explicitly (guide §3.1): the old plan
+    //      broadcast the whole corpus-with-text on the second join — at
+    //      100 TB that side is corpus-proportional and over any broadcast
+    //      cap, while the candidate side is LSH-output-proportional by
+    //      construction. Two candidate-proportional broadcasts, the
+    //      corpus scanned (never shuffled, never broadcast) twice.
+    //   3. The DP is guarded INSIDE one conditional expression: the old
+    //      `.filter(between(0, maxDist))` was pushed into the join
+    //      condition, where `lev >= 0 AND lev <= 40` ran the banded DP
+    //      twice per candidate BEFORE the length prefilter (the optimizer
+    //      ordered the pushed conjuncts ahead of it — plan excerpt in
+    //      OPTIMIZATION_r18.md). The when() makes length-gate-then-DP one
+    //      expression the optimizer cannot split or reorder, and
+    //      `>= 0` keeps the exact between(0, maxDist) semantics because
+    //      the 3-arg levenshtein returns −1 above its threshold.
+    val c = cachedToks(spark, dir).select(col("doc_id"), col("text"))
+    val withA = c
+      .join(broadcast(cachedCands(spark, dir)), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
+    c.join(broadcast(withA), col("doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ca.text"), col("cb.text"), maxDist).as("edit_distance"))
-      .filter(col("edit_distance").between(0, maxDist))
+        when(abs(length(col("text_a")) - length(col("text"))) <= maxDist,
+          levenshtein(col("text_a"), col("text"), maxDist))
+          .otherwise(lit(-1)).as("edit_distance"))
+      .filter(col("edit_distance") >= 0)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -303,6 +303,11 @@ object VectorQueries {
     * quantizer's 6-decimal precision); float_dot accepts mixed float/double
     * sides since round 5, so the K-per-row centroid scoring runs the same
     * codegen'd loop as v1/v3. */
+  /** ProbeModels' A/B switch: forces the pre-r18 window argmax in
+    * [[assignCells]] so the two shapes can be timed interleaved in one
+    * process. Never set outside the probe. */
+  @volatile private[graft] var assignWindowForProbe = false
+
   private def assignCells(cent: DataFrame, src: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // norms are per-vector / per-centroid — compute them once before the
@@ -314,13 +319,34 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(dot(col("embedding"), col("cvec")) /
           (col("nrm") * col("cn")), 6).as("ccos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell").asc)
     // ccos (the rounded cosine to the assigned centroid) rides along:
     // v11's prototypicality IS this value, and keeping it costs nothing —
     // every other caller projects it away explicitly
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+    if (k == 1 && !assignWindowForProbe) {
+      // r18 optimization round: the 1-nearest assignment — every Lloyd
+      // pass and every corpus/monitor assignment — is an argmax, not a
+      // rank, so it aggregates instead of windowing: max over
+      // struct(ccos, −cell) reproduces the (ccos desc, cell asc)
+      // tie-break exactly (struct comparison is field-lexicographic, and
+      // (ccos, cell) is unique within a vec_id group by construction —
+      // one scored row per centroid). The win is plan shape: groupBy
+      // partial-aggregates the K-per-vector scored rows map-side, so the
+      // exchange carries one row per vector instead of K, and the
+      // window's per-partition sort disappears. Same rows out —
+      // VectorSpec's recall/fixed-point pins and the oracles are the
+      // equivalence evidence.
+      scored
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("cell")).as("negcell"),
+          col("embedding"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          (-col("m.negcell")).as("cell"), col("m.ccos").as("ccos"))
+    } else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+    }
   }
 
   /** Memoized IVF quantizer training — Lloyd: seeds -> (assign -> mean) x
@@ -351,25 +377,39 @@ object VectorQueries {
         .as[(Long, Seq[Double])].collect().toSeq
         .toDF("cell", "cvec")
     quantizers.synchronized(quantizers.get((dir, cells, sampleTarget))).getOrElse {
-      val seeds = e.filter(col("vec_id") < cells)
-        .select(col("vec_id").as("cell"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-      // train on the bounded deterministic sample (full when the corpus
-      // fits the budget); the final corpus assignment (assignCells at the
-      // consumers) still covers every vector
-      val trainSet = trainSampleOf(e, e.count(), sampleTarget)
-      val trained = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
-        toLocal(assignCells(c, trainSet, 1)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-          .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
-      }
-      val rows = trained.as[(Long, Seq[Double])].collect().toSeq
+      val rows = quantizerRowsUnmemoized(spark, dir, cells, sampleTarget)
       quantizers.synchronized(quantizers.getOrElseUpdate((dir, cells, sampleTarget), rows))
     }
+  }
+
+  /** The quantizer build itself, memo-free (ProbeModels times it
+    * repeatedly; production callers go through [[quantizerRows]]). */
+  private[graft] def quantizerRowsUnmemoized(spark: SparkSession, dir: String,
+      cells: Int = IvfCells,
+      sampleTarget: Long = TrainSampleTarget): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    def toLocal(c: DataFrame): DataFrame =
+      c.select(col("cell").cast("bigint"), col("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+        .toDF("cell", "cvec")
+    val seeds = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    // train on the bounded deterministic sample (full when the corpus
+    // fits the budget); the final corpus assignment (assignCells at the
+    // consumers) still covers every vector
+    val trainSet = trainSampleOf(e, e.count(), sampleTarget)
+    val trained = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
+      toLocal(assignCells(c, trainSet, 1)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .select(col("cell"), expr("transform(pcs, x -> x.cv)").as("cvec")))
+    }
+    trained.as[(Long, Seq[Double])].collect().toSeq
   }
 
   /** Per-row cell assignment as a pure Column expression over the LOCAL
