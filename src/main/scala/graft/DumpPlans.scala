@@ -34,6 +34,11 @@ object DumpPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PLANS_OLD_ASSIGN=1: render the pre-r18 window argmax in
+    // assignCells so the v-block's BEFORE plans can be captured after the
+    // code change landed (the probe flag forces the old shape).
+    if (sys.env.get("GRAFT_PLANS_OLD_ASSIGN").contains("1"))
+      graft.queries.VectorQueries.assignWindowForProbe = true
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val sel = SparkEntry.queries.filter { case (k, _) => only.forall(_(k)) }
     only.foreach { o =>
