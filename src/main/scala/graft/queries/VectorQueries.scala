@@ -1011,12 +1011,56 @@ object VectorQueries {
       .unionByName(e.filter(col("vec_id") % 100 === 7)
         .select((col("vec_id") + 8000000L).as("vec_id"),
           nudgedNeg(col("embedding")).as("embedding")))
-    // audit-only consumer: drop the survivor pin immediately (the
-    // xCompactAudit release discipline)
-    val r = graft.pipeline.VectorCompaction.compact(arrivals,
-      corpusCellIndex(spark, dir), quantizerRows(spark, dir))
-    r.release()
-    r.audit
+    // r18 optimization round — the xCompactAudit single-pass discipline:
+    // VectorCompaction.compact's audit paid three sequential count()
+    // actions; the same three tier numbers fall out of ONE conditional
+    // aggregate over a tier-annotated arrival frame. The corpus tier is
+    // marked by a LEFT SEMI probe (the gate's own cell+cosine condition —
+    // semi, not a hit-marking left join, because an arrival can match
+    // MANY corpus vectors and must still count once); the intra-batch
+    // tier is the within-cell greater-id self-join restricted to corpus
+    // survivors, exactly compact's tier order. Cell assignment and norm
+    // are the gate's own shared definitions (withCellAssigned / norm), so
+    // the tiers cannot drift from VectorCompaction.compact — which stays
+    // untouched for the production fold path (VectorSpec/pipeline specs),
+    // while the DuckDB oracle recomputes these numbers independently.
+    val cents = quantizerRows(spark, dir)
+    val idx = corpusCellIndex(spark, dir)
+      .select(col("cell").as("c_cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val withCell = withCellAssigned(arrivals, "embedding", "cell", cents)
+      .withColumn("nrm", norm(col("embedding")))
+    val gateCond = col("cell") === col("c_cell") &&
+      round(dot(col("embedding"), col("c_emb")) /
+        (col("nrm") * col("c_nrm")), 6) >= SemDedupCosine.toDouble
+    val corpusHits = withCell.join(idx, gateCond, "left_semi")
+      .select(col("vec_id")).withColumn("ch", lit(1))
+    val ann = withCell.join(corpusHits, Seq("vec_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p1 = ann.filter(col("ch").isNull)
+    val a = p1.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("cell").as("ca"), col("nrm").as("na"))
+    val b = p1.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("cell").as("cb"), col("nrm").as("nb"))
+    val drops = a.join(b,
+        col("ca") === col("cb") && col("va") < col("vb") &&
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            >= SemDedupCosine.toDouble)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("nd", lit(1))
+    val tier = when(col("ch").isNotNull, "corpus_near")
+      .when(col("nd").isNotNull, "batch_near")
+      .otherwise("appended")
+    val audit = ann.join(drops, Seq("vec_id"), "left")
+      .select(tier.as("tier"))
+      .agg(
+        count(lit(1)).as("n_arrivals"),
+        count(when(col("tier") === "corpus_near", 1)).as("n_corpus_near"),
+        count(when(col("tier") === "batch_near", 1)).as("n_batch_near"),
+        count(when(col("tier") === "appended", 1)).as("n_appended"))
+      .localCheckpoint(true) // materialize before releasing the pin
+    ann.unpersist(blocking = false)
+    audit
   }
 
   /** v16's imbalance alert bar: a cell holding more than twice its fair
