@@ -34,11 +34,9 @@ object DumpPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // GRAFT_PLANS_OLD_ASSIGN=1: render the pre-r18 window argmax in
-    // assignCells so the v-block's BEFORE plans can be captured after the
-    // code change landed (the probe flag forces the old shape).
-    if (sys.env.get("GRAFT_PLANS_OLD_ASSIGN").contains("1"))
-      graft.queries.VectorQueries.assignWindowForProbe = true
+    // (r19: the GRAFT_PLANS_OLD_ASSIGN hook is gone with the mutable
+    // assignWindowForProbe flag — the assignment shape is a per-call
+    // parameter now, and the r18/r19 before-plans are already committed.)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val sel = SparkEntry.queries.filter { case (k, _) => only.forall(_(k)) }
     only.foreach { o =>

@@ -38,18 +38,21 @@ object ProbeModels {
       require(merges1(0) == merges1(1), "merge tables diverged between cadences")
       System.err.println(f"[probe-models] rep $r bpe ckpt1=$tOld%.3f ckpt4=$tNew%.3f (identical merges)")
     }
-    // the A/B flag is read per assignCells call, so the two quantizer
-    // shapes interleave inside one process (same host window); rows are
-    // asserted identical each rep
+    // the assignment shape is a per-call PARAMETER (r19 — the r18 mutable
+    // flag is gone), so the three quantizer shapes interleave inside one
+    // process (same host window); rows are asserted identical each rep
     (1 to reps).foreach { r =>
-      VectorQueries.assignWindowForProbe = true
       var a: Seq[(Long, Seq[Double])] = null
-      val tW = time { a = VectorQueries.quantizerRowsUnmemoized(spark, sfDir) }
-      VectorQueries.assignWindowForProbe = false
+      val tW = time { a = VectorQueries.quantizerRowsUnmemoized(spark, sfDir,
+        k1Shape = VectorQueries.K1Window) }
       var b: Seq[(Long, Seq[Double])] = null
-      val tA = time { b = VectorQueries.quantizerRowsUnmemoized(spark, sfDir) }
-      require(a == b, "quantizer rows diverged between argmax shapes")
-      System.err.println(f"[probe-models] rep $r quantizer window=$tW%.3f agg=$tA%.3f (identical rows)")
+      val tA = time { b = VectorQueries.quantizerRowsUnmemoized(spark, sfDir,
+        k1Shape = VectorQueries.K1Agg) }
+      var c: Seq[(Long, Seq[Double])] = null
+      val tE = time { c = VectorQueries.quantizerRowsUnmemoized(spark, sfDir,
+        k1Shape = VectorQueries.K1Expr) }
+      require(a == b && b == c, "quantizer rows diverged between argmax shapes")
+      System.err.println(f"[probe-models] rep $r quantizer window=$tW%.3f agg=$tA%.3f expr=$tE%.3f (identical rows)")
     }
     spark.stop()
   }

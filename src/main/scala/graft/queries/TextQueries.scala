@@ -191,8 +191,10 @@ object TextQueries {
     * signature BASELINE.md's cold-cache note predicted (t5 5.6x, t6 6.4x,
     * t4 2.0x while the q/e blocks stayed normal): files on disk close that
     * failure mode the same way round 5 closed it for the other bases.
-    * files=4 keeps the consumers' scan parallelism (coalesce caps at the
-    * build's own partition count, so this never adds an exchange). */
+    * files=4 keeps the consumers' scan parallelism. (r19 ADVICE fix: the
+    * snapshot write has been repartition(files) since r18 — a round-robin
+    * exchange of the already-small RESULT — so the old "coalesce never
+    * adds an exchange" note no longer described the build.) */
   private def cachedToks(spark: SparkSession, dir: String): DataFrame =
     checkpointed(spark, dir, "toks", files = 4)({
       // r18 optimization round: the fixture parquet scans as ONE split
@@ -794,11 +796,34 @@ object TextQueries {
     //      expression the optimizer cannot split or reorder, and
     //      `>= 0` keeps the exact between(0, maxDist) semantics because
     //      the 3-arg levenshtein returns −1 above its threshold.
+    //   4. (r19, VERDICT r18 task 2) the pair-side hints are SIZE-BOUNDED:
+    //      an unconditional broadcast() disables Spark's own size check,
+    //      and the candidate side — LSH-output-proportional, with full
+    //      text attached on the second join — has no a-priori cap; a
+    //      pathological LSH band at 100 TB could OOM the driver through
+    //      the hint. The contract reads the candidate SNAPSHOT's on-disk
+    //      size (plan statistics of the checkpointed parquet — a
+    //      driver-side metadata read, no job): at or under
+    //      graft.d8.broadcastMaxBytes (default 8 MB — pairs are two
+    //      BIGINTs, so even with ~100x expansion from the attached texts
+    //      the built relation stays well under broadcast limits) both
+    //      joins keep the broadcast; past it they fall back to
+    //      SHUFFLE_HASH with the pair side as build — the same join
+    //      sides, per-partition hash tables instead of a driver-held
+    //      relation, corpus still never sorted or broadcast. D8ShapeSpec
+    //      pins that the fallback engages under a forced tiny bound and
+    //      returns identical rows.
     val c = cachedToks(spark, dir).select(col("doc_id"), col("text"))
+    val cands = cachedCands(spark, dir)
+    val candsBytes = cands.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxBytes = BigInt(spark.conf.getOption("graft.d8.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(8L << 20))
+    def pairSide(df: DataFrame): DataFrame =
+      if (candsBytes <= maxBytes) broadcast(df) else df.hint("shuffle_hash")
     val withA = c
-      .join(broadcast(cachedCands(spark, dir)), col("doc_id") === col("doc_a"))
+      .join(pairSide(cands), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
-    c.join(broadcast(withA), col("doc_id") === col("doc_b"))
+    c.join(pairSide(withA), col("doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         when(abs(length(col("text_a")) - length(col("text"))) <= maxDist,
           levenshtein(col("text_a"), col("text"), maxDist))
@@ -947,20 +972,43 @@ object TextQueries {
       // skips the jump: labels are still the identity there, so
       // label(comp) == comp by construction — the join would shuffle the
       // whole label frame to compute a no-op.
-      val next = ckpt(
+      val jumped =
         if (rounds == 0) propagated
         else propagated.as("p")
           .join(labels.select(col("doc_id").as("comp"), col("comp").as("jump")),
             Seq("comp"), "left")
           .select(col("doc_id"),
             least(col("p.comp"), coalesce(col("jump"), col("p.comp"))).as("comp"),
-            col("p.prev").as("prev")))
-      // convergence: prev rode along THROUGH the checkpoint, so this is a
-      // filter over the files just materialized — the former per-round
-      // labels⋈next check cost one extra shuffle join per round, which on
-      // a deep graph doubled the loop's job count
-      converged = next.filter(col("comp") =!= col("prev")).isEmpty
-      labels = next.select("doc_id", "comp")
+            col("p.prev").as("prev"))
+      // r19 optimization round (VERDICT r18 task 7): the convergence probe
+      // is FUSED into the checkpoint action via an observed metric — the
+      // changed-row count is computed by the same tasks that materialize
+      // the round (CollectMetrics sits under the checkpoint/write), so
+      // each round is ONE job instead of two (materialize + re-scan), and
+      // `prev` no longer needs to ride through the checkpoint at all (the
+      // written label frame narrows to (doc_id, comp)). count(when(...))
+      // rather than sum(when(...)): count is never null on an empty frame.
+      val obs = org.apache.spark.sql.Observation()
+      val next = ckpt(jumped
+        .observe(obs, count(when(col("comp") =!= col("prev"), true))
+          .as("n_changed"))
+        .select("doc_id", "comp"))
+      // the metric arrives on the listener bus moments after the eager
+      // checkpoint returns; the bounded wait + recompute fallback keeps a
+      // lost listener event from hanging the loop (never observed — the
+      // belt-and-braces mirror of the coalesce above, and the fallback
+      // errs toward MORE rounds, which converged labels render a no-op).
+      val nChanged: Long =
+        scala.util.Try(scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(10, "s"))) match {
+          case scala.util.Success(row) => row.getAs[Long]("n_changed")
+          case scala.util.Failure(_) =>
+            System.err.println(
+              "[graft] d9 observed metric missing; recomputing convergence probe")
+            jumped.filter(col("comp") =!= col("prev")).limit(1).count()
+        }
+      converged = nChanged == 0L
+      labels = next
       rounds += 1
     }
     if (!converged)
@@ -1120,8 +1168,16 @@ object TextQueries {
     val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
       .filter(length(col("token")) >= 4)
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select("doc_id", "token").distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // r19 optimization round (VERDICT r18 task 8): df used to be computed
+    // from a SECOND explode of the toks base — `tok.distinct()` then
+    // groupBy(token) — i.e. two full explode passes and a distinct
+    // exchange of every (doc, token) pair. But tf already holds exactly
+    // one row per distinct (doc, token) (that is what the groupBy means),
+    // so df is a re-aggregation of tf: same numbers, one explode, and the
+    // (doc,token)-keyed exchange is shared by both consumers (exchange
+    // reuse) instead of paid twice. Plan: 4 toks-snapshot scans → 2;
+    // distinct exchange gone (plans/r19/t7_tfidf_terms_{before,after}).
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("token"), col("tf"),
@@ -1619,7 +1675,29 @@ object TextQueries {
     val occ = shingles(spark, dir) // one row per shingle POSITION
     val docCount = distinctShingles(spark, dir)
       .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
-    occ.join(docCount, "shingle")
+    // r19 optimization round (VERDICT r18 task 1, guide §2.5/§3.1): at
+    // fixture scale the planner's stats used to BROADCAST one side of
+    // this join — and the side it picked (the exploded position table)
+    // is corpus-proportional, as is docCount (distinct-vocabulary-
+    // proportional): NEITHER side of this join is broadcastable by
+    // contract at 100 TB, so the scale-safe shape is made explicit
+    // rather than left to fixture statistics. SHUFFLE_HASH with docCount
+    // as the build side: both sides exchange hash(shingle), each probe
+    // partition streams position rows against a per-partition (shingle,
+    // ndocs) hash table — no sort (the per-key payload is one row), no
+    // driver-side relation. Skew: hot shingles ("the end of"-type
+    // 3-grams that appear in ~every doc) concentrate the PROBE side, and
+    // because the join feeds from a fresh shuffle, AQE's skew-join
+    // splitting applies (it splits an oversized probe partition into
+    // mapper-range slices and replicates the build rows to each slice —
+    // works even when one key owns the partition; aggregation-side
+    // salting is NOT needed here because both aggregations — docCount's
+    // and the final per-doc rollup — partial-aggregate map-side, which
+    // collapses hot keys before their exchange). Measured at fixture
+    // scale and on the r18 SkewProbe Zipf fixture — numbers in
+    // OPTIMIZATION_r19.md; the post-join rollup is keyed by doc_id, so
+    // the shingle skew never reaches it.
+    occ.join(docCount.hint("shuffle_hash"), "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))

@@ -303,16 +303,62 @@ object VectorQueries {
     * quantizer's 6-decimal precision); float_dot accepts mixed float/double
     * sides since round 5, so the K-per-row centroid scoring runs the same
     * codegen'd loop as v1/v3. */
-  /** ProbeModels' A/B switch: forces the pre-r18 window argmax in
-    * [[assignCells]] so the two shapes can be timed interleaved in one
-    * process. Never set outside the probe. */
-  @volatile private[graft] var assignWindowForProbe = false
+  /** k=1 assignment shape, threaded as a PARAMETER (r19 — VERDICT r18
+    * task 9 retired the mutable probe flag): production callers take the
+    * default; ProbeModels passes the older shapes explicitly so the
+    * candidates can be timed interleaved in one process, and the spec
+    * asserts all three produce identical rows. */
+  private[graft] sealed trait K1Shape
+  private[graft] case object K1Expr extends K1Shape // r19: per-row argmax, zero exchange
+  private[graft] case object K1Agg extends K1Shape // r18: aggregate argmax
+  private[graft] case object K1Window extends K1Shape // pre-r18: window rank
 
-  private def assignCells(cent: DataFrame, src: DataFrame, k: Int): DataFrame = {
+  private def assignCells(cent: DataFrame, src: DataFrame, k: Int,
+      k1Shape: K1Shape = K1Expr): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // norms are per-vector / per-centroid — compute them once before the
     // K-way pairing, not once per (vector, cell) pair
     val cn = cent.withColumn("cn", norm(col("cvec")))
+    if (k == 1 && k1Shape == K1Expr) {
+      // r19 optimization round (VERDICT r18 task 3, taken to its
+      // first-principles end): the r18 aggregate argmax still EXPLODED
+      // the corpus K-ways through the centroid broadcast join and paid a
+      // SortAggregate pair per assignment (max over a struct buffer can
+      // never hash-aggregate — struct buffers are not UnsafeRow-mutable —
+      // and the array payload made each sorted row embedding-wide) plus
+      // an exchange of one embedding-carrying row per vector. But the
+      // quantizer is MODEL STATE (K x dims doubles, local rows by
+      // construction at every call site), so the argmax is computable
+      // per row with no join surface at all: the centroids ride in as
+      // ONE collected array row (a 1-row broadcast, the engine's
+      // documented BNLJ-cross pattern), and each vector takes
+      // array_max over transform(cents, ...) — struct comparison is
+      // field-lexicographic, so max of (ccos, -cell) reproduces the
+      // (ccos desc, cell asc) tie-break exactly as r18's aggregate did,
+      // and (ccos, cell) is unique per vector by construction. The
+      // cosine arithmetic is the IDENTICAL expression tree (same
+      // float_dot — whose dims-loop runs natively inside its own eval —
+      // same norm, same round-to-6), so every ccos is bit-identical.
+      // Plan: scan → project — ZERO exchanges, no sort, no per-vector
+      // shuffle row at ANY scale; assignment cost is now purely the
+      // K x dims dot products, which no shape can avoid. Equivalence:
+      // ProbeModels asserts row-identical quantizers across all three
+      // shapes in one process; VectorSpec pins recall/fixed-points; the
+      // oracles hash-pin every consumer.
+      val centArr = cn.agg(collect_list(
+        struct(col("cell"), col("cvec"), col("cn"))).as("cents"))
+      src.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+        .join(broadcast(centArr))
+        .select(col("vec_id"), col("embedding"),
+          array_max(transform(col("cents"), c =>
+            struct(
+              round(dot(col("embedding"), c("cvec")) /
+                (col("nrm") * c("cn")), 6).as("ccos"),
+              (-c("cell")).as("negcell")))).as("m"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("m.negcell")).as("cell"), col("m.ccos").as("ccos"))
+    } else {
     val scored = src.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
       .join(broadcast(cn))
@@ -322,19 +368,11 @@ object VectorQueries {
     // ccos (the rounded cosine to the assigned centroid) rides along:
     // v11's prototypicality IS this value, and keeping it costs nothing —
     // every other caller projects it away explicitly
-    if (k == 1 && !assignWindowForProbe) {
-      // r18 optimization round: the 1-nearest assignment — every Lloyd
-      // pass and every corpus/monitor assignment — is an argmax, not a
-      // rank, so it aggregates instead of windowing: max over
-      // struct(ccos, −cell) reproduces the (ccos desc, cell asc)
-      // tie-break exactly (struct comparison is field-lexicographic, and
-      // (ccos, cell) is unique within a vec_id group by construction —
-      // one scored row per centroid). The win is plan shape: groupBy
-      // partial-aggregates the K-per-vector scored rows map-side, so the
-      // exchange carries one row per vector instead of K, and the
-      // window's per-partition sort disappears. Same rows out —
-      // VectorSpec's recall/fixed-point pins and the oracles are the
-      // equivalence evidence.
+    if (k == 1 && k1Shape == K1Agg) {
+      // r18 shape, kept for probe/plan evidence: max over
+      // struct(ccos, −cell) per vec_id — one embedding-carrying row per
+      // vector crosses the exchange instead of K, but the struct buffer
+      // forces SortAggregate and the corpus still explodes K-ways first.
       scored
         .groupBy(col("vec_id"))
         .agg(max(struct(col("ccos"), (-col("cell")).as("negcell"),
@@ -346,6 +384,7 @@ object VectorQueries {
         .orderBy(col("ccos").desc, col("cell").asc)
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+    }
     }
   }
 
@@ -383,10 +422,13 @@ object VectorQueries {
   }
 
   /** The quantizer build itself, memo-free (ProbeModels times it
-    * repeatedly; production callers go through [[quantizerRows]]). */
+    * repeatedly; production callers go through [[quantizerRows]]).
+    * `k1Shape` threads the assignment shape to [[assignCells]] for the
+    * probe's interleaved A/B — production callers never pass it. */
   private[graft] def quantizerRowsUnmemoized(spark: SparkSession, dir: String,
       cells: Int = IvfCells,
-      sampleTarget: Long = TrainSampleTarget): Seq[(Long, Seq[Double])] = {
+      sampleTarget: Long = TrainSampleTarget,
+      k1Shape: K1Shape = K1Expr): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
     val e = emb(spark, dir)
     def toLocal(c: DataFrame): DataFrame =
@@ -401,7 +443,7 @@ object VectorQueries {
     // consumers) still covers every vector
     val trainSet = trainSampleOf(e, e.count(), sampleTarget)
     val trained = (1 to LloydIters).foldLeft(toLocal(seeds)) { (c, _) =>
-      toLocal(assignCells(c, trainSet, 1)
+      toLocal(assignCells(c, trainSet, 1, k1Shape)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("cv"))

@@ -209,9 +209,10 @@ object LandingSink {
     * batches the query loops EMPTY micro-batches back-to-back until
     * something external stops it (measured: ~100 commits for ~5 data
     * batches, each test drain eating its full await ceiling). Drained =
-    * the query has made progress and the last two progress reports carry
-    * zero input rows — the landing dir then holds every available batch
-    * behind its commit, and only the empty timer/TTL cycles remain.
+    * the query has made progress and the source's committed offset has
+    * reached its all-available end with one empty flush batch behind it
+    * (see [[drainAndStop]]) — the landing dir then holds every available
+    * batch behind its commit, and only the empty timer/TTL cycles remain.
     * `maxMs` bounds a genuinely stuck stream; a FAILED query rethrows
     * its exception, exactly what `awaitTermination` would have done.
     *
@@ -229,10 +230,25 @@ object LandingSink {
   /** The drain-by-signal loop [[runOnce]] rides — public and SHARED (the
     * test harness delegates here) so the quiescence heuristic lives in
     * exactly one place: wait until the query has made progress and the
-    * last two progress reports carry zero input rows, bounded by
-    * `maxMs`; a FAILED query rethrows its exception exactly as
-    * `awaitTermination` would have. Works for any AvailableNow query,
-    * landing or not.
+    * available data is provably consumed, bounded by `maxMs`; a FAILED
+    * query rethrows its exception exactly as `awaitTermination` would
+    * have. Works for any AvailableNow query, landing or not.
+    *
+    * Drained has two tiers (r19 optimization round — VERDICT r18 task 4):
+    * the PRIMARY signal reads the source's own offset bookkeeping from
+    * the last progress report — when every source's committed `endOffset`
+    * equals its reported `latestOffset` (under AvailableNow the wrapper
+    * pins latestOffset to the all-available end captured at start), the
+    * data is fully consumed, and ONE trailing zero-input batch suffices
+    * as the flush cycle for watermark/timer operators (the batch that
+    * runs with the final watermark). The old heuristic — wait for TWO
+    * zero-input reports — stays as the FALLBACK for sources that do not
+    * populate latestOffset; under the old rule every drain paid 2-3
+    * empty state-store commit cycles (~0.5-0.7 s each on RocksDB) purely
+    * to prove quiescence. Output is unchanged: both rules stop strictly
+    * after the last data-carrying batch plus at least one empty batch,
+    * and StreamingSpec/EventStreamSpec/ClusterParity pin the landed
+    * content.
     *
     * Returns TRUE when the drain signal fired or the query terminated by
     * itself; FALSE when `maxMs` expired while the query was still active
@@ -242,9 +258,15 @@ object LandingSink {
   def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
       maxMs: Long): Boolean = {
     val deadline = System.nanoTime() + maxMs * 1000000L
+    def caughtUp(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Boolean =
+      p.sources.nonEmpty && p.sources.forall { s =>
+        s.latestOffset != null && s.endOffset != null &&
+          s.endOffset == s.latestOffset
+      }
     def drained: Boolean = {
       val rp = q.recentProgress
-      rp.length >= 3 && rp.takeRight(2).forall(_.numInputRows == 0L)
+      (rp.length >= 2 && rp.last.numInputRows == 0L && caughtUp(rp.last)) ||
+        (rp.length >= 3 && rp.takeRight(2).forall(_.numInputRows == 0L))
     }
     // stop() in finally: the FAILED-query rethrow below must not leak a
     // still-registered query (a failed query is inactive, but the

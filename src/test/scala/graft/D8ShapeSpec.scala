@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextQueries
+
+/** r19 optimization round (VERDICT r18 task 2): d8's pair-side broadcast
+  * is SIZE-CONTRACTED, not unconditional — an explicit broadcast() hint
+  * disables Spark's own size check, and the LSH candidate side has no
+  * a-priori cap, so past `graft.d8.broadcastMaxBytes` (checkpointed-
+  * parquet plan statistics, a driver-side metadata read) both pair joins
+  * fall back to SHUFFLE_HASH with the pair side as build. This spec pins
+  * both regimes: the fixture-scale broadcast shape, and that a forced
+  * tiny bound engages the fallback WITHOUT changing a single row. */
+class D8ShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("under the default bound the candidate side broadcasts (fixture scale)") {
+    val p = plan(TextQueries.d8LevenshteinVerify(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"),
+      s"fallback engaged at fixture scale — bound or stats drifted:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus got sorted:\n$p")
+  }
+
+  test("past the bound both pair joins fall back to shuffled-hash, rows identical") {
+    val defaultRows = TextQueries.d8LevenshteinVerify(spark, sf).collect().toSet
+    spark.conf.set("graft.d8.broadcastMaxBytes", "1")
+    try {
+      val bounded = TextQueries.d8LevenshteinVerify(spark, sf)
+      val p = plan(bounded)
+      assert(p.contains("ShuffledHashJoin"),
+        s"tiny bound did not engage the shuffle-hash fallback:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a broadcast survived past the bound:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"corpus got sorted:\n$p")
+      assert(bounded.collect().toSet == defaultRows,
+        "fallback shape changed the verified pair set")
+    } finally spark.conf.unset("graft.d8.broadcastMaxBytes")
+  }
+}

@@ -703,4 +703,21 @@ class PlanSpec extends AnyFunSuite {
         s"near-dup pair ($a,$b) crosses the split: ${rows(a)}/${rows(b)}")
     }
   }
+
+  test("t18: the shingle-frequency join is an explicit shuffled-hash join, never a broadcast") {
+    // r19 optimization round (VERDICT r18 task 1): BOTH sides of the
+    // occ ⋈ docCount join are corpus-proportional (exploded shingle
+    // positions / distinct vocabulary) — neither is broadcastable by
+    // contract at 100 TB, so the scale-safe shape is pinned explicitly
+    // instead of left to fixture statistics, which used to pick a
+    // corpus-proportional BroadcastExchange here.
+    val p = planOf(TextQueries.queries("t18_dup_ngram_frac")(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      s"shingle join not the hinted shuffled-hash shape:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a corpus-proportional side got broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"one-row-per-key build side got sorted:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -644,4 +644,21 @@ class VectorSpec extends AnyFunSuite {
     // everything else is untouched: same rows minus exactly the purged id
     assert(purged.count() == idx.count() - 1)
   }
+
+  test("k=1 assignment shapes (expr / agg / window) train identical quantizers") {
+    // r19 optimization round: assignCells' k=1 default moved to the
+    // per-row argmax (K1Expr — zero exchange); the r18 aggregate and the
+    // pre-r18 window shapes stay reachable as parameters for exactly this
+    // pin and for ProbeModels' interleaved timing. The full Lloyd loop is
+    // the harshest equivalence test: any divergence in a single
+    // assignment compounds across iterations into different centroids.
+    val viaExpr = VectorQueries.quantizerRowsUnmemoized(spark, sf,
+      k1Shape = VectorQueries.K1Expr)
+    val viaAgg = VectorQueries.quantizerRowsUnmemoized(spark, sf,
+      k1Shape = VectorQueries.K1Agg)
+    val viaWindow = VectorQueries.quantizerRowsUnmemoized(spark, sf,
+      k1Shape = VectorQueries.K1Window)
+    assert(viaExpr == viaAgg, "per-row argmax diverged from aggregate argmax")
+    assert(viaAgg == viaWindow, "aggregate argmax diverged from window rank")
+  }
 }
